@@ -1,0 +1,59 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries (registry tag "bench") at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on one warm
+``local[$SPARK_GRAFT_CPUS]`` session and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{key: sec, ...}, "sf": ...}``.
+
+Per BASELINE.md, timing excludes session startup: each query is fully
+fetched (collect) and we report the min of ``RUNS`` warm runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ezbake_graph_spark import registry
+from ezbake_graph_spark.session import DEFAULT_SF_DIR, get_session
+
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+
+def bench_keys() -> list[str]:
+    registry.queries()  # force registration
+    return sorted(k for k, s in registry.REGISTRY.items() if "bench" in s.tags)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_session("ezbake-graph-spark-bench")
+    qs = registry.queries()
+    times: dict[str, float] = {}
+    for key in bench_keys():
+        fn = qs[key]
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[key] = round(best, 4)
+        print(f"# {key}: {times[key]:.3f}s", file=sys.stderr)
+    out = {
+        "metric": "headline_queries_total_warm",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,8 @@
+"""Operator modules — importing this package registers every query.
+
+Each module maps one SURVEY.md §2 section onto idiomatic Spark
+DataFrame plans plus a DuckDB oracle twin. Keep this import list in
+sync as modules are added.
+"""
+
+from ezbake_graph_spark.operators import aggregates  # noqa: F401

@@ -1,0 +1,260 @@
+"""Aggregation operators (SURVEY.md §2D).
+
+All hash aggregates: Spark plans these as partial (map-side combine) +
+final HashAggregate around one keyed shuffle — exactly the shape that
+scales to 100 TB. Float sums use the exact micro-unit pattern from
+``determinism.py`` so the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.determinism import (
+    SCALE,
+    money_avg_expr,
+    money_sum_expr,
+    sql_money_avg,
+    sql_money_sum,
+)
+from ezbake_graph_spark.registry import register
+
+_Q1_CUTOFF = "2000-12-01 00:00:00"
+
+_Q1_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_money_sum("l_quantity")} AS sum_qty,
+  {sql_money_sum("l_extendedprice")} AS sum_base_price,
+  {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+  {sql_money_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+  {sql_money_avg("l_quantity")} AS avg_qty,
+  {sql_money_avg("l_extendedprice")} AS avg_price,
+  {sql_money_avg("l_discount")} AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_pricing_q1", oracle=_Q1_SQL, tags=("D1", "bench"))
+def agg_pricing_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (D1) — the flagship query.
+
+    Single keyed shuffle; partial aggregation happens map-side. The
+    shipdate filter is pushed into the parquet scan (PushedFilters).
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum_expr(F.col("l_quantity")).alias("sum_qty"),
+            money_sum_expr(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum_expr(disc_price).alias("sum_disc_price"),
+            money_sum_expr(charge).alias("sum_charge"),
+            money_avg_expr(F.col("l_quantity")).alias("avg_qty"),
+            money_avg_expr(F.col("l_extendedprice")).alias("avg_price"),
+            money_avg_expr(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_COUNT_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("agg_count_distinct", oracle=_COUNT_DISTINCT_SQL, tags=("D2",))
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) (D2): Spark expands to a two-phase plan."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("agg_approx_distinct", oracle=None, tags=("D3", "rows-only"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx count-distinct (D3). Sketches differ across engines →
+    rows-only check (SURVEY §5.3 rule 5). At 100 TB this replaces D2:
+    constant-size state instead of an expand shuffle."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT r_name, n_name,
+       count(*) AS n_customers,
+       {sql_money_sum("c_acctbal")} AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_SQL, tags=("D4", "bench"))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-granularity aggregate (D4); dims broadcast."""
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum_expr(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+_FILTERED_SQL = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count_if(o_orderstatus = 'F') AS n_finished,
+       {sql_money_sum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS open_value
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_filtered", oracle=_FILTERED_SQL, tags=("D5",))
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (D5): count_if / conditional sums."""
+    o = tables.load(spark, sf_dir, "orders")
+    open_price = F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            money_sum_expr(open_price).alias("open_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_COLLECT_SQL = """
+SELECT n_regionkey AS regionkey,
+       array_to_string(list_sort(list(n_name)), '|') AS nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY regionkey
+"""
+
+
+@register("agg_collect", oracle=_COLLECT_SQL, tags=("D6",))
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg (D6). Canonically sorted then stringified so the
+    order-insensitive hash can't flake on array representation."""
+    n = tables.load(spark, sf_dir, "nation")
+    return (
+        n.groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations")
+        )
+        .orderBy("regionkey")
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_percentile", oracle=_PERCENTILE_SQL, tags=("D7",))
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (D7). Deterministic given the
+    identical input multiset (sort-based, no summation drift)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_MOMENTS_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_discount), 6) AS corr_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_moments", oracle=_MOMENTS_SQL, tags=("D8",))
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments (D8). Computed over small-magnitude columns
+    (quantity, discount) so cross-engine numeric drift stays orders of
+    magnitude under the 6-dp rounding grid (SURVEY §5.3)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_DISTINCT_SQL = """
+SELECT DISTINCT o_orderstatus, o_orderpriority
+FROM orders
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@register("agg_distinct_rows", oracle=_DISTINCT_SQL, tags=("D9",))
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (D9) — planned as a keyed hash aggregate."""
+    o = tables.load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
