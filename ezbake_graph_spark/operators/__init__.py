@@ -5,4 +5,11 @@ DataFrame plans plus a DuckDB oracle twin. Keep this import list in
 sync as modules are added.
 """
 
-from ezbake_graph_spark.operators import aggregates  # noqa: F401
+from ezbake_graph_spark.operators import (  # noqa: F401
+    aggregates,
+    joins,
+    projection,
+    scans,
+    setops,
+    windows,
+)

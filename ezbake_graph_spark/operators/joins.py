@@ -1,0 +1,354 @@
+"""Join operators (SURVEY.md §2C).
+
+Scale notes baked into each plan:
+
+- Dimension tables (region/nation/supplier/customer/part) are always
+  broadcast — no shuffle of the fact side on dim joins (C1, C10).
+- Large×large equi-joins (C2) shuffle both sides on the join key and
+  sort-merge; AQE converts to broadcast when a side turns out small.
+- The as-of join (C8) is implemented as union + single partitioned
+  sort + running ``last_value`` — one shuffle on the key, no join
+  blow-up; this is the 100 TB-safe formulation (a naive join+filter
+  is quadratic per key).
+- The interval join (C9) is an equi-join on the entity key with a
+  range residual — keyed shuffle, never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.determinism import money_sum_expr, sql_money_sum
+from ezbake_graph_spark.registry import register
+
+_BROADCAST_SQL = f"""
+SELECT n_name,
+       count(*) AS n_items,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("join_broadcast", oracle=_BROADCAST_SQL, tags=("C1",))
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join (C1): fact × two broadcast dims, zero
+    fact-side shuffle before the aggregate."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money_sum_expr(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_SORTMERGE_SQL = f"""
+SELECT o_orderstatus,
+       count(*) AS n_lines,
+       {sql_money_sum("l_quantity")} AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("join_sortmerge", oracle=_SORTMERGE_SQL, tags=("C2",))
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-merge join (C2): large×large, explicit merge hint so the
+    plan keeps the SMJ shape it would have at 100 TB."""
+    o = tables.load(spark, sf_dir, "orders").hint("merge")
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_sum_expr(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_OUTER_SQL = """
+SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+ORDER BY c_custkey
+"""
+
+
+@register("join_outer", oracle=_OUTER_SQL, tags=("C3",))
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (C3): count(o_orderkey) ignores the null rows
+    of customers with no orders."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+ORDER BY c_custkey
+"""
+
+
+@register("join_semi", oracle=_SEMI_SQL, tags=("C4",))
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (C4): existence filter, no row multiplication."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+ORDER BY c_custkey
+"""
+
+
+@register("join_anti", oracle=_ANTI_SQL, tags=("C5",))
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (C5): non-existence filter."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_CROSS_SQL = """
+SELECT r1.r_name AS region_a, r2.r_name AS region_b
+FROM region r1 CROSS JOIN region r2
+ORDER BY region_a, region_b
+"""
+
+
+@register("join_cross", oracle=_CROSS_SQL, tags=("C6",))
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (C6) — only ever on tiny inputs; anything
+    larger must go through a keyed or blocked formulation (K6)."""
+    r1 = tables.load(spark, sf_dir, "region").select(F.col("r_name").alias("region_a"))
+    r2 = tables.load(spark, sf_dir, "region").select(F.col("r_name").alias("region_b"))
+    return r1.crossJoin(r2).orderBy("region_a", "region_b")
+
+
+_THETA_SQL = """
+SELECT p_brand, count(*) AS n_pairs
+FROM part p JOIN supplier s ON s.s_acctbal > p.p_retailprice
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register("join_theta", oracle=_THETA_SQL, tags=("C7",))
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join (C7): planned as BroadcastNestedLoop with
+    the small side broadcast. At scale a non-equi join must have one
+    broadcastable side or be rewritten as a range-bucketed equi-join."""
+    p = tables.load(spark, sf_dir, "part")
+    s = tables.load(spark, sf_dir, "supplier")
+    return (
+        p.join(F.broadcast(s), s.s_acctbal > p.p_retailprice)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("p_brand")
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+), purch AS (
+  SELECT event_id, user_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+       c.ts AS last_click_ts, c.click_value AS last_click_value
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+@register("join_asof", oracle=_ASOF_SQL, tags=("C8",))
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (C8): each purchase ↔ the latest click at-or-before
+    it, per user.
+
+    Spark-first formulation: tag both sides, union, one sort per
+    user-partition, then running ``last(..., ignorenulls)``. One keyed
+    shuffle, linear in input — no per-key quadratic join. Clicks are
+    pre-deduplicated per (user, ts) with max(value) so ties are
+    deterministic (same rule as the DuckDB ASOF oracle).
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            "click_value",
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    click_val = F.when(F.col("kind") == 0, F.col("click_value"))
+    return (
+        clicks.unionByName(purch)
+        .withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .withColumn("last_click_value", F.last(click_val, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "purchase_value",
+            "last_click_ts",
+            "last_click_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+_INTERVAL_SQL = """
+SELECT o1.o_orderkey AS orderkey, count(*) AS n_overlapping
+FROM orders o1 JOIN orders o2
+  ON o1.o_custkey = o2.o_custkey
+ AND o1.o_orderkey <> o2.o_orderkey
+ AND o2.o_orderdate < o1.o_orderdate + INTERVAL 30 DAY
+ AND o1.o_orderdate < o2.o_orderdate + INTERVAL 30 DAY
+GROUP BY o1.o_orderkey
+ORDER BY orderkey
+"""
+
+
+@register("join_interval", oracle=_INTERVAL_SQL, tags=("C9",))
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (C9): equi-join on the entity key with a
+    time-range residual predicate — a keyed shuffle, so it scales with
+    per-key density, not table size squared."""
+    o = tables.load(spark, sf_dir, "orders")
+    o1 = o.select(
+        F.col("o_custkey").alias("ck1"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    o2 = o.select(
+        F.col("o_custkey").alias("ck2"),
+        F.col("o_orderkey").alias("ok2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    month = F.expr("INTERVAL 30 DAYS")
+    joined = o1.join(
+        o2,
+        (F.col("ck1") == F.col("ck2"))
+        & (F.col("orderkey") != F.col("ok2"))
+        & (F.col("d2") < F.col("d1") + month)
+        & (F.col("d1") < F.col("d2") + month),
+    )
+    return (
+        joined.groupBy("orderkey")
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+        .orderBy("orderkey")
+    )
+
+
+_STAR_SQL = f"""
+SELECT n_name,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("join_star_q5", oracle=_STAR_SQL, tags=("C10", "bench"))
+def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-table star join (C10). Fact tables shuffle on
+    their join keys once; all dims broadcast; the region filter prunes
+    before the fact join via the broadcast dim."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            money_sum_expr(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy("n_name")
+    )

@@ -1,0 +1,145 @@
+"""Scans, sources, sinks, and the SQL entry point (SURVEY.md §2A).
+
+Round-trip keys write to /tmp and read back so the connector path
+(CSV/JSON/Parquet write → read) is exercised end-to-end while the
+oracle compares against the original table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.determinism import sql_money_sum
+from ezbake_graph_spark.registry import register
+
+_ARTIFACTS = "/tmp/ezgs_artifacts"
+
+_SCAN_SQL = """
+SELECT count(*) AS n_rows,
+       min(l_orderkey) AS min_orderkey,
+       max(l_orderkey) AS max_orderkey,
+       count(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+"""
+
+
+@register("scan_parquet", oracle=_SCAN_SQL, tags=("A1",))
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan (A1): count + min/max come straight off footer
+    statistics once Catalyst prunes columns."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+_CSV_SQL = "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
+
+@register("scan_csv_roundtrip", oracle=_CSV_SQL, tags=("A2",))
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write → read with explicit schema (A2); oracle is the
+    original table, so the round trip must be lossless."""
+    path = os.path.join(_ARTIFACTS, "region_csv")
+    r = tables.load(spark, sf_dir, "region")
+    r.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.option("header", "true")
+        .schema(schema)
+        .csv(path)
+        .orderBy("r_regionkey")
+    )
+
+
+_JSON_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+
+@register("scan_json_roundtrip", oracle=_JSON_SQL, tags=("A2",))
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write → read with explicit schema (A2)."""
+    path = os.path.join(_ARTIFACTS, "nation_json")
+    n = tables.load(spark, sf_dir, "nation")
+    n.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema).json(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+_SINK_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders
+WHERE o_totalprice > 100000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("sink_parquet_roundtrip", oracle=_SINK_SQL, tags=("A3",))
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink (A3): write partitionBy(status), read
+    back, aggregate. partitionBy is the scale tool for downstream
+    partition pruning."""
+    path = os.path.join(_ARTIFACTS, "orders_sink")
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_SQL_ENTRY_SQL = f"""
+SELECT r_name,
+       count(*) AS n_customers,
+       {sql_money_sum("c_acctbal")} AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@register("sql_temp_view_entry", oracle=_SQL_ENTRY_SQL, tags=("A4",))
+def sql_temp_view_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point over temp views (A4): identical pipeline from
+    the parser down (SURVEY §3.3); Spark-dialect SQL string."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+               count(*) AS n_customers,
+               round(CAST(sum(CAST(round(c_acctbal * 1000000) AS BIGINT)) AS DOUBLE)
+                     / 1000000, 6) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+        """
+    )

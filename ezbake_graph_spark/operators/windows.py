@@ -1,0 +1,265 @@
+"""Window, sort, and top-k operators (SURVEY.md §2E, §2F).
+
+Determinism: every window/orderBy carries a unique tie-break key
+(SURVEY §5.3 rule 4). Running float sums use the exact micro-unit
+pattern — window frames are summed in different orders by Spark
+(sequential) and DuckDB (segment tree), so raw double frames drift.
+
+Scale: a window over ``partitionBy(k)`` is one keyed shuffle + one
+sort per partition; global sorts (F1) are range-partitioned; top-k
+(F3) plans as TakeOrderedAndProject — per-partition heads only, no
+full global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.determinism import SCALE, money_sum_expr, sql_money_sum
+from ezbake_graph_spark.registry import register
+
+_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+@register("win_rank_topn", oracle=_RANK_SQL, tags=("E1", "bench"))
+def win_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (E1): top-3 orders per customer."""
+    o = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+_LAG_SQL = """
+SELECT event_id, user_id, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       round(value - lag(value) OVER w, 6) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+@register("win_lag_lead", oracle=_LAG_SQL, tags=("E2",))
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions (E2): lag/lead with unique tie-break."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_RUNNING_SQL = f"""
+SELECT event_id, user_id,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / 1000000, 6) AS running_value,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("win_running_sum", oracle=_RUNNING_SQL, tags=("E3", "bench"))
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total frame (E3), exact micro-unit accumulation."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    micro = F.round(F.col("value") * SCALE).cast("long")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.sum(micro).over(w).cast("double") / SCALE, 6).alias(
+                "running_value"
+            ),
+            F.count(F.lit(1)).over(w).alias("n_so_far"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_SLIDING_SQL = """
+SELECT event_id, user_id,
+       round((CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                   OVER w AS DOUBLE) / count(*) OVER w) / 1000000, 6)
+         AS sliding_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+@register("win_sliding_avg", oracle=_SLIDING_SQL, tags=("E4",))
+def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding frame (E4): 4-row moving average, exact micro-units."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    micro = F.round(F.col("value") * SCALE).cast("long")
+    avg = (F.sum(micro).over(w).cast("double") / F.count(F.lit(1)).over(w)) / SCALE
+    return (
+        ev.select("event_id", "user_id", F.round(avg, 6).alias("sliding_avg"))
+        .orderBy("event_id")
+    )
+
+
+_DISTRIBUTION_SQL = """
+SELECT c_custkey, c_nationkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       ntile(4) OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register("win_distribution", oracle=_DISTRIBUTION_SQL, tags=("E5",))
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (E5): exact rationals in double,
+    deterministic across engines."""
+    c = tables.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_TOPK_GROUP_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rn
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+)
+WHERE rn <= 2
+ORDER BY p_brand, rn
+"""
+
+
+@register("win_topk_per_group", oracle=_TOPK_GROUP_SQL, tags=("E6",))
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (E6): rank filter over a keyed window."""
+    p = tables.load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+        .orderBy("p_brand", "rn")
+    )
+
+
+_SORT_SQL = """
+SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+FROM lineitem
+ORDER BY l_returnflag ASC, l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 1000
+"""
+
+
+@register("sort_multikey", oracle=_SORT_SQL, tags=("F1", "F2"))
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort + limit (F1/F2). The full key list is a
+    total order, so the LIMIT prefix is deterministic. Spark plans
+    orderBy+limit as TakeOrderedAndProject (no full global sort)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .orderBy(
+            F.col("l_returnflag").asc(),
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .limit(1000)
+    )
+
+
+_Q3_SQL = f"""
+SELECT o_orderkey, o_orderdate,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("topk_revenue_q3", oracle=_Q3_SQL, tags=("F3", "bench"))
+def topk_revenue_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style top-k by revenue (F3). Revenue is the exact
+    micro-unit sum, so the top-10 cut is identical in both engines;
+    o_orderkey breaks ties deterministically."""
+    c = tables.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            money_sum_expr(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
