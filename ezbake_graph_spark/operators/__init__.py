@@ -9,7 +9,9 @@ from ezbake_graph_spark.operators import (  # noqa: F401
     aggregates,
     joins,
     projection,
+    scalars,
     scans,
     setops,
+    streaming,
     windows,
 )

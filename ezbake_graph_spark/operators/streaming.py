@@ -1,0 +1,316 @@
+"""Streaming operators (SURVEY.md §2I; reference ingest layer [R] →
+Structured Streaming).
+
+Each window type has a **batch-equivalent** key (full DuckDB oracle —
+identical semantics on the events table, per SURVEY §2I) and the live
+micro-batch path is covered by rows-only smoke keys that actually run
+``readStream`` → stateful op → sink with ``availableNow`` triggers.
+
+Scale notes: windowed aggregations keep per-window state in the state
+store keyed by (window, group); watermarks bound that state; session
+windows merge in the state store. The batch forms below compile to
+ordinary keyed shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.determinism import SCALE, money_sum_expr, sql_money_sum
+from ezbake_graph_spark.registry import register
+
+_STREAM_TMP = "/tmp/ezgs_stream"
+
+
+# ---------------------------------------------------------------- batch forms
+
+_TUMBLING_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_money_sum("value")} AS sum_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_tumbling", oracle=_TUMBLING_SQL, tags=("I1", "bench"))
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (I1), batch image."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum_expr(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_SLIDING_SQL = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k) AS window_start,
+       count(*) AS n_events
+FROM events
+CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register("stream_sliding", oracle=_SLIDING_SQL, tags=("I2",))
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (I2): 1 h windows every 15 min — each event lands
+    in exactly 4 windows; the oracle enumerates them arithmetically."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@register("stream_session", oracle=_SESSION_SQL, tags=("I3", "bench"))
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window, 30-min gap (I3). Spark ``session_window`` ends a
+    session when the next event is >= gap away (window end exclusive);
+    the oracle's gaps-and-islands flag uses the identical rule."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_STATIC_JOIN_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       {sql_money_sum("value")} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("stream_static_join", oracle=_STATIC_JOIN_SQL, tags=("I6",))
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream↔static-dim enrichment (I6), batch image: the dim side is
+    broadcast, which is exactly the plan the streaming variant uses
+    per micro-batch."""
+    ev = tables.load(spark, sf_dir, "events")
+    c = tables.load(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum_expr(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------- live smoke
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
+    """Materialize events as a file-stream source directory (one write
+    per (sf_dir, copies); deterministic content)."""
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_x{copies}"
+    path = os.path.join(_STREAM_TMP, "src", tag)
+    done = os.path.join(path, "_EZGS_READY")
+    if not os.path.exists(done):
+        ev = tables.load(spark, sf_dir, "events")
+        ev.coalesce(2).write.mode("overwrite").parquet(path)
+        for i in range(1, copies):
+            ev.coalesce(2).write.mode("append").parquet(path)
+        open(done, "w").close()
+    return path
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+    path = _events_stream_dir(spark, sf_dir, copies)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _run_to_memory(spark, sdf, name: str, output_mode: str) -> DataFrame:
+    qname = f"ezgs_{name}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(_STREAM_TMP, "ckpt", qname)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+@register("stream_source_smoke", oracle=None, tags=("A5", "rows-only"))
+def stream_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File streaming source (A5): readStream → memory sink, append."""
+    sdf = _read_events_stream(spark, sf_dir).select("event_id", "event_type", "ts")
+    out = _run_to_memory(spark, sdf, "source_smoke", "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events")).orderBy(
+        "event_type"
+    )
+
+
+@register("stream_sink_smoke", oracle=None, tags=("A6", "rows-only"))
+def stream_sink_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink (A6): per-batch custom write to parquet."""
+    sdf = _read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    out_dir = os.path.join(_STREAM_TMP, "sink", uuid.uuid4().hex[:8])
+    ckpt = os.path.join(_STREAM_TMP, "ckpt", os.path.basename(out_dir))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = spark.read.parquet(out_dir)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register("stream_watermark", oracle=None, tags=("I4", "rows-only"))
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregate (I4): 10-min watermark bounds
+    window state; late events beyond it are dropped on a real stream."""
+    sdf = _read_events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    out = _run_to_memory(spark, agg, "watermark", "complete")
+    return out.orderBy("window_start", "event_type")
+
+
+@register("stream_dedup", oracle=None, tags=("I5", "rows-only"))
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (I5): the source holds every event
+    TWICE; dropDuplicatesWithinWatermark must emit each once."""
+    sdf = _read_events_stream(spark, sf_dir, copies=2)
+    dedup = (
+        sdf.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    out = _run_to_memory(spark, dedup, "dedup", "append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    ).orderBy("event_type")
+
+
+@register("stream_stateful", oracle=None, tags=("I7", "rows-only"))
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op (I7): applyInPandasWithState keeps a
+    per-user (count, micro-sum) state across micro-batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sdf = _read_events_stream(spark, sf_dir).select("user_id", "value")
+
+    def track(key, pdfs, state: GroupState):
+        n, micro = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            micro += int((pdf["value"] * SCALE).round().astype("int64").sum())
+        state.update((n, micro))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(micro / SCALE, 6)],
+            }
+        )
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, micro bigint"
+    tracked = sdf.groupBy("user_id").applyInPandasWithState(
+        track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    out_dir = os.path.join(_STREAM_TMP, "stateful", uuid.uuid4().hex[:8])
+    ckpt = os.path.join(_STREAM_TMP, "ckpt", os.path.basename(out_dir))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        tracked.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = spark.read.parquet(out_dir)
+    # keep the final state per user (max n_events)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        back.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )
