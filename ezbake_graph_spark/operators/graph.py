@@ -1,0 +1,353 @@
+"""Graph operators (SURVEY.md §2J) — the reference's core domain [R],
+re-expressed as DataFrame joins + the Pregel loop (§3.4).
+
+Graph fixture (FIXTURES.md): the part–supplier bipartite graph,
+``SELECT DISTINCT l_partkey, l_suppkey FROM lineitem``. Unified vertex
+id space: part → 2·partkey, supplier → 2·suppkey+1 (keyspaces collide
+otherwise).
+
+Scale notes: J1–J5 and J10–J12 are pure joins/aggregations — keyed
+shuffles only; a distinct on (src, dst) is the map-side-combinable
+edge dedup. Iterative ops (J6–J9) go through graph.pregel with
+lineage checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.determinism import sql_money_avg, money_avg_expr
+from ezbake_graph_spark.graph import (
+    bfs,
+    connected_components,
+    label_propagation,
+    pagerank,
+)
+from ezbake_graph_spark.registry import register
+
+# Shared DuckDB CTEs for the bipartite graph in unified id space.
+_SYM_CTES = """
+edges AS (
+  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), verts AS (
+  SELECT DISTINCT src AS id FROM sym
+)
+"""
+
+
+def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part–supplier edges in the unified id space."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    ).distinct()
+
+
+def graph_vertices(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+_BUILD_SQL = """
+SELECT DISTINCT l_partkey AS part_id, l_suppkey AS supp_id
+FROM lineitem
+ORDER BY part_id, supp_id
+"""
+
+
+@register("graph_build_edges", oracle=_BUILD_SQL, tags=("J1",))
+def graph_build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph construction (J1): derive the edge DataFrame."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_partkey").alias("part_id"), F.col("l_suppkey").alias("supp_id")
+        )
+        .distinct()
+        .orderBy("part_id", "supp_id")
+    )
+
+
+_DEGREE_SQL = """
+SELECT l_suppkey AS supp_id, count(DISTINCT l_partkey) AS degree
+FROM lineitem
+GROUP BY supp_id
+ORDER BY supp_id
+"""
+
+
+@register("graph_degree", oracle=_DEGREE_SQL, tags=("J2", "bench"))
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex degree (J2): one keyed shuffle with partial distinct."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_suppkey").alias("supp_id"))
+        .agg(F.countDistinct("l_partkey").alias("degree"))
+        .orderBy("supp_id")
+    )
+
+
+_ONE_HOP_SQL = """
+SELECT DISTINCT l_partkey AS part_id
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_acctbal > 9000
+ORDER BY part_id
+"""
+
+
+@register("graph_1hop", oracle=_ONE_HOP_SQL, tags=("J3",))
+def graph_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop neighborhood (J3) of a predicate-selected seed set."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    seeds = tables.load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    return (
+        li.join(F.broadcast(seeds), li.l_suppkey == seeds.s_suppkey)
+        .select(F.col("l_partkey").alias("part_id"))
+        .distinct()
+        .orderBy("part_id")
+    )
+
+
+_TWO_HOP_SQL = """
+WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)
+SELECT DISTINCT e2.s AS supp_id
+FROM edges e1 JOIN edges e2 ON e1.p = e2.p
+WHERE e1.s = 0 AND e2.s <> 0
+ORDER BY supp_id
+"""
+
+
+@register("graph_2hop", oracle=_TWO_HOP_SQL, tags=("J4",))
+def graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop expansion (J4): co-suppliers of supplier 0 via one
+    self-join on the shared part key."""
+    e = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e1 = e.filter(F.col("s") == 0).select(F.col("p").alias("p1"))
+    return (
+        e.join(e1, e.p == e1.p1)
+        .filter(F.col("s") != 0)
+        .select(F.col("s").alias("supp_id"))
+        .distinct()
+        .orderBy("supp_id")
+    )
+
+
+_TRIANGLES_SQL = """
+WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+cos AS (
+  SELECT DISTINCT e1.s AS a, e2.s AS b
+  FROM edges e1 JOIN edges e2 ON e1.p = e2.p AND e1.s < e2.s
+)
+SELECT count(*) AS n_triangles
+FROM cos ab
+JOIN cos bc ON ab.b = bc.a
+JOIN cos ac ON ac.a = ab.a AND ac.b = bc.b
+"""
+
+
+@register("graph_triangles", oracle=_TRIANGLES_SQL, tags=("J5",))
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count (J5) on the co-supplier projection, with the
+    a<b<c ordering predicate so each triangle counts once. Quadratic-
+    heavy on the near-complete sf0.1 graph (SURVEY §7.4(3)) — declared
+    at t2 scale (sf0.01)."""
+    e = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e2 = e.select(F.col("p").alias("p2"), F.col("s").alias("s2"))
+    cos = (
+        e.join(e2, (e.p == e2.p2) & (e.s < e2.s2))
+        .select(F.col("s").alias("a"), F.col("s2").alias("b"))
+        .distinct()
+        .cache()
+    )
+    ab = cos.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    bc = cos.select(F.col("a").alias("u_a"), F.col("b").alias("u_b"))
+    ac = cos.select(F.col("a").alias("v_a"), F.col("b").alias("v_b"))
+    return (
+        ab.join(bc, ab.t_b == bc.u_a)
+        .join(ac, (F.col("v_a") == F.col("t_a")) & (F.col("v_b") == F.col("u_b")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+_WCC_SQL = f"""
+WITH RECURSIVE {_SYM_CTES},
+reach AS (
+  SELECT id AS node, id AS label FROM verts
+  UNION
+  SELECT s.dst AS node, r.label
+  FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.label < s.dst
+)
+SELECT node AS id, min(label) AS component
+FROM reach GROUP BY node ORDER BY id
+"""
+
+
+@register("graph_wcc", oracle=_WCC_SQL, tags=("J6", "pregel"))
+def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components (J6) via the Pregel min-label loop
+    (graph/pregel.py); oracle is a recursive-CTE min propagation."""
+    edges = bipartite_edges(spark, sf_dir)
+    verts = graph_vertices(edges)
+    return connected_components(verts, edges).orderBy("id")
+
+
+@register("graph_pagerank", oracle=None, tags=("J7", "pregel", "rows-only"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (J7), 10 fixed supersteps, damping 0.85 (rows-only:
+    float iteration drift, SURVEY §5.3 rule 5). Golden-checked against
+    networkx in tests."""
+    edges = bipartite_edges(spark, sf_dir)
+    verts = graph_vertices(edges)
+    pr = pagerank(verts, edges, iterations=10, damping=0.85)
+    return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+@register("graph_labelprop", oracle=None, tags=("J8", "pregel", "rows-only"))
+def graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation (J8), 5 synchronous supersteps, deterministic
+    min-label tie-break."""
+    edges = bipartite_edges(spark, sf_dir)
+    verts = graph_vertices(edges)
+    return label_propagation(verts, edges, iterations=5).orderBy("id")
+
+
+_BFS_SQL = f"""
+WITH RECURSIVE {_SYM_CTES},
+reach AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+  UNION
+  SELECT s.dst AS node, r.dist + 1
+  FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.dist < 6
+)
+SELECT node AS id, min(dist) AS dist
+FROM reach GROUP BY node ORDER BY id
+"""
+
+
+@register("graph_bfs", oracle=_BFS_SQL, tags=("J9", "pregel"))
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop-distance (J9) from supplier 0 (unified id 1), depth ≤ 6,
+    via the Pregel min-dist loop; bounded recursive-CTE oracle."""
+    edges = bipartite_edges(spark, sf_dir)
+    verts = graph_vertices(edges)
+    return bfs(verts, edges, source_ids=[1], max_depth=6).orderBy("id")
+
+
+_SUBGRAPH_SQL = """
+WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)
+SELECT e.p AS part_id, e.s AS supp_id
+FROM edges e
+JOIN part ON p_partkey = e.p
+JOIN supplier ON s_suppkey = e.s
+WHERE p_size > 25 AND s_acctbal > 2000
+ORDER BY part_id, supp_id
+"""
+
+
+@register("graph_subgraph", oracle=_SUBGRAPH_SQL, tags=("J10",))
+def graph_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Induced subgraph (J10): vertex predicates on both endpoint
+    types, edges kept only when both ends survive (semi-joins)."""
+    e = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("part_id"), F.col("l_suppkey").alias("supp_id"))
+        .distinct()
+    )
+    keep_parts = tables.load(spark, sf_dir, "part").filter(F.col("p_size") > 25)
+    keep_supps = tables.load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") > 2000
+    )
+    return (
+        e.join(F.broadcast(keep_parts), e.part_id == keep_parts.p_partkey, "left_semi")
+        .join(F.broadcast(keep_supps), e.supp_id == keep_supps.s_suppkey, "left_semi")
+        .orderBy("part_id", "supp_id")
+    )
+
+
+_MOTIF_SQL = """
+WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+good AS (SELECT p_partkey FROM part WHERE p_retailprice > 990)
+SELECT e1.s AS supp_id, count(*) AS n_wedges
+FROM edges e1
+JOIN edges e2 ON e1.s = e2.s AND e1.p < e2.p
+JOIN good g1 ON e1.p = g1.p_partkey
+JOIN good g2 ON e2.p = g2.p_partkey
+GROUP BY supp_id
+ORDER BY supp_id
+"""
+
+
+@register("graph_motif", oracle=_MOTIF_SQL, tags=("J11",))
+def graph_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif match (J11): (part₁)–(supplier)–(part₂) wedges with
+    vertex predicates — GraphFrames-style chained-join motif."""
+    e = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    good = (
+        tables.load(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice") > 990)
+        .select("p_partkey")
+    )
+    e1 = e.join(F.broadcast(good), e.p == good.p_partkey, "left_semi")
+    e2 = e1.select(F.col("p").alias("p2"), F.col("s").alias("s2"))
+    return (
+        e1.join(e2, (e1.s == e2.s2) & (e1.p < e2.p2))
+        .groupBy(F.col("s").alias("supp_id"))
+        .agg(F.count(F.lit(1)).alias("n_wedges"))
+        .orderBy("supp_id")
+    )
+
+
+_AGGMSG_SQL = f"""
+WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)
+SELECT p AS part_id,
+       count(*) AS n_suppliers,
+       {sql_money_avg("s_acctbal")} AS avg_acctbal,
+       max(s_acctbal) AS max_acctbal
+FROM edges JOIN supplier ON s_suppkey = s
+GROUP BY part_id
+ORDER BY part_id
+"""
+
+
+@register("graph_aggmsg", oracle=_AGGMSG_SQL, tags=("J12",))
+def graph_aggmsg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateMessages (J12) [P: GraphX]: neighborhood aggregation —
+    each part aggregates over its suppliers' attributes."""
+    e = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("part_id"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    sup = tables.load(spark, sf_dir, "supplier")
+    return (
+        e.join(F.broadcast(sup), e.s == sup.s_suppkey)
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            money_avg_expr(F.col("s_acctbal")).alias("avg_acctbal"),
+            F.max("s_acctbal").alias("max_acctbal"),
+        )
+        .orderBy("part_id")
+    )

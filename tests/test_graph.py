@@ -1,0 +1,108 @@
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pytest
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+
+GRAPH_SQL_KEYS = [
+    "graph_build_edges",
+    "graph_degree",
+    "graph_1hop",
+    "graph_2hop",
+    "graph_triangles",
+    "graph_wcc",
+    "graph_bfs",
+    "graph_subgraph",
+    "graph_motif",
+    "graph_aggmsg",
+]
+
+
+@pytest.mark.parametrize("key", GRAPH_SQL_KEYS)
+def test_graph_matches_oracle(spark, duck, key):
+    assert_query_matches_oracle(spark, duck, key)
+
+
+def _adjacency(spark) -> dict[int, set[int]]:
+    from ezbake_graph_spark.operators.graph import bipartite_edges
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for r in bipartite_edges(spark, SF_SMOKE).collect():
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+    return adj
+
+
+def _ref_pagerank(adj, damping=0.85, iters=10):
+    """Plain-Python reference of the same fixed-iteration PageRank."""
+    n = len(adj)
+    rank = {v: 1.0 / n for v in adj}
+    for _ in range(iters):
+        contrib = defaultdict(float)
+        for v, neigh in adj.items():
+            if neigh:
+                share = rank[v] / len(neigh)
+                for u in neigh:
+                    contrib[u] += share
+        rank = {v: (1 - damping) / n + damping * contrib[v] for v in adj}
+    return rank
+
+
+def test_pagerank_golden(spark):
+    from ezbake_graph_spark import registry
+
+    adj = _adjacency(spark)
+    ref = _ref_pagerank(adj)
+    got = {
+        r["id"]: r["rank"]
+        for r in registry.queries()["graph_pagerank"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(ref)
+    worst = max(abs(got[k] - ref[k]) for k in got)
+    assert worst < 1e-6, f"max |Δrank| = {worst}"
+    top_spark = sorted(got, key=lambda k: (-got[k], k))[:10]
+    top_ref = sorted(ref, key=lambda k: (-ref[k], k))[:10]
+    assert top_spark == top_ref
+
+
+def test_wcc_golden(spark):
+    """Union-find reference for connected components."""
+    from ezbake_graph_spark import registry
+
+    adj = _adjacency(spark)
+    parent = {v: v for v in adj}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for v, neigh in adj.items():
+        for u in neigh:
+            ra, rb = find(v), find(u)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    ref = Counter()
+    comp_min: dict[int, int] = {}
+    for v in adj:
+        root = find(v)
+        comp_min[root] = min(comp_min.get(root, v), v)
+    for v in adj:
+        ref[comp_min[find(v)]] += 1
+
+    rows = registry.queries()["graph_wcc"](spark, SF_SMOKE).collect()
+    got = Counter(r["component"] for r in rows)
+    assert dict(got) == dict(ref)
+
+
+def test_labelprop_partitions_vertices(spark):
+    from ezbake_graph_spark import registry
+
+    rows = registry.queries()["graph_labelprop"](spark, SF_SMOKE).collect()
+    ids = {r["id"] for r in rows}
+    labels = {r["label"] for r in rows}
+    assert len(rows) == len(ids)  # one label per vertex
+    assert labels <= ids  # labels are vertex ids
