@@ -9,10 +9,15 @@ from ezbake_graph_spark.operators import (  # noqa: F401
     aggregates,
     graph,
     joins,
+    llm_dedup,
+    llm_similarity,
+    llm_text,
+    multimodal,
     projection,
     scalars,
     scans,
     setops,
     streaming,
+    udfs,
     windows,
 )

@@ -1,0 +1,260 @@
+"""Deduplication operators (SURVEY.md §2K: K1–K3 + simhash/fingerprint).
+
+The 100 TB design ladder:
+- K1 exact dedup groups by md5(text) — the shuffle key is a 32-byte
+  digest, never the document body.
+- K2 exact Jaccard pairs uses an inverted-index self-join (explode
+  tokens → join on token → count common) — keyed shuffles only; the
+  quadratic all-pairs comparison never materializes. Declared on a
+  doc_id<200 slice because exact all-pairs is the *oracle*, not the
+  scale path.
+- K3 MinHash-LSH is the scale path: 64-hash signatures, 16 bands × 4
+  rows; only band-bucket collisions become candidate pairs, then the
+  exact Jaccard kernel verifies just those candidates.
+- Simhash gives the complementary hamming-distance near-dup family
+  with 12-bit-band blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.registry import register
+
+N_MINHASH = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+JACCARD_THRESHOLD = 0.8
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str, max_doc: int | None = None) -> DataFrame:
+    """Distinct (doc_id, token) pairs — the inverted-index atoms."""
+    d = tables.load(spark, sf_dir, "documents")
+    if max_doc is not None:
+        d = d.filter(F.col("doc_id") < max_doc)
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+
+
+_EXACT_SQL = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY canonical_doc_id
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_SQL, tags=("K1",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (K1): canonical doc per identical text, keeping the
+    min doc_id. Groups on md5(text) so the shuffle moves digests, not
+    documents."""
+    d = tables.load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+_JACCARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < 200
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / CAST(len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY doc1, doc2
+"""
+
+
+def _jaccard_pairs(tok: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for every pair sharing >= 1 token, via
+    inverted-index self-join. Input: (doc_id, token) distinct."""
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("doc_id").alias("doc1"), "token")
+    b = tok.select(F.col("doc_id").alias("doc2"), "token")
+    common = (
+        a.join(b, "token")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = F.col("common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(n1, "doc1")
+        .join(n2, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard_raw"))
+    )
+
+
+@register("dedup_jaccard_pairs", oracle=_JACCARD_SQL, tags=("K2",))
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs (K2): token-set Jaccard >= 0.8 on the
+    doc_id<200 slice (the all-pairs oracle is quadratic; K3 is the
+    scale path)."""
+    tok = _doc_tokens(spark, sf_dir, max_doc=200)
+    return (
+        _jaccard_pairs(tok)
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", F.round("jaccard_raw", 6).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+@register("dedup_minhash", oracle=None, tags=("K3", "rows-only"))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup (K3) over ALL documents — the 100 TB
+    path: 64 min-hashes per doc (one aggregation), 16 band buckets,
+    candidate pairs only from band collisions, then exact-Jaccard
+    verification of candidates. With 16 bands x 4 rows the collision
+    probability at j=0.8 is ~0.9986, so recall vs K2 is ~1 (checked in
+    tests/test_llm.py)."""
+    tok = _doc_tokens(spark, sf_dir).cache()
+    sig_cols = [
+        F.min(F.xxhash64(F.concat(F.col("token"), F.lit(f"#perm{i}")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    sigs = tok.groupBy("doc_id").agg(*sig_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+    left = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc1"))
+    right = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc2"))
+    candidates = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    verified = (
+        _jaccard_pairs(tok)
+        .join(candidates, ["doc1", "doc2"], "left_semi")
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", F.round("jaccard_raw", 6).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
+    return verified
+
+
+N_SIMHASH_BITS = 48
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = N_SIMHASH_BITS // SIMHASH_BANDS
+HAMMING_MAX = 6
+
+
+@register("dedup_simhash", oracle=None, tags=("K-extra", "rows-only"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup: 48-bit token-set simhash, 12-bit band
+    blocking, hamming distance <= 6 via bit_count(xor). Candidate
+    generation is a keyed join on band values — no all-pairs."""
+    tok = _doc_tokens(spark, sf_dir)
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(N_SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(N_SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    sigs = agg.select("doc_id", sim.alias("simhash"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                .alias("band_val"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", "simhash", F.explode(band_structs).alias("b")).select(
+        "doc_id", "simhash", "b.band_id", "b.band_val"
+    )
+    left = bands.select(
+        "band_id", "band_val", F.col("doc_id").alias("doc1"), F.col("simhash").alias("sh1")
+    )
+    right = bands.select(
+        "band_id", "band_val", F.col("doc_id").alias("doc2"), F.col("simhash").alias("sh2")
+    )
+    return (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select(
+            "doc1",
+            "doc2",
+            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc1", "doc2")
+    )
+
+
+_FINGERPRINT_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fingerprint
+  FROM documents
+)
+SELECT fingerprint,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_docs
+FROM t
+GROUP BY fingerprint
+ORDER BY canonical_doc_id
+"""
+
+
+@register("text_fingerprint", oracle=_FINGERPRINT_SQL, tags=("K-extra",))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token bag
+    — an order-insensitive content fingerprint grouping docs that use
+    exactly the same vocabulary."""
+    d = tables.load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.encode(
+            F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " "),
+            "UTF-8",
+        )
+    )
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("canonical_doc_id")
+    )

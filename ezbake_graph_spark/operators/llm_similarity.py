@@ -1,0 +1,306 @@
+"""Similarity search & embedding operators (SURVEY.md §2K: K4–K6,
+K12–K13, + IVF ANN).
+
+Scale ladder for 100 TB:
+- K4 brute-force cosine is the correctness baseline (declared and
+  benched — quadratic, only viable per-block).
+- K6 blocked similarity prunes candidates to same-block pairs.
+- sim_ivf is the ANN path: coarse-quantize every vector to its nearest
+  centroid (broadcast centroid table), probe the nearest cells only.
+
+Determinism: dot products are sequential double folds over 64 dims in
+both engines (drift ~1e-14, 8 orders under the 6-dp grid); ORDER BY
+uses the *rounded* similarity plus id tie-breaks so top-k cuts are
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.determinism import SCALE, sql_money_avg
+from ezbake_graph_spark.registry import register
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with double-cast vectors and precomputed norms."""
+    e = tables.load(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id", "label", dvec.alias("v"), F.sqrt(sq).alias("nrm")
+    )
+
+
+def _cosine(v1: Column, n1: Column, v2: Column, n2: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(v1, v2, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / (n1 * n2)
+
+
+_COSINE_TOPK_SQL = """
+SELECT a.vec_id AS vid1, b.vec_id AS vid2,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cosine DESC, vid1, vid2
+LIMIT 20
+"""
+
+
+@register("sim_cosine_topk", oracle=_COSINE_TOPK_SQL, tags=("K4", "bench"))
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 over all vector pairs (K4)."""
+    a = _vectors(spark, sf_dir).select(
+        F.col("vec_id").alias("vid1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
+    )
+    b = _vectors(spark, sf_dir).select(
+        F.col("vec_id").alias("vid2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
+    )
+    pairs = a.join(b, F.col("vid1") < F.col("vid2"))
+    cos = _cosine(F.col("v1"), F.col("n1"), F.col("v2"), F.col("n2"))
+    return (
+        pairs.select("vid1", "vid2", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vid1", "vid2")
+        .limit(20)
+    )
+
+
+_KNN_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_knn", oracle=_KNN_SQL, tags=("K5",))
+def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN (K5): top-5 neighbors for query vectors 0..9. The
+    query side is 10 rows → broadcast; one pass over candidates."""
+    q = _vectors(spark, sf_dir).filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = _vectors(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _cosine(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+_BLOCKED_SQL = """
+WITH scored AS (
+  SELECT a.label, a.vec_id AS vid1, b.vec_id AS vid2,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+), ranked AS (
+  SELECT label, vid1, vid2, cosine,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY cosine DESC, vid1, vid2) AS rank
+  FROM scored
+)
+SELECT label, vid1, vid2, cosine, rank
+FROM ranked WHERE rank <= 3
+ORDER BY label, rank
+"""
+
+
+@register("sim_blocked", oracle=_BLOCKED_SQL, tags=("K6",))
+def sim_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked similarity (K6): candidate pairs only within the same
+    label block — the keyed-join pruning pattern that replaces the
+    all-pairs cross join at scale; top-3 per block."""
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.select(
+        "label", F.col("vec_id").alias("vid1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
+    )
+    b = vecs.select(
+        F.col("label").alias("label2"),
+        F.col("vec_id").alias("vid2"),
+        F.col("v").alias("v2"),
+        F.col("nrm").alias("n2"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("label2")) & (F.col("vid1") < F.col("vid2"))
+    )
+    cos = _cosine(F.col("v1"), F.col("n1"), F.col("v2"), F.col("n2"))
+    scored = pairs.select("label", "vid1", "vid2", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), "vid1", "vid2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("label", "rank")
+    )
+
+
+_MULTIMODAL_JOIN_SQL = """
+SELECT d.doc_id, d.lang,
+       (e.vec_id IS NOT NULL) AS has_embedding,
+       e.label
+FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id
+"""
+
+
+@register("multimodal_join", oracle=_MULTIMODAL_JOIN_SQL, tags=("K12",))
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal join (K12): text rows ↔ their embedding modality on
+    doc_id = vec_id (vec_id ⊆ doc_id); left join keeps docs without
+    vectors."""
+    d = tables.load(spark, sf_dir, "documents")
+    e = tables.load(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id, "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("vec_id").isNotNull().alias("has_embedding"),
+            "label",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CENTROID_SQL = f"""
+WITH idx AS (SELECT unnest(range(1, 65)) AS dim_i),
+expanded AS (
+  SELECT label, dim_i, CAST(embedding[dim_i] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN idx
+)
+SELECT label, dim_i,
+       {sql_money_avg("val")} AS centroid,
+       count(*) AS n_vectors
+FROM expanded
+GROUP BY label, dim_i
+ORDER BY label, dim_i
+"""
+
+
+@register("embed_centroid", oracle=_CENTROID_SQL, tags=("K13",))
+def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding centroids per label (K13): element-wise mean via
+    posexplode → keyed aggregate (micro-unit exact)."""
+    e = tables.load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val_f")
+    ).select("label", (F.col("pos") + 1).alias("dim_i"), F.col("val_f").cast("double").alias("val"))
+    micro = F.round(F.col("val") * SCALE).cast("long")
+    return (
+        exploded.groupBy("label", "dim_i")
+        .agg(
+            F.round(
+                (F.sum(micro).cast("double") / F.count(F.lit(1))) / SCALE, 6
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim_i")
+    )
+
+
+@register("sim_ivf", oracle=None, tags=("K-extra", "rows-only"))
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (scale path for K4/K5): coarse-quantize every
+    vector to its nearest label-centroid cell, then answer queries
+    0..9 by probing only the nearest 2 cells. Recall vs exact kNN is
+    checked in tests. At 100 TB the cell id becomes the partition key,
+    so a probe touches 2 partitions instead of the full corpus."""
+    vecs = _vectors(spark, sf_dir).cache()
+    # centroids: element-wise mean per label, assembled back into arrays
+    exploded = vecs.select("label", F.posexplode("v").alias("pos", "val"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda s: s.getField("c")).alias("cv"),
+        )
+    )
+    csq = F.aggregate(
+        F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    cent = cent.select("cell", "cv", F.sqrt(csq).alias("cn")).cache()
+    # assign vectors to nearest cell
+    vc = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cell",
+        _cosine(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")).alias("sim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    assigned = (
+        vc.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cell")
+    )
+    # queries probe their 2 nearest cells
+    queries = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "qn",
+        "cell",
+        _cosine(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn")).alias("sim"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "qv", "qn", "cell")
+    )
+    # search only vectors in probed cells
+    cands = probes.join(assigned, "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cos = _cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm"))
+    scored = cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cosine")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )

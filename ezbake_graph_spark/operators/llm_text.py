@@ -1,0 +1,330 @@
+"""Text-analysis operators (SURVEY.md §2K: K7–K11 + quality/lang-ID).
+
+All are explode → keyed-aggregate pipelines: the shuffle key is a
+token/term, aggregation is partially applied map-side, and nothing is
+quadratic. Scores involving float math use exact micro-unit sums or
+exact integer ratios so the DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.determinism import SCALE
+from ezbake_graph_spark.registry import register
+
+_TERM_SQL = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT term, count(*) AS n_occurrences
+FROM tok
+GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT 50
+"""
+
+
+@register("text_term_counts", oracle=_TERM_SQL, tags=("K7", "bench"))
+def text_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + global term counts (K7), top 50."""
+    d = tables.load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("term"))
+        .limit(50)
+    )
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 100
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents WHERE doc_id < 100
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rn
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
+"""
+
+
+@register("text_tfidf", oracle=_TFIDF_SQL, tags=("K8",))
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (K8), doc_id<100 slice.
+    tf and df are exact ints; ln() is per-row libm (round6); the rank
+    window tie-breaks on term."""
+    d = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+_NGRAM_SQL = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+)
+SELECT bigram, count(*) AS n_occurrences
+FROM b
+GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT 50
+"""
+
+
+@register("text_ngrams", oracle=_NGRAM_SQL, tags=("K9",))
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram counts (K9), top 50. Bigrams come from zipping the
+    token array with its own tail — per-row, shuffle only on the
+    bigram key."""
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+        " (t, i) -> concat(t, ' ', element_at(split(text, ' '), i + 2)))"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+POS_WORDS = ("fast", "small", "merge")
+NEG_WORDS = ("slow", "big", "dup")
+
+_SENTIMENT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT doc_id,
+       count_if(term IN {POS_WORDS}) AS n_pos,
+       count_if(term IN {NEG_WORDS}) AS n_neg,
+       CAST(count_if(term IN {POS_WORDS}) AS BIGINT)
+         - CAST(count_if(term IN {NEG_WORDS}) AS BIGINT) AS sentiment
+FROM tok
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_sentiment", oracle=_SENTIMENT_SQL, tags=("K10",))
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment scoring (K10) per the Twitter-sentiment
+    lexicon approach (PAPERS.md): signed hit count of a tiny ±lexicon
+    over each document's tokens."""
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    n_pos = F.count_if(F.col("term").isin(*POS_WORDS))
+    n_neg = F.count_if(F.col("term").isin(*NEG_WORDS))
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            n_pos.alias("n_pos"),
+            n_neg.alias("n_neg"),
+            (n_pos - n_neg).cast("long").alias("sentiment"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LANG_STATS_SQL = """
+WITH t AS (
+  SELECT lang, source, n_chars, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       count(DISTINCT source) AS n_sources
+FROM t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_lang_stats", oracle=_LANG_STATS_SQL, tags=("K11",))
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-partitioned corpus stats (K11)."""
+    d = tables.load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            "source",
+            "n_chars",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+STOPWORDS = ("a", "the")
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, x -> x IN {STOPWORDS})) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS lexical_diversity,
+       (n_tokens >= 50 AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.1) AS passes_quality
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register("text_quality", oracle=_QUALITY_SQL, tags=("K-extra",))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for training-data filtering: token counts,
+    stopword ratio, lexical diversity, and a pass/fail gate. All
+    ratios are exact int/int divisions — deterministic."""
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    diversity = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "avg_token_len"
+        ),
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(diversity, 6).alias("lexical_diversity"),
+        ((F.col("n_tokens") >= 50) & (diversity > 0.1)).alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+_LANGID_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+), train AS (
+  SELECT lang, term, count(*) AS c
+  FROM tok WHERE doc_id % 5 = 0
+  GROUP BY lang, term
+), totals AS (
+  SELECT lang, sum(c) AS total FROM train GROUP BY lang
+), profile AS (
+  SELECT train.lang, term,
+         CAST(round(ln(CAST(c AS DOUBLE) / total) * {SCALE}) AS BIGINT) AS micro_logp
+  FROM train JOIN totals ON train.lang = totals.lang
+), test_scores AS (
+  SELECT tok.doc_id, tok.lang AS actual, profile.lang AS candidate,
+         sum(profile.micro_logp) AS micro_score
+  FROM tok JOIN profile ON tok.term = profile.term
+  WHERE tok.doc_id % 5 <> 0
+  GROUP BY tok.doc_id, tok.lang, profile.lang
+), ranked AS (
+  SELECT doc_id, actual, candidate,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY micro_score DESC, candidate) AS rn
+  FROM test_scores
+)
+SELECT doc_id, actual, candidate AS predicted, (candidate = actual) AS hit
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("text_langid", oracle=_LANGID_SQL, tags=("K-extra",))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (n-gram/naive-Bayes heuristic): unigram log-prob
+    profiles learned from the doc_id%5==0 split, argmax over the rest.
+    Log-probs are quantized to exact micro-units before summing so the
+    scores (and the argmax) are bit-deterministic in both engines."""
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).cache()
+    train = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = train.groupBy("lang").agg(F.sum("c").alias("total"))
+    profile = train.join(totals, "lang").select(
+        F.col("lang").alias("candidate"),
+        "term",
+        F.round(F.log(F.col("c").cast("double") / F.col("total")) * SCALE)
+        .cast("long")
+        .alias("micro_logp"),
+    )
+    test = tok.filter(F.col("doc_id") % 5 != 0)
+    scores = (
+        test.join(F.broadcast(profile), "term")
+        .groupBy("doc_id", F.col("lang").alias("actual"), "candidate")
+        .agg(F.sum("micro_logp").alias("micro_score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("micro_score").desc(), F.col("candidate")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual",
+            F.col("candidate").alias("predicted"),
+            (F.col("candidate") == F.col("actual")).alias("hit"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,160 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2L).
+
+The UDF ladder, slowest → fastest:
+- L1 row-at-a-time Python UDF — correctness escape hatch only; each
+  row round-trips the Python worker.
+- L2 pandas (Arrow-vectorized) scalar UDF — the acceptable Python hot
+  path (~10-100x L1).
+- L3 applyInPandas grouped-map — per-group pandas transforms.
+- L4 Python UDTF — one row in, many rows out.
+
+Oracles reimplement each function in DuckDB SQL, so the checked
+contract is the *function semantics*, not the plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.registry import register
+
+_SCALAR_SQL = """
+SELECT c_custkey,
+       list_aggregate(list_transform(string_split(CAST(c_custkey AS VARCHAR), ''),
+                                     x -> CAST(x AS INT)), 'sum') AS digit_sum,
+       CAST(c_custkey % 97 AS BIGINT) AS key_mod97
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("udf_scalar", oracle=_SCALAR_SQL, tags=("L1",))
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (L1): digit sum of the key."""
+
+    @udf("int")
+    def digit_sum(k: int) -> int:
+        return sum(int(ch) for ch in str(k))
+
+    c = tables.load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        digit_sum("c_custkey").alias("digit_sum"),
+        (F.col("c_custkey") % 97).alias("key_mod97"),
+    ).orderBy("c_custkey")
+
+
+_PANDAS_SQL = """
+SELECT event_id,
+       round(ln(1 + value) * 10, 6) AS log_scaled
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("udf_pandas", oracle=_PANDAS_SQL, tags=("L2",))
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF (L2): numpy kernel per batch."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def log_scaled(v: pd.Series) -> pd.Series:
+        return pd.Series(np.round(np.log1p(v.values) * 10, 6))
+
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.select("event_id", log_scaled("value").alias("log_scaled")).orderBy(
+        "event_id"
+    )
+
+
+_GROUPED_SQL = """
+WITH m AS (
+  SELECT user_id, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micro
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST((2 * sum(micro) + count(*)) // (2 * count(*)) AS DOUBLE)
+           / 1000000 AS mean_value,
+       CAST(max(micro) - min(micro) AS DOUBLE) / 1000000 AS value_range
+FROM m
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("udf_grouped", oracle=_GROUPED_SQL, tags=("L3",))
+def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (L3): per-user stats computed inside
+    a pandas kernel.
+
+    Every value is quantized to micro units with half-up floor(x*1e6+0.5)
+    — the identical IEEE double expression the oracle uses — and the mean
+    is an exact integer half-up division, so no rounding-mode divergence
+    (Python banker's vs DuckDB half-away) can flake the value hash.
+    """
+    import numpy as np
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        micro = np.floor(pdf["value"].values * 1_000_000 + 0.5).astype("int64")
+        n = len(pdf)
+        s = int(micro.sum())
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [n],
+                "mean_value": [float((2 * s + n) // (2 * n)) / 1_000_000],
+                "value_range": [float(int(micro.max()) - int(micro.min())) / 1_000_000],
+            }
+        )
+
+    ev = tables.load(spark, sf_dir, "events").select("user_id", "value")
+    schema = "user_id bigint, n_events bigint, mean_value double, value_range double"
+    return ev.groupBy("user_id").applyInPandas(per_user, schema).orderBy("user_id")
+
+
+_UDTF_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+       count(*) AS n_events
+FROM events
+GROUP BY k_decile
+ORDER BY k_decile
+"""
+
+
+@register("udtf_explode_props", oracle=_UDTF_SQL, tags=("L4",))
+def udtf_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (L4): parse the dynamic-property JSON bag into
+    (key, value) rows — the reference's schema-less property model [R]
+    flattened by a table function — then aggregate."""
+    import json
+
+    @udtf(returnType="prop_key string, prop_value bigint")
+    class ExplodeProps:
+        def eval(self, props: str):
+            if props:
+                for k, v in json.loads(props).items():
+                    yield k, int(v)
+
+    spark.udtf.register("explode_props", ExplodeProps)
+    ev = tables.load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_for_udtf")
+    flat = spark.sql(
+        """
+        SELECT p.prop_key, p.prop_value
+        FROM events_for_udtf, LATERAL explode_props(props) p
+        """
+    )
+    return (
+        flat.filter(F.col("prop_key") == "k")
+        .groupBy((F.col("prop_value") / 10).cast("long").alias("k_decile"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("k_decile")
+    )
