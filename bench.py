@@ -38,10 +38,11 @@ def main() -> None:
     times: dict[str, float] = {}
     for key in bench_keys():
         fn = qs[key]
+        fn(spark, sf_dir).toPandas()  # untimed warmup: JIT, cache, broadcasts
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()  # Arrow fetch; result fully materialized
             best = min(best, time.perf_counter() - t0)
         times[key] = round(best, 4)
         print(f"# {key}: {times[key]:.3f}s", file=sys.stderr)

@@ -322,10 +322,17 @@ ORDER BY n_name
 
 @register("join_star_q5", oracle=_STAR_SQL, tags=("C10", "bench"))
 def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style 6-table star join (C10). Fact tables shuffle on
-    their join keys once; all dims broadcast; the region filter prunes
-    before the fact join via the broadcast dim."""
-    c = tables.load(spark, sf_dir, "customer")
+    """TPC-H Q5-style 6-table star join (C10).
+
+    Star-join shape: the fact table (lineitem) is NEVER shuffled or
+    broadcast — the date-filtered customer⨝orders side collapses to a
+    small keyed relation that broadcasts, and lineitem streams through
+    a single WholeStageCodegen pipeline of fused broadcast hash joins
+    straight into the partial aggregate. At 100 TB the same plan holds
+    as long as the filtered dim side fits the broadcast budget;
+    otherwise AQE demotes just that one join to SMJ.
+    """
+    c = tables.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = tables.load(spark, sf_dir, "orders")
     li = tables.load(spark, sf_dir, "lineitem")
     s = tables.load(spark, sf_dir, "supplier")
@@ -334,13 +341,13 @@ def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = o.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
+    ).select("o_orderkey", "o_custkey")
+    co = c.join(o, c.c_custkey == o.o_custkey).select("o_orderkey", "c_nationkey")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
         .join(
             F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            (li.l_suppkey == s.s_suppkey) & (co.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

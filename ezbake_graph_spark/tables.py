@@ -31,11 +31,23 @@ TABLES = (
 # Small dimension tables that should always be broadcast in joins.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
 
+# Fact-sized tables worth distributing across cores. The fixture files
+# are written as a SINGLE parquet row group each, and a row group is the
+# minimum split unit — so a raw scan is one task no matter how many
+# cores exist. On a real cluster the ingest layer lands these as many
+# splittable files/row groups; locally we reproduce that by
+# repartitioning once into an in-memory columnar cache per session.
+FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table from ``sf_dir``."""
-    if name not in TABLES:
-        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+# (applicationId, sf_dir, name) -> materialized DataFrame
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cache_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_NO_CACHE", "") != "1"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS); the Spark reader
         # rejects it unless read as long. Set at runtime so queries work
@@ -48,6 +60,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from ``sf_dir``.
+
+    Fact tables are repartitioned across the session's default
+    parallelism and cached in-memory on first load (kill switch:
+    ``SPARK_GRAFT_NO_CACHE=1``). Dimension tables stay as raw scans —
+    they broadcast in joins anyway, and an extra shuffle would only
+    delay the broadcast build.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if not _cache_enabled():
+        return _read(spark, sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _CACHE.get(key)
+    if df is None:
+        df = _read(spark, sf_dir, name)
+        if name in FACT_TABLES:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+        df = df.cache()
+        _CACHE[key] = df
     return df
 
 
