@@ -277,11 +277,14 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NPROBE = 4
+
+
 @register("sim_ivf", oracle=None, tags=("K-extra", "rows-only"))
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (scale path for K4/K5): coarse-quantize every
     vector to its nearest label-centroid cell, then answer queries
-    0..9 by probing only the nearest 2 cells. Recall vs exact kNN is
+    0..9 by probing only the nearest 4 of 10 cells. Recall vs exact kNN is
     checked in tests. At 100 TB the cell id becomes the partition key,
     so a probe touches 2 partitions instead of the full corpus."""
     vecs = _vectors(spark, sf_dir).cache()
@@ -331,7 +334,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_probe = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
     probes = (
         qc.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= 2)
+        .filter(F.col("rn") <= _NPROBE)
         .select("query_id", "qv", "qn", "cell")
     )
     # search only vectors in probed cells

@@ -1,0 +1,70 @@
+"""Live Structured Streaming smoke ops (SURVEY.md §2A5/A6, I4/I5/I7).
+
+Each live op replays the events table through a real readStream file
+source with trigger(availableNow) and a memory/foreachBatch sink; the
+assertions pin stream results to their batch-query equivalents —
+stream/batch parity is the Structured Streaming contract.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ezbake_graph_spark import registry, tables
+from tests.conftest import SF_SMOKE
+
+
+def _batch_counts_by_type(spark):
+    ev = tables.load(spark, SF_SMOKE, "events")
+    return {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_stream_source_matches_batch_counts(spark):
+    rows = registry.queries()["stream_source_smoke"](spark, SF_SMOKE).collect()
+    assert {r["event_type"]: r["n_events"] for r in rows} == _batch_counts_by_type(spark)
+
+
+def test_stream_sink_roundtrip(spark):
+    ev = tables.load(spark, SF_SMOKE, "events").filter(F.col("event_type") == "purchase")
+    expected = ev.count()
+    [row] = registry.queries()["stream_sink_smoke"](spark, SF_SMOKE).collect()
+    assert row["n_purchases"] == expected
+    assert 0 < row["n_users"] <= expected
+
+
+def test_stream_watermark_totals(spark):
+    rows = registry.queries()["stream_watermark"](spark, SF_SMOKE).collect()
+    total = sum(r["n_events"] for r in rows)
+    # availableNow replay = single batch; nothing is later than the
+    # watermark, so no events drop
+    assert total == tables.load(spark, SF_SMOKE, "events").count()
+
+
+def test_stream_dedup_emits_each_event_once(spark):
+    """Source holds every event twice; dedup must emit each once."""
+    rows = registry.queries()["stream_dedup"](spark, SF_SMOKE).collect()
+    batch = _batch_counts_by_type(spark)
+    for r in rows:
+        assert r["n_events"] == r["n_distinct"] == batch[r["event_type"]]
+
+
+def test_stream_stateful_final_state_matches_batch(spark):
+    rows = registry.queries()["stream_stateful"](spark, SF_SMOKE).collect()
+    ev = tables.load(spark, SF_SMOKE, "events")
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 1_000_000).cast("long")) / 1_000_000).alias("s"),
+        )
+        .collect()
+    }
+    assert len(rows) == len(batch)
+    for r in rows:
+        n, s = batch[r["user_id"]]
+        assert r["n_events"] == n
+        assert abs(r["total_value"] - s) < 1e-6
