@@ -156,14 +156,24 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2")
         .distinct()
     )
-    verified = (
-        _jaccard_pairs(tok)
-        .join(candidates, ["doc1", "doc2"], "left_semi")
+    # Verify ONLY the candidate pairs: two keyed joins pull each side's
+    # token set, then array_intersect computes exact Jaccard per pair.
+    # Work is linear in |candidates|, never quadratic in the corpus —
+    # the whole point of banding at 100 TB. (The full inverted-index
+    # join of K2 is the oracle, not the verify path.)
+    toksets = tok.groupBy("doc_id").agg(F.collect_set("token").alias("toks"))
+    t1 = toksets.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
+    t2 = toksets.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
+    common = F.size(F.array_intersect("toks1", "toks2")).cast("double")
+    union = (F.size("toks1") + F.size("toks2")).cast("double") - common
+    return (
+        candidates.join(t1, "doc1")
+        .join(t2, "doc2")
+        .withColumn("jaccard_raw", common / union)
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", F.round("jaccard_raw", 6).alias("jaccard"))
         .orderBy("doc1", "doc2")
     )
-    return verified
 
 
 N_SIMHASH_BITS = 48
