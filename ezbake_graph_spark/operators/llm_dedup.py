@@ -176,6 +176,120 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_N = 3
+NGRAM_THRESHOLD = 0.6
+
+_NGRAM_JACCARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM t WHERE len(w) >= {NGRAM_N}
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / CAST(len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE), 6)
+         AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / CAST(len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      >= {NGRAM_THRESHOLD}
+ORDER BY doc1, doc2
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL, tags=("K2b",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (word 3-gram shingle) Jaccard near-dup pairs — stricter
+    than token-set Jaccard (K2) because shingles preserve local word
+    order. Same inverted-index self-join kernel, shingles as the index
+    atoms; declared on the doc_id<200 slice (the all-pairs form is the
+    oracle; MinHash over shingles is the scale path, identical to K3
+    with shingle tokens)."""
+    d = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    w = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (NGRAM_N - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i.cast("int")),
+                F.element_at(w, (i + 1).cast("int")),
+                F.element_at(w, (i + 2).cast("int")),
+            ),
+        )
+    )
+    tok = (
+        d.filter(F.size(w) >= NGRAM_N)
+        .select("doc_id", F.explode(shingles).alias("token"))
+    )
+    return (
+        _jaccard_pairs(tok)
+        .filter(F.col("jaccard_raw") >= NGRAM_THRESHOLD)
+        .select("doc1", "doc2", F.round("jaccard_raw", 6).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+EMBED_DUP_THRESHOLD = 0.4
+
+_EMBED_DUP_SQL = f"""
+SELECT a.vec_id AS vid1, b.vec_id AS vid2,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6)
+      >= {EMBED_DUP_THRESHOLD}
+ORDER BY vid1, vid2
+"""
+
+
+@register("dedup_embedding", oracle=_EMBED_DUP_SQL, tags=("K2c",))
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all pairs with cosine >= 0.4
+    (the fixture vectors are near-random, so 0.4 marks the far tail).
+    Same block-parallel BLAS kernel as sim_cosine_topk, but
+    threshold-filtered instead of top-k — each Arrow batch emits only
+    its qualifying pairs, so output (not the quadratic pair space)
+    bounds the shuffle. Scale path: prune candidates first via
+    sim_blocked / sim_ivf cells, then apply this same threshold kernel
+    per cell."""
+    import numpy as np
+    import pandas as pd
+
+    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()  # broadcast-dimension build
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def block_pairs(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+            sims = np.round((q_mat @ b_mat.T) / np.outer(q_norms, b_norms), 6)
+            keep = (q_ids[:, None] < b_ids[None, :]) & (sims >= EMBED_DUP_THRESHOLD)
+            qi, bi = np.nonzero(keep)
+            if len(qi) == 0:
+                continue
+            yield pd.DataFrame(
+                {"vid1": q_ids[qi], "vid2": b_ids[bi], "cosine": sims[qi, bi]}
+            )
+
+    local = emb.mapInPandas(block_pairs, "vid1 long, vid2 long, cosine double")
+    return local.orderBy("vid1", "vid2")
+
+
 N_SIMHASH_BITS = 48
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = N_SIMHASH_BITS // SIMHASH_BANDS

