@@ -14,6 +14,7 @@ from ezbake_graph_spark.operators import (  # noqa: F401
     llm_text,
     multimodal,
     projection,
+    sampling,
     scalars,
     scans,
     setops,

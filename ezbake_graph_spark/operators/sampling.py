@@ -1,0 +1,73 @@
+"""Sampling & dataset-split operators for training-data pipelines.
+
+A 100 TB training pipeline needs reproducible splits and samples:
+
+- ``sample_split_train_test``: the deterministic hash split. Assignment
+  is a pure function of the stable key (md5 of the id), so it is
+  engine-independent (full SQL oracle), stable under re-runs, appends,
+  and repartitioning — the property random() splits lack. One narrow
+  scan, no shuffle: the split predicate fuses into WholeStageCodegen.
+- ``sample_bernoulli``: seeded row sample (``df.sample``) — per-row
+  coin flips, no shuffle, but engine-specific RNG ⇒ rows-only check;
+  invariants (size concentration, determinism under same seed) are
+  asserted in tests/test_sampling.py.
+- ``sample_stratified``: per-stratum fractions (``df.sampleBy``) — the
+  class-balancing primitive; same RNG caveat ⇒ rows-only.
+
+Scale notes: all three are single-pass map-side operators; the only
+aggregation here is the small per-split/per-stratum summary. Hash
+splitting at 100 TB beats materializing split tables: it needs no
+bookkeeping join at read time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.registry import register
+
+# first-two-hex-digit threshold: 'cc' = 204/256 = 79.7% train
+_SPLIT_HEX_THRESHOLD = "cc"
+
+_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_HEX_THRESHOLD}'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("sample_split_train_test", oracle=_SPLIT_SQL, tags=("ext", "sampling"))
+def sample_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/test split keyed on md5(doc_id)."""
+    d = tables.load(spark, sf_dir, "documents")
+    first2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(first2 < _SPLIT_HEX_THRESHOLD, "train").otherwise("test").alias("split"),
+    ).orderBy("doc_id")
+
+
+@register("sample_bernoulli", oracle=None, tags=("ext", "sampling", "rows-only"))
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 10% Bernoulli sample of lineitem (engine RNG ⇒ rows-only)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+_STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "ja": 0.25}
+
+
+@register("sample_stratified", oracle=None, tags=("ext", "sampling", "rows-only"))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample by language: 50% en, 25% the rest — the
+    class-rebalancing primitive for skewed corpora."""
+    d = tables.load(spark, sf_dir, "documents")
+    return d.sampleBy("lang", fractions=_STRATA_FRACTIONS, seed=42).select(
+        "doc_id", "lang"
+    )
