@@ -19,6 +19,7 @@ from ezbake_graph_spark.operators import (  # noqa: F401
     scans,
     setops,
     streaming,
+    timeseries,
     udfs,
     windows,
 )

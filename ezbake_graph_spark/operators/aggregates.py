@@ -258,3 +258,80 @@ def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_SQL = f"""
+SELECT CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+       {", ".join(
+           f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY hour_of_day
+ORDER BY hour_of_day
+"""
+
+
+@register("agg_pivot", oracle=_PIVOT_SQL, tags=("D-extra",))
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): event counts per hour-of-day x type.
+    The pivot value list is explicit, so no extra distinct-values pass
+    runs and the output schema is static — the form that scales."""
+    ev = tables.load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.hour("ts").alias("hour_of_day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "hour_of_day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    ).orderBy("hour_of_day")
+
+
+_HIST_BUCKET = 10_000.0
+
+_HISTOGRAM_SQL = f"""
+SELECT CAST(floor(l_extendedprice / {_HIST_BUCKET}) AS BIGINT) AS bucket,
+       count(*) AS n_items,
+       {sql_money_sum("l_extendedprice")} AS sum_price
+FROM lineitem
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("agg_histogram", oracle=_HISTOGRAM_SQL, tags=("D-extra",))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: one keyed aggregate over the bucketed
+    value — the distributed histogram shape (bucket id is the shuffle
+    key; bucket count, not row count, bounds the result)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / _HIST_BUCKET).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money_sum_expr(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register("agg_approx_percentile", oracle=None, tags=("D-extra", "rows-only"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (KLL-style sketch): mergeable, constant
+    memory — the scale path where exact percentile (D7) would need a
+    full sort. Accuracy vs exact is asserted in tests."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", 0.5, 10_000).alias("p50_approx"),
+            F.approx_percentile("l_extendedprice", 0.95, 10_000).alias("p95_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
