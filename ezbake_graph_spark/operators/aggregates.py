@@ -79,7 +79,7 @@ ORDER BY event_type
 """
 
 
-@register("agg_count_distinct", oracle=_COUNT_DISTINCT_SQL, tags=("D2",))
+@register("agg_count_distinct", oracle=_COUNT_DISTINCT_SQL, tags=("D2", "bench"))
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact COUNT(DISTINCT) (D2): Spark expands to a two-phase plan."""
     ev = tables.load(spark, sf_dir, "events")
@@ -334,4 +334,49 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_percentile("l_extendedprice", 0.95, 10_000).alias("p95_approx"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+_SALTED_SQL = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       {sql_money_sum("o_totalprice")} AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_N_SALTS = 16
+
+
+@register("agg_salted_two_phase", oracle=_SALTED_SQL, tags=("D-extra", "skew"))
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation — the hot-key skew pattern made
+    explicit. Phase 1 groups by (key, salt) so a key with 10% of all
+    rows spreads over ``_N_SALTS`` reducers; phase 2 merges the salted
+    partials (one row per key x salt — tiny). Result is identical to
+    the direct aggregate (the oracle IS the direct aggregate).
+    o_orderpriority has only 5 distinct values — exactly the
+    low-cardinality/high-volume shape where an unsalted shuffle would
+    send each key to one reducer. Spark's partial aggregation already
+    combines map-side, so salting matters when the *reduce* state per
+    key is big (collect_list, distinct sets); the pattern is the same.
+    """
+    o = tables.load(spark, sf_dir, "orders")
+    micro = F.round(F.col("o_totalprice") * SCALE).cast("long")
+    salted = (
+        o.withColumn("salt", F.pmod(F.col("o_orderkey"), F.lit(_N_SALTS)))
+        .groupBy("o_orderpriority", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(micro).alias("pmicro"),
+        )
+    )
+    return (
+        salted.groupBy("o_orderpriority")
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.round(F.sum("pmicro").cast("double") / SCALE, 6).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
     )
