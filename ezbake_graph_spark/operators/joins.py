@@ -16,6 +16,8 @@ Scale notes baked into each plan:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -358,4 +360,69 @@ def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
         .orderBy("n_name")
+    )
+
+
+_BUCKETED_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       {sql_money_sum("o_totalprice")} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+_BUCKETS = 8
+
+
+def bucketed_join_frames(spark: SparkSession, sf_dir: str):
+    """Write orders/customer as bucketed+sorted tables (once per
+    session and scale factor), read them back through the catalog, and
+    return the co-located join — a SortMergeJoin with NO Exchange and
+    no per-partition Sort beyond the bucket sort (asserted in
+    tests/test_joins_bucketed.py).
+
+    This is the 100 TB join strategy made concrete: pre-bucketing both
+    fact tables on the join key at ingest converts every subsequent
+    join on that key into a zero-shuffle merge. The bucketed copies
+    live under /tmp and are rebuilt per session (the in-memory catalog
+    does not outlive the process).
+    """
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_cust = f"ezgs_b_orders_{tag}", f"ezgs_b_customer_{tag}"
+    catalog = spark.catalog
+    if not catalog.tableExists(t_orders) or not catalog.tableExists(t_cust):
+        o = tables.load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        c = tables.load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        for name, df, key in ((t_orders, o, "o_custkey"), (t_cust, c, "c_custkey")):
+            (
+                df.write.bucketBy(_BUCKETS, key)
+                .sortBy(key)
+                .option("path", f"/tmp/ezgs_bucketed/{name}")
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    bo, bc = spark.table(t_orders), spark.table(t_cust)
+    # merge hint: keep SMJ even when one side fits the broadcast budget,
+    # so the bucketing (not a broadcast) is what elides the shuffle
+    return bo.join(bc.hint("merge"), bo.o_custkey == bc.c_custkey)
+
+
+@register("join_bucketed_colocated", oracle=_BUCKETED_SQL, tags=("C-extra", "bucketing"))
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join: zero-shuffle SortMergeJoin over
+    pre-bucketed tables; only the small post-join aggregate shuffles."""
+    j = bucketed_join_frames(spark, sf_dir)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum_expr(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -143,3 +143,28 @@ def sql_temp_view_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r_name
         """
     )
+
+
+_CORRELATED_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
+FROM orders o
+WHERE CAST(round(o_totalprice * 1000000) AS BIGINT)
+      * (SELECT 2 * count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      > (SELECT 3 * sum(CAST(round(o2.o_totalprice * 1000000) AS BIGINT))
+         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+"""
+
+
+@register("sql_correlated_subquery", oracle=_CORRELATED_SQL, tags=("A4", "C-extra"))
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries through the SQL entry point —
+    orders priced above 1.5x their customer's average. The IDENTICAL
+    SQL text runs in both engines (micro-unit integer arithmetic keeps
+    the comparison exact); Catalyst decorrelates the two scalar
+    subqueries into aggregate+join (RewriteCorrelatedScalarSubquery),
+    so the executed plan is one keyed aggregate joined back to orders
+    — no per-row re-execution, which is what makes correlated
+    subqueries survive 100 TB."""
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)

@@ -315,3 +315,45 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "total_value")
         .orderBy("user_id")
     )
+
+
+@register("stream_stream_join", oracle=None, tags=("I-extra", "rows-only"))
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same
+    user's clicks within the preceding hour, both sides real file
+    streams with watermarks. The watermark + time-bound pair is what
+    bounds join state at 100 TB/day: each side buffers at most
+    (watermark + interval) of keyed history, independent of stream
+    length. Batch-parity is asserted in tests/test_streaming.py."""
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("interval 1 hour")),
+    )
+    out = _run_to_memory(spark, joined, "ss_join", "append")
+    return (
+        out.groupBy("p_user")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("p_user")
+    )

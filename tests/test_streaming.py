@@ -68,3 +68,27 @@ def test_stream_stateful_final_state_matches_batch(spark):
         n, s = batch[r["user_id"]]
         assert r["n_events"] == n
         assert abs(r["total_value"] - s) < 1e-6
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    rows = registry.queries()["stream_stream_join"](spark, SF_SMOKE).collect()
+    ev = tables.load(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    batch = {
+        r["p_user"]: r["n"]
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("interval 1 hour")),
+        )
+        .groupBy("p_user")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["p_user"]: r["n_pairs"] for r in rows} == batch
