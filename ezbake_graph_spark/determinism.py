@@ -43,16 +43,23 @@ def money_sum_expr(col: Column) -> Column:
     sum(cast(round(x * 1e6) as bigint)) / 1e6 — the inner cast is exact
     (round yields an integer-valued double), the integer sum is exact,
     and the final division is a single deterministic IEEE op.
+
+    Deliberately NO final round(,6): the identical integer divided by
+    the identical constant is already bit-identical in both engines,
+    while round() itself DIVERGES once |sum| is large enough that
+    ulp(x) approaches the 1e-6 grid (~4e9 — hit by sf0.1 Q1 charge
+    sums: Spark rounds the shortest-decimal repr via BigDecimal,
+    DuckDB rounds the binary double, and they pick ADJACENT doubles).
     """
     micro = F.round(col * F.lit(SCALE)).cast("long")
-    return F.round(F.sum(micro).cast("double") / F.lit(SCALE), 6)
+    return F.sum(micro).cast("double") / F.lit(SCALE)
 
 
 def sql_money_sum(expr: str) -> str:
     """DuckDB-side twin of ``money_sum_expr`` for an SQL expression."""
     return (
-        f"round(CAST(sum(CAST(round(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
-        f" / 1000000, 6)"
+        f"CAST(sum(CAST(round(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000"
     )
 
 
@@ -60,19 +67,20 @@ def money_avg_expr(col: Column) -> Column:
     """Order-insensitive exact AVG of a DOUBLE column.
 
     Exact integer micro-sum divided by the exact count — two
-    deterministic IEEE divisions, identical in both engines.
+    deterministic IEEE divisions, identical in both engines. No final
+    round (see ``money_sum_expr``): it would re-introduce divergence on
+    exact halfway rationals (micro-sum/count landing on .5e-6 grid
+    points, e.g. graph_aggmsg's 4105.5534375).
     """
     micro = F.round(col * F.lit(SCALE)).cast("long")
-    return F.round(
-        (F.sum(micro).cast("double") / F.count(F.lit(1))) / F.lit(SCALE), 6
-    )
+    return (F.sum(micro).cast("double") / F.count(F.lit(1))) / F.lit(SCALE)
 
 
 def sql_money_avg(expr: str) -> str:
     """DuckDB-side twin of ``money_avg_expr``."""
     return (
-        f"round((CAST(sum(CAST(round(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
-        f" / count(*)) / 1000000, 6)"
+        f"(CAST(sum(CAST(round(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / count(*)) / 1000000"
     )
 
 

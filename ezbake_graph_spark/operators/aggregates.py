@@ -376,7 +376,7 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted.groupBy("o_orderpriority")
         .agg(
             F.sum("pn").alias("n_orders"),
-            F.round(F.sum("pmicro").cast("double") / SCALE, 6).alias("total_price"),
+            (F.sum("pmicro").cast("double") / SCALE).alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )

@@ -265,12 +265,14 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode("embedding").alias("pos", "val_f")
     ).select("label", (F.col("pos") + 1).alias("dim_i"), F.col("val_f").cast("double").alias("val"))
     micro = F.round(F.col("val") * SCALE).cast("long")
+    # no final round: exact micro-sum / count / scale is bit-identical
+    # in both engines (see determinism.money_avg_expr)
     return (
         exploded.groupBy("label", "dim_i")
         .agg(
-            F.round(
-                (F.sum(micro).cast("double") / F.count(F.lit(1))) / SCALE, 6
-            ).alias("centroid"),
+            ((F.sum(micro).cast("double") / F.count(F.lit(1))) / SCALE).alias(
+                "centroid"
+            ),
             F.count(F.lit(1)).alias("n_vectors"),
         )
         .orderBy("label", "dim_i")

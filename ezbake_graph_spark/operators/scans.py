@@ -134,8 +134,8 @@ def sql_temp_view_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT r_name,
                count(*) AS n_customers,
-               round(CAST(sum(CAST(round(c_acctbal * 1000000) AS BIGINT)) AS DOUBLE)
-                     / 1000000, 6) AS sum_acctbal
+               CAST(sum(CAST(round(c_acctbal * 1000000) AS BIGINT)) AS DOUBLE)
+                     / 1000000 AS sum_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey

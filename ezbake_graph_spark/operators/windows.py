@@ -78,10 +78,10 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_SQL = f"""
 SELECT event_id, user_id,
-       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DOUBLE) / 1000000, 6) AS running_value,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 1000000 AS running_value,
        count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
 FROM events
@@ -103,9 +103,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_id",
             "user_id",
-            F.round(F.sum(micro).over(w).cast("double") / SCALE, 6).alias(
-                "running_value"
-            ),
+            (F.sum(micro).over(w).cast("double") / SCALE).alias("running_value"),
             F.count(F.lit(1)).over(w).alias("n_so_far"),
         )
         # no trailing global sort: presentation-only, hash is
@@ -116,9 +114,8 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SLIDING_SQL = """
 SELECT event_id, user_id,
-       round((CAST(sum(CAST(round(value * 1000000) AS BIGINT))
-                   OVER w AS DOUBLE) / count(*) OVER w) / 1000000, 6)
-         AS sliding_avg
+       (CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+             OVER w AS DOUBLE) / count(*) OVER w) / 1000000 AS sliding_avg
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -138,15 +135,15 @@ def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro = F.round(F.col("value") * SCALE).cast("long")
     avg = (F.sum(micro).over(w).cast("double") / F.count(F.lit(1)).over(w)) / SCALE
     return (
-        ev.select("event_id", "user_id", F.round(avg, 6).alias("sliding_avg"))
+        ev.select("event_id", "user_id", avg.alias("sliding_avg"))
         .orderBy("event_id")
     )
 
 
 _DISTRIBUTION_SQL = """
 SELECT c_custkey, c_nationkey,
-       round(percent_rank() OVER w, 6) AS pr,
-       round(cume_dist() OVER w, 6) AS cd,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
        ntile(4) OVER w AS quartile
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
@@ -156,16 +153,23 @@ ORDER BY c_custkey
 
 @register("win_distribution", oracle=_DISTRIBUTION_SQL, tags=("E5",))
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions (E5): exact rationals in double,
-    deterministic across engines."""
+    """Distribution window functions (E5).
+
+    Deliberately NOT rounded: pr/cd are exact integer ratios and both
+    engines produce the identical IEEE double for (rank-1)/(n-1), so
+    raw values hash-match — whereas round(x, 6) DIVERGES on exact
+    halfway rationals (e.g. 41/640 = 0.0640625: Spark rounds the
+    shortest decimal repr via BigDecimal → 0.064063, DuckDB rounds the
+    binary double → 0.064062). §5.3 rule 2 applies to *accumulated*
+    floats, not exact rationals."""
     c = tables.load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return (
         c.select(
             "c_custkey",
             "c_nationkey",
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
             F.ntile(4).over(w).alias("quartile"),
         )
         .orderBy("c_custkey")
