@@ -1,0 +1,54 @@
+"""Physical-plan assertions: the optimizer behaviors SCALE.md claims
+(predicate pushdown, column pruning, TakeOrderedAndProject top-k) must
+be visible in the executed plans against real parquet scans (table
+cache disabled so scans stay file scans)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ezbake_graph_spark import registry, tables
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def no_cache(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_NO_CACHE", "1")
+    saved = dict(tables._CACHE)
+    tables._CACHE.clear()
+    yield
+    tables._CACHE.update(saved)
+
+
+def _plan(spark, key: str) -> str:
+    df = registry.queries()[key](spark, SF_SMOKE)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, no_cache):
+    plan = _plan(spark, "agg_pricing_q1")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 of 16 lineitem columns read
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_comment" not in read and "l_partkey" not in read
+
+
+def test_star_join_broadcasts_dims_and_never_shuffles_fact(spark, no_cache):
+    plan = _plan(spark, "join_star_q5")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # the only Exchanges are broadcast builds + the final tiny agg/sort
+    assert "Exchange hashpartitioning(l_" not in plan  # fact never shuffles
+
+
+def test_topk_uses_take_ordered(spark, no_cache):
+    plan = _plan(spark, "sort_multikey")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation_is_map_side(spark, no_cache):
+    plan = _plan(spark, "graph_degree")
+    assert "partial_" in plan  # partial agg before the exchange
