@@ -71,9 +71,9 @@ WITH t AS (
   FROM documents WHERE doc_id < 200
 )
 SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
              / CAST(len(a.toks) + len(b.toks)
-                    - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6) AS jaccard
+                    - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
 FROM t a JOIN t b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / CAST(len(a.toks) + len(b.toks)
@@ -115,7 +115,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _jaccard_pairs(tok)
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
-        .select("doc1", "doc2", F.round("jaccard_raw", 6).alias("jaccard"))
+        .select("doc1", "doc2", F.col("jaccard_raw").alias("jaccard"))
         .orderBy("doc1", "doc2")
     )
 
@@ -171,7 +171,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t2, "doc2")
         .withColumn("jaccard_raw", common / union)
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
-        .select("doc1", "doc2", F.round("jaccard_raw", 6).alias("jaccard"))
+        .select("doc1", "doc2", F.col("jaccard_raw").alias("jaccard"))
         .orderBy("doc1", "doc2")
     )
 
@@ -189,9 +189,9 @@ WITH t AS (
   FROM t WHERE len(w) >= {NGRAM_N}
 )
 SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
              / CAST(len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE), 6)
+                    - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
          AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -230,7 +230,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _jaccard_pairs(tok)
         .filter(F.col("jaccard_raw") >= NGRAM_THRESHOLD)
-        .select("doc1", "doc2", F.round("jaccard_raw", 6).alias("jaccard"))
+        .select("doc1", "doc2", F.col("jaccard_raw").alias("jaccard"))
         .orderBy("doc1", "doc2")
     )
 

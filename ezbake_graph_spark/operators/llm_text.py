@@ -171,7 +171,7 @@ WITH t AS (
 SELECT lang,
        count(*) AS n_docs,
        sum(n_chars) AS total_chars,
-       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
        count(DISTINCT source) AS n_sources
 FROM t
 GROUP BY lang
@@ -194,9 +194,9 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
-            F.round(
-                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
-            ).alias("avg_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
             F.countDistinct("source").alias("n_sources"),
         )
         .orderBy("lang")
@@ -216,9 +216,9 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
-       round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
-       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-       round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS lexical_diversity,
+       CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS lexical_diversity,
        (n_tokens >= 50 AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.1) AS passes_quality
 FROM m
 ORDER BY doc_id
@@ -243,13 +243,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id",
         "n_tokens",
-        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
             "avg_token_len"
         ),
-        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias(
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
             "stopword_ratio"
         ),
-        F.round(diversity, 6).alias("lexical_diversity"),
+        diversity.alias("lexical_diversity"),
         ((F.col("n_tokens") >= 50) & (diversity > 0.1)).alias("passes_quality"),
     ).orderBy("doc_id")
 
@@ -328,3 +328,33 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+_TOKEN_REGEX_SQL = rf"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_TOKEN_REGEX}')) AS n_regex_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_TOKEN_REGEX}')))
+         AS n_distinct_pieces
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_token_regex", oracle=_TOKEN_REGEX_SQL, tags=("K7b",))
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish
+    pre-tokenizer regex (letter runs | digit runs | single
+    punctuation) — the pre-tokenization pass every BPE/WordPiece
+    pipeline runs before merges. Pure JVM regexp, no Python in the
+    path; one narrow scan, no shuffle."""
+    d = tables.load(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(_TOKEN_REGEX), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(pieces).alias("n_regex_tokens"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+    ).orderBy("doc_id")

@@ -200,8 +200,8 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_SQL = """
 SELECT event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-             / count(*), 6) AS avg_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / count(*) AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
@@ -221,7 +221,7 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
             F.max("k").alias("max_k"),
         )
         .orderBy("event_type")
