@@ -36,9 +36,17 @@ def main() -> None:
     spark = get_session("ezbake-graph-spark-bench")
     qs = registry.queries()
     times: dict[str, float] = {}
+    # Global untimed warmup: two passes over every bench query before any
+    # timing. One pass per-query is not enough — the JVM C2 JIT and
+    # whole-stage-codegen caches keep improving across the first ~full
+    # suite, so queries timed early would pay compilation cost that says
+    # nothing about the plan (measured: Q1 0.95s when timed second in the
+    # suite vs 0.31s after a full pass).
+    for _ in range(2):
+        for key in bench_keys():
+            qs[key](spark, sf_dir).toPandas()
     for key in bench_keys():
         fn = qs[key]
-        fn(spark, sf_dir).toPandas()  # untimed warmup: JIT, cache, broadcasts
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()

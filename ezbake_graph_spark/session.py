@@ -39,7 +39,16 @@ def get_session(app_name: str = "ezbake-graph-spark") -> SparkSession:
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
         # reader rejects; read as long and convert in tables.load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # No data locality to wait for: local mode here, object storage
+        # (S3/GCS) at the 100 TB design point. Waiting the 3s default
+        # per locality level only delays task launch.
+        .config("spark.locality.wait", "0")
     )
+    # Ad-hoc overrides for experiments: "k=v;k2=v2".
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{CPUS}]")
     spark = builder.getOrCreate()
