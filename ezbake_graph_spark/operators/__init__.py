@@ -9,6 +9,7 @@ from ezbake_graph_spark.operators import (  # noqa: F401
     aggregates,
     graph,
     joins,
+    llm_chunk,
     llm_dedup,
     llm_similarity,
     llm_text,
@@ -19,6 +20,7 @@ from ezbake_graph_spark.operators import (  # noqa: F401
     scans,
     setops,
     streaming,
+    subqueries,
     timeseries,
     udfs,
     windows,

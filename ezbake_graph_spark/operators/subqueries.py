@@ -1,0 +1,120 @@
+"""Subquery patterns through the SQL entry point (§2M).
+
+TPC-H-shaped EXISTS / IN / HAVING queries. The point is the plan, not
+the SQL: Catalyst's RewritePredicateSubquery turns EXISTS into a left
+semi join and IN into a semi join with a deduplicated build side, so
+the executed shape is a keyed (or broadcast) join — no per-row
+re-execution, which is what lets these survive 100 TB. HAVING is a
+filter above the partial+final hash aggregate.
+
+The EXISTS/IN queries run the IDENTICAL SQL text in Spark and DuckDB
+(dialect-portable subset); HAVING uses the DataFrame entry with a
+micro-unit exact sum (determinism.py) so the float threshold compare
+is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.determinism import SCALE, money_sum_expr, sql_money_avg
+from ezbake_graph_spark.registry import register
+
+_EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_exists_subquery", oracle=_EXISTS_SQL, tags=("C4", "sql-entry"))
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: orders with any returned line, by priority.
+
+    Same SQL text both engines; Catalyst rewrites the EXISTS to a left
+    semi join on l_orderkey (RewritePredicateSubquery), with the
+    returnflag filter pushed below the join.
+    """
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_EXISTS_SQL)
+
+
+_IN_SQL = f"""
+SELECT o_orderstatus, count(*) AS n_orders,
+       {sql_money_avg("o_totalprice")} AS avg_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+# Spark-dialect twin of _IN_SQL: identical shape, but the micro-unit
+# exact average spelled with Spark's integer division semantics.
+_IN_SQL_SPARK = f"""
+SELECT o_orderstatus, count(*) AS n_orders,
+       (CAST(sum(CAST(round(o_totalprice * {SCALE}) AS BIGINT)) AS DOUBLE)
+        / count(*)) / {SCALE} AS avg_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("sql_in_subquery", oracle=_IN_SQL, tags=("C4", "sql-entry"))
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery filter: orders from high-balance customers.
+
+    Catalyst plans the IN as a semi join against the deduplicated
+    customer subquery; the small build side broadcasts.
+    """
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_IN_SQL_SPARK)
+
+
+_HAVING_SQL = f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(round(l.l_quantity * {SCALE}) AS BIGINT)) AS DOUBLE)
+         / {SCALE} AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_custkey, c.c_name
+HAVING sum(CAST(round(l.l_quantity * {SCALE}) AS BIGINT)) > 900 * {SCALE}
+ORDER BY total_qty DESC, c_custkey
+"""
+
+
+@register("agg_having", oracle=_HAVING_SQL, tags=("D1", "sql-entry"))
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped HAVING: customers with >900 total quantity.
+
+    DataFrame entry: groupBy + agg + filter over the aggregate — the
+    filter lands above the final HashAggregate, identical to SQL
+    HAVING. The exact micro-unit sum keeps the threshold compare
+    engine-independent.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    micro_sum = F.sum(F.round(F.col("l_quantity") * SCALE).cast("long"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(micro_sum.alias("micro_qty"))
+        .filter(F.col("micro_qty") > 900 * SCALE)  # exact integer compare
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("micro_qty").cast("double") / SCALE).alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "c_custkey")
+    )
