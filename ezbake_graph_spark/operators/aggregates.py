@@ -380,3 +380,46 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_MODE_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, count(*) AS n
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+), ranked AS (
+  SELECT l_returnflag, l_quantity, n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, l_quantity) AS rn
+  FROM counts
+)
+SELECT l_returnflag, l_quantity AS mode_quantity, n AS n_rows
+FROM ranked WHERE rn = 1 ORDER BY l_returnflag
+"""
+
+
+@register("agg_mode", oracle=_MODE_SQL, tags=("D-extra",))
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with a deterministic
+    smallest-value tie-break. Built-in mode()/any tie behavior is
+    engine-specific, so the portable form is count + rank — two keyed
+    shuffles, both map-side combinable; the window partitions by the
+    same key as the first groupBy so AQE keeps it co-partitioned."""
+    from pyspark.sql import Window
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_quantity"),
+            F.col("n").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -351,3 +351,106 @@ def graph_aggmsg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_id")
     )
+
+
+_VJACCARD_SQL = """
+WITH edges AS (
+  SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem
+), deg AS (
+  SELECT supp, count(*) AS deg FROM edges GROUP BY supp
+), common AS (
+  SELECT a.supp AS supp1, b.supp AS supp2, count(*) AS n_common
+  FROM edges a JOIN edges b ON a.part = b.part AND a.supp < b.supp
+  GROUP BY a.supp, b.supp
+)
+SELECT supp1, supp2, n_common,
+       CAST(n_common AS DOUBLE)
+         / CAST(d1.deg + d2.deg - n_common AS DOUBLE) AS jaccard
+FROM common JOIN deg d1 ON supp1 = d1.supp JOIN deg d2 ON supp2 = d2.supp
+ORDER BY jaccard DESC, supp1, supp2
+LIMIT 50
+"""
+
+
+@register("graph_vertex_jaccard", oracle=_VJACCARD_SQL, tags=("J-extra",))
+def graph_vertex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex structural similarity: Jaccard of part-neighborhoods for
+    supplier pairs, top-50. The wedge self-join on the shared part is
+    the only quadratic-ish step and it is keyed (shuffle on part), not
+    a cross join; cost is sum(deg_part^2) wedges. At 100 TB the hot
+    parts (huge degree) would be capped or down-sampled first — the
+    standard wedge-sampling cut. Jaccard is an exact int ratio (single
+    IEEE division, no rounding; SURVEY §5.3)."""
+    e = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = e.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = e.alias("a"), e.alias("b")
+    common = (
+        a.join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.supp") < F.col("b.supp")))
+        .groupBy(F.col("a.supp").alias("supp1"), F.col("b.supp").alias("supp2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    d1 = deg.select(F.col("supp").alias("supp1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("supp").alias("supp2"), F.col("deg").alias("deg2"))
+    return (
+        common.join(F.broadcast(d1), "supp1")
+        .join(F.broadcast(d2), "supp2")
+        .select(
+            "supp1",
+            "supp2",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "supp1", "supp2")
+        .limit(50)
+    )
+
+
+@register("graph_kcore", oracle=None, tags=("J-extra", "pregel", "rows-only"))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core number (degeneracy) per vertex via the distributed h-index
+    fixpoint: init c(v)=deg(v); iterate c(v) <- min(c(v), H(neighbor
+    c's)) where H is the h-index (max h with >= h neighbors valued
+    >= h). Monotonically non-increasing, converges to the exact core
+    number — the classic sequential peeling is inherently serial, this
+    formulation is pure keyed shuffles (join + window + agg) per
+    superstep, so it scales like any Pregel op. Golden-tested against
+    networkx core_number in tests/test_graph.py (rows-only here: no
+    recursive-CTE equivalent fits DuckDB)."""
+    from pyspark.sql import Window
+
+    edges = bipartite_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    c = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(64):
+        msgs = sym.join(c, sym.dst == c.id).select(sym.src.alias("id"), "c")
+        w = Window.partitionBy("id").orderBy(F.col("c").desc())
+        h = (
+            msgs.withColumn("rn", F.row_number().over(w))
+            .groupBy("id")
+            .agg(F.max(F.least(F.col("rn"), F.col("c"))).alias("h"))
+        )
+        new_c = (
+            c.withColumnRenamed("c", "old")
+            .join(h, "id")
+            .select("id", F.least(F.col("old"), F.col("h")).alias("c"), "old")
+        ).localCheckpoint(eager=True)
+        if new_c.filter(F.col("c") != F.col("old")).isEmpty():
+            c = new_c.select("id", "c")
+            break
+        c = new_c.select("id", "c")
+    sym.unpersist()
+    return c.orderBy(F.col("c").desc(), "id")

@@ -254,3 +254,33 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("l_tax"), F.col("l_discount")).alias("min_rate"),
         F.when(F.col("l_quantity").isNotNull(), 1).otherwise(0).alias("qty_present"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+_BITWISE_SQL = """
+SELECT event_id,
+       user_id & 255 AS band,
+       xor(user_id, event_id) AS x,
+       user_id << 2 AS shl,
+       event_id >> 3 AS shr,
+       CAST(bit_count(user_id) AS INTEGER) AS bc
+FROM events WHERE event_id < 1000 ORDER BY event_id
+"""
+
+
+@register("scalar_bitwise", oracle=_BITWISE_SQL, tags=("H-extra",))
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND, XOR, shifts, popcount — the hash/bucket
+    primitives (used by simhash/minhash banding). All JVM codegen."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") < 1000)
+        .select(
+            "event_id",
+            F.expr("user_id & 255").alias("band"),
+            F.expr("user_id ^ event_id").alias("x"),
+            F.shiftleft("user_id", 2).alias("shl"),
+            F.shiftright("event_id", 3).alias("shr"),
+            F.bit_count("user_id").alias("bc"),
+        )
+        .orderBy("event_id")
+    )

@@ -106,3 +106,36 @@ def test_labelprop_partitions_vertices(spark):
     labels = {r["label"] for r in rows}
     assert len(rows) == len(ids)  # one label per vertex
     assert labels <= ids  # labels are vertex ids
+
+
+def _ref_core_number(adj):
+    """Exact core numbers by sequential min-degree peeling."""
+    deg = {v: len(n) for v, n in adj.items()}
+    alive = set(adj)
+    core = {}
+    k = 0
+    while alive:
+        v = min(alive, key=lambda x: deg[x])
+        k = max(k, deg[v])
+        core[v] = k
+        alive.remove(v)
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+    return core
+
+
+def test_kcore_golden(spark):
+    from ezbake_graph_spark import registry
+
+    adj = _adjacency(spark)
+    ref = _ref_core_number(adj)
+    got = {
+        r["id"]: r["c"]
+        for r in registry.queries()["graph_kcore"](spark, SF_SMOKE).collect()
+    }
+    assert got == ref
+
+
+def test_vertex_jaccard_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "graph_vertex_jaccard")
