@@ -14,8 +14,9 @@ Scale design:
   superstep's message join reuses that partitioning, so only the small
   vertex-state side shuffles (``symmetrize``).
 - Partition count adapts to edge volume (``symmetrize``); AQE is off
-  inside the loop (``_no_aqe``) — both cut fixed per-superstep
-  scheduling overhead, the dominant cost for small supersteps.
+  and shuffle partitions pinned inside the loop (``_superstep_env``) —
+  both cut fixed per-superstep scheduling overhead, the dominant cost
+  for small supersteps.
 - Convergence checks are tiny jobs (``isEmpty`` over the checkpointed
   state), run each superstep; fixed-iteration algorithms skip them.
 """
@@ -29,22 +30,45 @@ from pyspark.sql import functions as F
 
 
 @contextmanager
-def _no_aqe(df: DataFrame):
-    """Disable AQE for the superstep loop.
+def _superstep_env(edges: DataFrame):
+    """Loop-scoped execution settings; yields the symmetrized edge set.
 
-    Every superstep re-runs the same fixed, small, known-size shuffles;
-    AQE's runtime re-planning buys nothing there and adds per-stage
-    planning jobs (~16% of superstep wall time measured on the sf0.1
-    PageRank). Restored on exit so one-shot queries keep AQE's
+    - AQE off: every superstep re-runs the same fixed, small,
+      known-size shuffles; AQE's runtime re-planning buys nothing there
+      and adds per-stage planning jobs (~16% of superstep wall time
+      measured on the sf0.1 PageRank).
+    - ``spark.sql.shuffle.partitions`` pinned BEFORE the symmetrized
+      edge build, provisionally to min(session conf, cluster
+      parallelism), then tightened to the edge-adapted count from
+      ``symmetrize``. Without the pin, every superstep's groupBy/window
+      — and the edge distinct itself — runs at the session default,
+      200 reduce tasks per stage on a vanilla session (measured: sf0.01
+      core_number 23 s unpinned vs 8 s pinned).
+
+    Settings are restored and the edge cache dropped on exit, so
+    one-shot queries keep the session's defaults and AQE's
     coalesce/skew benefits.
     """
-    conf = df.sparkSession.conf
-    prev = conf.get("spark.sql.adaptive.enabled", "true")
+    spark = edges.sparkSession
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_part = conf.get("spark.sql.shuffle.partitions", "200")
     conf.set("spark.sql.adaptive.enabled", "false")
+    provisional = max(
+        4, min(int(prev_part), spark.sparkContext.defaultParallelism)
+    )
+    conf.set("spark.sql.shuffle.partitions", str(provisional))
+    sym = None
     try:
-        yield
+        sym = symmetrize(edges).cache()
+        conf.set("spark.sql.shuffle.partitions", str(sym.rdd.getNumPartitions()))
+        yield sym
     finally:
-        conf.set("spark.sql.adaptive.enabled", prev)
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.shuffle.partitions", prev_part)
+        if sym is not None:
+            sym.unpersist()
+
 
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected view of an edge list: both directions, deduped,
@@ -99,9 +123,8 @@ def connected_components(
     here). Returns (id, component) where component = min vertex id
     reachable. Converges in O(diameter) supersteps.
     """
-    sym = symmetrize(edges).cache()
     state = vertices.select("id", F.col("id").alias("component"))
-    with _no_aqe(edges):
+    with _superstep_env(edges) as sym:
         for step in range(max_iter):
             msgs = (
                 sym.join(state, sym.src == state.id)
@@ -126,7 +149,6 @@ def connected_components(
             state = new_state
             if changed.isEmpty():
                 break
-    sym.unpersist()
     return state
 
 
@@ -137,12 +159,11 @@ def bfs(
 
     Returns (id, dist) for reached vertices only, dist <= max_depth.
     """
-    sym = symmetrize(edges).cache()
-    state = vertices.select(
-        "id",
-        F.when(F.col("id").isin(source_ids), F.lit(0)).alias("dist"),
-    )
-    with _no_aqe(edges):
+    with _superstep_env(edges) as sym:
+        state = vertices.select(
+            "id",
+            F.when(F.col("id").isin(source_ids), F.lit(0)).alias("dist"),
+        )
         for step in range(max_depth):
             frontier = state.filter(F.col("dist") == step)
             if frontier.isEmpty():
@@ -163,7 +184,6 @@ def bfs(
                 "id", F.when(F.col("d2") < 2**31, F.col("d2")).alias("dist")
             )
             state = _truncate(state, step)
-    sym.unpersist()
     return state.filter(F.col("dist").isNotNull())
 
 
@@ -179,16 +199,17 @@ def pagerank(
     mass only. Float shuffle-sum order varies per run → rows-only
     correctness; ranks are comparable after round().
     """
-    sym = symmetrize(edges).cache()
-    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     n = vertices.count()
-    state = vertices.join(deg, "id", "left").select(
-        "id",
-        F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
-        F.lit(1.0 / n).alias("rank"),
-    )
     teleport = (1.0 - damping) / n
-    with _no_aqe(edges):
+    with _superstep_env(edges) as sym:
+        deg = sym.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        state = vertices.join(deg, "id", "left").select(
+            "id",
+            F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+            F.lit(1.0 / n).alias("rank"),
+        )
         for step in range(iterations):
             contribs = (
                 sym.join(state, sym.src == state.id)
@@ -205,8 +226,45 @@ def pagerank(
                 ).alias("rank"),
             )
             state = _truncate(state, step)
-    sym.unpersist()
     return state.select("id", "rank")
+
+
+def core_number(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """Core number (degeneracy) per vertex via the h-index fixpoint.
+
+    init c(v) = deg(v); iterate c(v) <- min(c(v), H(neighbor c's))
+    where H is the h-index: for neighbor values sorted descending,
+    max_i min(i, v_i). Monotonically non-increasing and converges to
+    the exact core number — the classic peeling algorithm is inherently
+    sequential; this formulation is keyed shuffles only (join + window
+    + agg per superstep). Returns (id, c).
+    """
+    from pyspark.sql import Window
+
+    with _superstep_env(edges) as sym:
+        c = _truncate(
+            sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("c")),
+            0,
+        )
+        for step in range(max_iter):
+            msgs = sym.join(c, sym.dst == c.id).select(sym.src.alias("id"), "c")
+            w = Window.partitionBy("id").orderBy(F.col("c").desc())
+            h = (
+                msgs.withColumn("rn", F.row_number().over(w))
+                .groupBy("id")
+                .agg(F.max(F.least(F.col("rn"), F.col("c"))).alias("h"))
+            )
+            new_c = _truncate(
+                c.withColumnRenamed("c", "old")
+                .join(h, "id")
+                .select("id", F.least(F.col("old"), F.col("h")).alias("c"), "old"),
+                step,
+            )
+            converged = new_c.filter(F.col("c") != F.col("old")).isEmpty()
+            c = new_c.select("id", "c")
+            if converged:
+                break
+    return c
 
 
 def label_propagation(
@@ -220,9 +278,8 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
-    sym = symmetrize(edges).cache()
     state = vertices.select("id", F.col("id").alias("label"))
-    with _no_aqe(edges):
+    with _superstep_env(edges) as sym:
         for step in range(iterations):
             counts = (
                 sym.join(state, sym.src == state.id)
@@ -241,5 +298,4 @@ def label_propagation(
                 "id", F.coalesce(F.col("new_label"), F.col("label")).alias("label")
             )
             state = _truncate(state, step)
-    sym.unpersist()
     return state

@@ -423,34 +423,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     superstep, so it scales like any Pregel op. Golden-tested against
     networkx core_number in tests/test_graph.py (rows-only here: no
     recursive-CTE equivalent fits DuckDB)."""
-    from pyspark.sql import Window
+    from ezbake_graph_spark.graph.pregel import core_number
 
-    edges = bipartite_edges(spark, sf_dir)
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
-    c = (
-        sym.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumnRenamed("src", "id")
-        .localCheckpoint(eager=True)
+    return core_number(bipartite_edges(spark, sf_dir)).orderBy(
+        F.col("c").desc(), "id"
     )
-    for _ in range(64):
-        msgs = sym.join(c, sym.dst == c.id).select(sym.src.alias("id"), "c")
-        w = Window.partitionBy("id").orderBy(F.col("c").desc())
-        h = (
-            msgs.withColumn("rn", F.row_number().over(w))
-            .groupBy("id")
-            .agg(F.max(F.least(F.col("rn"), F.col("c"))).alias("h"))
-        )
-        new_c = (
-            c.withColumnRenamed("c", "old")
-            .join(h, "id")
-            .select("id", F.least(F.col("old"), F.col("h")).alias("c"), "old")
-        ).localCheckpoint(eager=True)
-        if new_c.filter(F.col("c") != F.col("old")).isEmpty():
-            c = new_c.select("id", "c")
-            break
-        c = new_c.select("id", "c")
-    sym.unpersist()
-    return c.orderBy(F.col("c").desc(), "id")
