@@ -299,3 +299,134 @@ def label_propagation(
             )
             state = _truncate(state, step)
     return state
+
+
+def personalized_pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source_ids: list[int],
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the seed set
+    only, so ranks measure proximity to the seeds rather than global
+    centrality. Same superstep shape as ``pagerank``; the only change
+    is the teleport term (constant per vertex, nonzero only on seeds).
+    Returns (id, rank).
+    """
+    n_src = len(source_ids)
+    with _superstep_env(edges) as sym:
+        deg = sym.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        seed_rank = F.when(
+            F.col("id").isin(source_ids), F.lit(1.0 / n_src)
+        ).otherwise(F.lit(0.0))
+        state = vertices.join(deg, "id", "left").select(
+            "id",
+            F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+            seed_rank.alias("rank"),
+            seed_rank.alias("teleport"),
+        )
+        for step in range(iterations):
+            contribs = (
+                sym.join(state, sym.src == state.id)
+                .filter(F.col("deg") > 0)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            )
+            state = state.join(contribs, "id", "left").select(
+                "id",
+                "deg",
+                (
+                    (1.0 - damping) * F.col("teleport")
+                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+                "teleport",
+            )
+            state = _truncate(state, step)
+    return state.select("id", "rank")
+
+
+def shortest_paths_weighted(
+    vertices: DataFrame,
+    weighted_edges: DataFrame,
+    source_ids: list[int],
+    max_iter: int = 20,
+) -> DataFrame:
+    """Single-source shortest paths with nonnegative edge weights —
+    Bellman-Ford as a Pregel loop: relax every edge each superstep,
+    keep the min distance, stop when no distance improves. Weights and
+    distances stay integer (exact) here; with float weights the sums
+    are per-path (no accumulation-order ambiguity), so results are
+    still deterministic. ``weighted_edges``: (src, dst, w) directed;
+    symmetrization is the caller's choice. Returns (id, dist) for
+    reached vertices.
+    """
+    spark = weighted_edges.sparkSession
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_part = conf.get("spark.sql.shuffle.partitions", "200")
+    e = None
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        # Pin provisionally BEFORE .cache(): CacheManager compiles the
+        # cached plan with the conf in force at registration (and
+        # cached plans are exempt from AQE re-partitioning), so caching
+        # first would bake session-default 200-partition shuffles into
+        # the edge build (measured: 400/800-task stages on a vanilla
+        # session).
+        provisional = max(
+            4, min(int(prev_part), spark.sparkContext.defaultParallelism)
+        )
+        conf.set("spark.sql.shuffle.partitions", str(provisional))
+        e = weighted_edges.select("src", "dst", "w").cache()
+        n_part = max(4, min(provisional, e.count() // 250_000 + 1))
+        conf.set("spark.sql.shuffle.partitions", str(n_part))
+        state = _truncate(
+            vertices.select(
+                "id",
+                F.when(F.col("id").isin(source_ids), F.lit(0).cast("long")).alias(
+                    "dist"
+                ),
+            ),
+            0,
+        )
+        for step in range(max_iter):
+            frontier = state.filter(F.col("dist").isNotNull())
+            msgs = (
+                e.join(frontier, e.src == frontier.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("msg"))
+            )
+            new_state = _truncate(
+                state.withColumnRenamed("dist", "old")
+                .join(msgs, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce(F.col("old"), F.lit(2**62)),
+                        F.coalesce(F.col("msg"), F.lit(2**62)),
+                    ).alias("d2"),
+                    "old",
+                )
+                .select(
+                    "id",
+                    F.when(F.col("d2") < 2**62, F.col("d2")).alias("dist"),
+                    "old",
+                ),
+                step,
+            )
+            improved = new_state.filter(
+                F.col("dist").eqNullSafe(F.col("old")) == F.lit(False)
+            )
+            converged = improved.isEmpty()
+            state = new_state.select("id", "dist")
+            if converged:
+                break
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.shuffle.partitions", prev_part)
+        if e is not None:
+            e.unpersist()
+    return state.filter(F.col("dist").isNotNull())

@@ -428,3 +428,44 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_number(bipartite_edges(spark, sf_dir)).orderBy(
         F.col("c").desc(), "id"
     )
+
+
+@register("graph_ppr", oracle=None, tags=("J-extra", "pregel", "rows-only"))
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from supplier 0 (unified id 1), 10
+    iterations, damping 0.85 — proximity-to-seed ranking rather than
+    global centrality. Rows-only (float iteration drift); golden-tested
+    against a plain-Python reference at sf0.001."""
+    from ezbake_graph_spark.graph.pregel import personalized_pagerank
+
+    edges = bipartite_edges(spark, sf_dir)
+    verts = graph_vertices(edges)
+    return personalized_pagerank(verts, edges, source_ids=[1]).orderBy(
+        F.col("rank").desc(), "id"
+    )
+
+
+@register("graph_sssp", oracle=None, tags=("J-extra", "pregel", "rows-only"))
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from supplier 0 (unified
+    id 1). Edge weight = number of lineitem rows per (part, supplier)
+    link (an exact integer, so distances are exact and deterministic);
+    the graph is treated undirected (both directions carry the same
+    weight). Bellman-Ford Pregel loop; golden-tested against Python
+    Dijkstra at sf0.001."""
+    from ezbake_graph_spark.graph.pregel import shortest_paths_weighted
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    directed = li.groupBy(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    ).agg(F.count(F.lit(1)).alias("w"))
+    wedges = directed.unionByName(
+        directed.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    verts = graph_vertices(wedges.select("src", "dst"))
+    return shortest_paths_weighted(verts, wedges, source_ids=[1]).orderBy(
+        "dist", "id"
+    )

@@ -355,3 +355,36 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+_QUANT_SQL = """
+SELECT vec_id,
+       list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER)) AS q,
+       CAST(list_aggregate(list_transform(embedding,
+         x -> abs(CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER))),
+         'sum') AS BIGINT) AS l1_norm
+FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+"""
+
+
+@register("embed_quantize", oracle=_QUANT_SQL, tags=("K-extra",))
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the storage/
+    bandwidth cut every vector index applies before ANN. Map-side array
+    transform, no shuffle. Determinism: float32→double widening is
+    exact, and half-up is spelled floor(x*127 + 0.5) — floor is
+    bit-identical in both engines, whereas round() diverges on exact
+    halves (Spark BigDecimal vs DuckDB binary; SURVEY §5.3)."""
+    e = tables.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 127 + F.lit(0.5)).cast("int"),
+    )
+    return e.select(
+        "vec_id",
+        q.alias("q"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("l1_norm"),
+    ).orderBy("vec_id")

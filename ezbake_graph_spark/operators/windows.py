@@ -270,3 +270,43 @@ def topk_revenue_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+_FIRST_LAST_SQL = """
+SELECT event_id, user_id,
+       first_value(value) OVER w AS first_val,
+       last_value(value) OVER w AS last_val,
+       nth_value(value, 3) OVER w AS third_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+LIMIT 1000
+"""
+
+
+@register("win_first_last", oracle=_FIRST_LAST_SQL, tags=("E-extra",))
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over a running frame per user (E-family
+    completion). Raw stored doubles pass through unaggregated — no
+    rounding needed. The (ts, event_id) order key is unique, so every
+    frame content is deterministic."""
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.first("value").over(w).alias("first_val"),
+            F.last("value").over(w).alias("last_val"),
+            F.nth_value("value", 3).over(w).alias("third_val"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )

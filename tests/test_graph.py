@@ -139,3 +139,83 @@ def test_kcore_golden(spark):
 
 def test_vertex_jaccard_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "graph_vertex_jaccard")
+
+
+def _weighted_adjacency(spark):
+    from ezbake_graph_spark import tables
+    from pyspark.sql import functions as F
+
+    li = tables.load(spark, SF_SMOKE, "lineitem")
+    rows = (
+        li.groupBy(
+            (2 * F.col("l_partkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    adj = defaultdict(dict)
+    for r in rows:
+        adj[r["src"]][r["dst"]] = r["w"]
+        adj[r["dst"]][r["src"]] = r["w"]
+    return adj
+
+
+def _ref_dijkstra(adj, source):
+    import heapq
+
+    dist = {source: 0}
+    pq = [(0, source)]
+    while pq:
+        d, v = heapq.heappop(pq)
+        if d > dist.get(v, float("inf")):
+            continue
+        for u, w in adj[v].items():
+            nd = d + w
+            if nd < dist.get(u, float("inf")):
+                dist[u] = nd
+                heapq.heappush(pq, (nd, u))
+    return dist
+
+
+def test_sssp_golden(spark):
+    from ezbake_graph_spark import registry
+
+    adj = _weighted_adjacency(spark)
+    ref = _ref_dijkstra(adj, 1)
+    got = {
+        r["id"]: r["dist"]
+        for r in registry.queries()["graph_sssp"](spark, SF_SMOKE).collect()
+    }
+    assert got == ref
+
+
+def _ref_ppr(adj, sources, damping=0.85, iters=10):
+    n_src = len(sources)
+    rank = {v: (1.0 / n_src if v in sources else 0.0) for v in adj}
+    teleport = dict(rank)
+    for _ in range(iters):
+        contrib = defaultdict(float)
+        for v, neigh in adj.items():
+            if neigh:
+                share = rank[v] / len(neigh)
+                for u in neigh:
+                    contrib[u] += share
+        rank = {
+            v: (1 - damping) * teleport[v] + damping * contrib[v] for v in adj
+        }
+    return rank
+
+
+def test_ppr_golden(spark):
+    from ezbake_graph_spark import registry
+
+    adj = _adjacency(spark)
+    ref = _ref_ppr(adj, {1})
+    got = {
+        r["id"]: r["rank"]
+        for r in registry.queries()["graph_ppr"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(ref)
+    for v, r in ref.items():
+        assert abs(got[v] - r) < 1e-9, (v, got[v], r)
