@@ -7,6 +7,7 @@ sync as modules are added.
 
 from ezbake_graph_spark.operators import (  # noqa: F401
     aggregates,
+    analytics,
     graph,
     joins,
     llm_chunk,
