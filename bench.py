@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ezbake_graph_spark import registry
 from ezbake_graph_spark.session import DEFAULT_SF_DIR, get_session
 
-RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+RUNS = int(os.environ.get("BENCH_RUNS", "5"))
 
 
 def bench_keys() -> list[str]:
