@@ -426,3 +426,35 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+_SHJ_SQL = """
+SELECT o_orderstatus, count(*) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_totalprice > 200000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("join_shuffle_hash_hint", oracle=_SHJ_SQL, tags=("C-extra",))
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: force a shuffled hash join via hint.
+
+    Sort-merge is Spark's default for large equi-joins; when one side
+    is much smaller after filtering but still over the broadcast
+    budget, hashing that side avoids both sorts. The hint is the
+    user-facing control surface (planner picks SHJ; asserted in
+    tests/test_plans.py)."""
+    o = (
+        tables.load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .hint("shuffle_hash")
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("o_orderstatus")
+    )

@@ -382,3 +382,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_docs"))
         .orderBy("canonical_doc_id")
     )
+
+
+_UPSERT_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts, event_type, value
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register("dedup_upsert_latest", oracle=_UPSERT_SQL, tags=("ext", "dedup"))
+def dedup_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style upsert compaction: latest row per key by event time.
+
+    The lakehouse MERGE/compaction primitive as one windowed rank —
+    a single keyed shuffle on user_id; at 100 TB this runs per
+    partition of a time-bucketed changelog, and the (ts DESC, event_id
+    DESC) tie-break makes the survivor deterministic."""
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )

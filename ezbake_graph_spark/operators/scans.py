@@ -168,3 +168,35 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     subqueries survive 100 TB."""
     tables.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_CORRELATED_SQL)
+
+
+_PRUNED_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       count(*) AS n_events
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY hour
+ORDER BY hour
+"""
+
+
+@register("sink_partition_pruned_read", oracle=_PRUNED_SQL, tags=("A3b",))
+def sink_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events partitioned by event_type, read back ONE partition.
+
+    The read-side filter on the partition column never touches data
+    files of other partitions — `.explain` shows it as PartitionFilters
+    on the scan (asserted in tests/test_plans.py), which is the 100 TB
+    mechanism for time/type-partitioned event lakes: a day/type query
+    reads that directory alone.
+    """
+    path = os.path.join(_ARTIFACTS, "events_by_type")
+    ev = tables.load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("hour")
+    )

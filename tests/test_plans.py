@@ -52,3 +52,18 @@ def test_topk_uses_take_ordered(spark, no_cache):
 def test_partial_aggregation_is_map_side(spark, no_cache):
     plan = _plan(spark, "graph_degree")
     assert "partial_" in plan  # partial agg before the exchange
+
+
+def test_partition_pruned_read(spark, no_cache):
+    plan = _plan(spark, "sink_partition_pruned_read")
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1].split("\n")[0]
+    # the data filter is gone from the scan (handled by pruning alone):
+    # only one of the five type partitions is listed for read
+    assert "PushedFilters: []" in plan
+
+
+def test_shuffle_hash_hint_selects_shj(spark, no_cache):
+    plan = _plan(spark, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
