@@ -458,3 +458,60 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lines"))
         .orderBy("o_orderstatus")
     )
+
+
+_RANGE_BUCKET_SQL = """
+WITH purchases AS (
+  SELECT event_id AS p_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id AS c_id, ts AS c_ts FROM events WHERE event_type = 'click'
+)
+SELECT p.p_id, count(*) AS n_clicks_1h
+FROM purchases p JOIN clicks c
+  ON c.c_ts >= p.p_ts AND c.c_ts < p.p_ts + INTERVAL 1 HOUR
+GROUP BY p.p_id
+ORDER BY p_id
+"""
+
+_HOUR_US = 3_600 * 1_000_000
+
+
+@register("join_range_bucketed", oracle=_RANGE_BUCKET_SQL, tags=("C9b",))
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key: any click within 1 h after any
+    purchase) via time-bucketing — the scale path where the naive plan
+    is a broadcast-nested-loop over the cross product. Each purchase
+    interval [p_ts, p_ts+1h) spans at most two hour buckets, so
+    exploding purchases to those buckets and equi-joining clicks on
+    their bucket turns the O(n·m) loop into a keyed shuffle with
+    per-bucket candidate lists; the exact range predicate then refines
+    candidates. Work is linear in true matches + bucket co-residents.
+    At 100 TB the bucket is also the storage partition key, so the
+    probe is partition-local."""
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.unix_micros("ts").alias("p_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.unix_micros("ts").alias("c_us")
+    )
+    p_b = p.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.col("p_us") / _HOUR_US).cast("long"),
+                (F.col("p_us") / _HOUR_US).cast("long") + 1,
+            )
+        ),
+    )
+    c_b = c.withColumn("bucket", (F.col("c_us") / _HOUR_US).cast("long"))
+    return (
+        p_b.join(c_b, "bucket")
+        .filter(
+            (F.col("c_us") >= F.col("p_us"))
+            & (F.col("c_us") < F.col("p_us") + _HOUR_US)
+        )
+        .groupBy("p_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+        .orderBy("p_id")
+    )

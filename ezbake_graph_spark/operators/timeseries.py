@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ezbake_graph_spark import tables
+from ezbake_graph_spark.determinism import money_sum_expr
 from ezbake_graph_spark.registry import register
 
 _GAPFILL_SQL = """
@@ -111,4 +112,50 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_value"),
         )
         .orderBy("event_type", "hour_start")
+    )
+
+
+_HYPER_SQL = """
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       CASE WHEN GROUPING(CAST(date_trunc('day', ts) AS TIMESTAMP)) = 0
+            THEN CAST(date_trunc('day', ts) AS TIMESTAMP) END AS day,
+       CASE WHEN GROUPING(CAST(date_trunc('hour', ts) AS TIMESTAMP)) = 0
+            THEN CAST(date_trunc('hour', ts) AS TIMESTAMP) END AS hour,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000
+         AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  (CAST(date_trunc('week', ts) AS TIMESTAMP)),
+  (CAST(date_trunc('week', ts) AS TIMESTAMP),
+   CAST(date_trunc('day', ts) AS TIMESTAMP)),
+  (CAST(date_trunc('week', ts) AS TIMESTAMP),
+   CAST(date_trunc('day', ts) AS TIMESTAMP),
+   CAST(date_trunc('hour', ts) AS TIMESTAMP)))
+ORDER BY week, day NULLS FIRST, hour NULLS FIRST
+"""
+
+
+@register("ts_rollup_hypertable", oracle=_HYPER_SQL, tags=("ext", "timeseries"))
+def ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: hour→day→week continuous
+    aggregates in ONE pass (rollup = hierarchical grouping sets), the
+    way a time-series store maintains multi-resolution views. Spark
+    computes all three granularities with a single Expand + hash
+    aggregate — one shuffle, map-side partial aggregation at every
+    level; at 100 TB this replaces three separate scans. The grand
+    total row is excluded (week IS NOT NULL) so the week level is the
+    coarsest, matching the hypertable view."""
+    ev = tables.load(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts")
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    return (
+        ev.rollup(week.alias("week"), day.alias("day"), hour.alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum_expr(F.col("value")).alias("sum_value"),
+        )
+        .filter(F.col("week").isNotNull())
+        .orderBy("week", F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first())
     )

@@ -92,3 +92,27 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
         .collect()
     }
     assert {r["p_user"]: r["n_pairs"] for r in rows} == batch
+
+
+def test_incremental_mv_matches_batch(spark):
+    from ezbake_graph_spark import registry, tables
+    from ezbake_graph_spark.determinism import money_sum_expr
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in registry.queries()["stream_incremental_mv"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    ev = tables.load(spark, SF_SMOKE, "events")
+    want = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum_expr(F.col("value")).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
