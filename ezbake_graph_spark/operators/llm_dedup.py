@@ -155,20 +155,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2")
         .distinct()
+        # Keep candidate verification distributed: on the near-dup-heavy
+        # fixture the candidate set is millions of pairs, and AQE's
+        # size estimate (two longs/row) under-partitions the compute-
+        # heavy array_intersect stage below — pin the parallelism.
+        .repartition(spark.sparkContext.defaultParallelism, "doc1", "doc2")
     )
-    # Verify ONLY the candidate pairs: two keyed joins pull each side's
-    # token set, then array_intersect computes exact Jaccard per pair.
-    # Work is linear in |candidates|, never quadratic in the corpus —
-    # the whole point of banding at 100 TB. (The full inverted-index
-    # join of K2 is the oracle, not the verify path.)
+    # Verify ONLY the candidate pairs: pull each side's token set, then
+    # array_intersect computes exact Jaccard per pair. Work is linear
+    # in |candidates|, never quadratic in the corpus — the whole point
+    # of banding at 100 TB. The per-doc token-set table is tiny next to
+    # the pair set, so both lookups broadcast (map-side verify, the
+    # candidate pairs never shuffle again); at 100 TB the token sets
+    # outgrow the broadcast budget and these become keyed joins.
     toksets = tok.groupBy("doc_id").agg(F.collect_set("token").alias("toks"))
     t1 = toksets.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
     t2 = toksets.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
     common = F.size(F.array_intersect("toks1", "toks2")).cast("double")
     union = (F.size("toks1") + F.size("toks2")).cast("double") - common
     return (
-        candidates.join(t1, "doc1")
-        .join(t2, "doc2")
+        candidates.join(F.broadcast(t1), "doc1")
+        .join(F.broadcast(t2), "doc2")
         .withColumn("jaccard_raw", common / union)
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", F.col("jaccard_raw").alias("jaccard"))

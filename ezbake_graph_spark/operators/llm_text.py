@@ -358,3 +358,74 @@ def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(pieces).alias("n_regex_tokens"),
         F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
     ).orderBy("doc_id")
+
+
+HH_PHI = 0.005  # heavy-hitter threshold (fraction of all tokens)
+HH_K = 512  # Misra-Gries counters per partition (k >> 1/phi)
+
+_HH_SQL = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT term, count(*) AS n_occurrences
+FROM tok, tot GROUP BY term, tot.n
+HAVING count(*) >= {HH_PHI} * n
+ORDER BY n_occurrences DESC, term
+"""
+
+
+@register("agg_heavy_hitters", oracle=_HH_SQL, tags=("ext", "sketch"))
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent terms (≥ 0.5% of all tokens) via Misra-Gries candidate
+    generation + exact verification — EXACT output with bounded memory.
+
+    Stage 1 summarizes each partition with a k-counter Misra-Gries
+    sketch (Arrow-batched kernel over raw text; never materializes the
+    full term multiset). Summing per-partition MG counts undercounts
+    any term by at most n/k total, and k >> 1/phi, so every true heavy
+    hitter survives as a candidate — the candidate set is ≤ k·parts
+    rows, NOT vocabulary-sized. Stage 2 broadcasts the candidates and
+    exactly counts ONLY candidate tokens (filter before the shuffle,
+    so the keyed aggregate carries the heavy terms alone). This is how
+    a 100 TB frequent-item query avoids shuffling the full vocabulary:
+    sketch summaries ∝ k·partitions, verification shuffle ∝ heavy-term
+    occurrences."""
+    from collections import Counter
+    from typing import Iterator
+
+    import pandas as pd
+
+    d = tables.load(spark, sf_dir, "documents")
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: Counter = Counter()
+        for pdf in batches:
+            for text in pdf["text"]:
+                for term in text.split(" "):
+                    if term in counters or len(counters) < HH_K:
+                        counters[term] += 1
+                    else:
+                        # decrement-all: drop zeros (classic MG step)
+                        for t in list(counters):
+                            counters[t] -= 1
+                            if counters[t] == 0:
+                                del counters[t]
+        yield pd.DataFrame(
+            {"term": list(counters), "cnt": list(counters.values())}
+        )
+
+    candidates = (
+        d.select("text")
+        .mapInPandas(mg_partition, "term string, cnt long")
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("cnt_lb"))
+        .select("term")
+    )
+    tok = d.select(F.explode(F.split("text", " ")).alias("term"))
+    total = tok.count()
+    return (
+        tok.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= HH_PHI * total)
+        .orderBy(F.col("n_occurrences").desc(), "term")
+    )

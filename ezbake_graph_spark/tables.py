@@ -48,6 +48,11 @@ def _cache_enabled() -> bool:
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Determinism rule 1 (SURVEY §5.3): timestamps must serialize in
+    # UTC to hash-match the DuckDB oracle. Set here (idempotent runtime
+    # conf) so caller-provided sessions — the driver builds its own,
+    # with no custom configs — are covered on every load path.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS); the Spark reader
         # rejects it unless read as long. Set at runtime so queries work
