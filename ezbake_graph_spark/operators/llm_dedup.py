@@ -424,3 +424,76 @@ def dedup_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "event_type", "value")
         .orderBy("user_id")
     )
+
+
+PREFIX_T = 0.8  # Jaccard threshold
+PREFIX_SLICE = 1000
+
+_PREFIX_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < {PREFIX_SLICE}
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / CAST(len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / CAST(len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= {PREFIX_T}
+ORDER BY doc1, doc2
+"""
+
+
+@register("dedup_prefix_filter", oracle=_PREFIX_SQL, tags=("K2c",))
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-join via prefix filtering (AllPairs/PPJoin style)
+    — the exact-at-scale alternative to LSH banding: two docs with
+    J >= t MUST share a token within their first |s|-ceil(t|s|)+1
+    tokens under a consistent global rarest-first order, so the
+    candidate join touches only those prefix tokens (the rarest ones
+    — tiny document frequency), never the full inverted index. The
+    oracle is the all-pairs exact join, so any pruning mistake fails
+    the value-hash, making this the strongest correctness check of the
+    family. Candidates are then verified exactly like dedup_minhash's
+    map-side broadcast kernel."""
+    from pyspark.sql import Window
+
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < PREFIX_SLICE)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+        .cache()
+    )
+    tok = d.select("doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    prefix = (
+        tok.join(F.broadcast(dfreq), "token")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.col("sz") - F.ceil(PREFIX_T * F.col("sz")) + 1)
+        .select("doc_id", "token")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "doc1", "doc2")
+    )
+    t1 = d.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
+    t2 = d.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
+    common = F.size(F.array_intersect("toks1", "toks2")).cast("double")
+    union = (F.size("toks1") + F.size("toks2")).cast("double") - common
+    return (
+        cands.join(F.broadcast(t1), "doc1")
+        .join(F.broadcast(t2), "doc2")
+        .withColumn("jaccard", common / union)
+        .filter(F.col("jaccard") >= PREFIX_T)
+        .select("doc1", "doc2", "jaccard")
+        .orderBy("doc1", "doc2")
+    )

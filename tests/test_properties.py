@@ -1,0 +1,128 @@
+"""Hypothesis property tests (SURVEY.md §5.4) for engine kernels that
+golden/oracle tests only exercise on the fixture shapes: random inputs
+probe the algebraic guarantees directly.
+
+Each example launches real Spark jobs, so example counts are small and
+deadlines disabled; inputs stay tiny (the properties are size-free).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from fractions import Fraction
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark.determinism import SCALE, money_sum_expr
+from ezbake_graph_spark.graph.pregel import core_number, shortest_paths_weighted
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# money-like doubles: two decimal places, bounded magnitude
+_money = st.integers(min_value=-10_000_00, max_value=10_000_00).map(
+    lambda c: c / 100.0
+)
+
+
+@given(xs=st.lists(_money, min_size=1, max_size=50))
+@settings(**_SETTINGS)
+def test_money_sum_is_exact(spark, xs):
+    """money_sum_expr equals exact rational arithmetic, independent of
+    partitioning/accumulation order."""
+    df = spark.createDataFrame([(x,) for x in xs], "v double").repartition(4)
+    got = df.agg(money_sum_expr(F.col("v")).alias("s")).collect()[0]["s"]
+    exact = sum(Fraction(round(x * SCALE)) for x in xs) / SCALE
+    assert got == float(exact)
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _ref_core(adj):
+    deg = {v: len(n) for v, n in adj.items()}
+    alive, core, k = set(adj), {}, 0
+    while alive:
+        v = min(alive, key=lambda x: deg[x])
+        k = max(k, deg[v])
+        core[v] = k
+        alive.remove(v)
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+    return core
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_core_number_matches_peeling(spark, edges):
+    """h-index fixpoint == sequential peeling on arbitrary graphs."""
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["c"] for r in core_number(edf).collect()}
+    assert got == _ref_core(adj)
+
+
+_weighted = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=1, max_value=9),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _ref_dijkstra(adj, source):
+    import heapq
+
+    dist = {source: 0}
+    pq = [(0, source)]
+    while pq:
+        d, v = heapq.heappop(pq)
+        if d > dist.get(v, float("inf")):
+            continue
+        for u, w in adj[v].items():
+            nd = d + w
+            if nd < dist.get(u, float("inf")):
+                dist[u] = nd
+                heapq.heappush(pq, (nd, u))
+    return dist
+
+
+@given(edges=_weighted)
+@settings(**_SETTINGS)
+def test_sssp_matches_dijkstra(spark, edges):
+    """Bellman-Ford Pregel == Dijkstra on arbitrary directed graphs
+    (source fixed to the smallest vertex id present)."""
+    adj = defaultdict(dict)
+    verts = set()
+    for s, d, w in edges:
+        adj[s][d] = min(w, adj[s].get(d, w))
+        verts.update((s, d))
+    src = min(verts)
+    # mirror the engine's input contract: one weight per (src, dst)
+    dedup = [(s, d, w) for s, nbrs in adj.items() for d, w in nbrs.items()]
+    edf = spark.createDataFrame(dedup, "src long, dst long, w long")
+    vdf = spark.createDataFrame([(v,) for v in sorted(verts)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in shortest_paths_weighted(vdf, edf, [src]).collect()
+    }
+    assert got == _ref_dijkstra(adj, src)
