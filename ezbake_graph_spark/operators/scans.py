@@ -200,3 +200,37 @@ def sink_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("hour")
     )
+
+
+_MERGE_SQL = """
+SELECT p_partkey, p_name, p_brand, p_size
+FROM (
+  SELECT p_partkey, p_name, NULL AS p_brand, NULL::INTEGER AS p_size
+  FROM part WHERE p_partkey < 500
+  UNION ALL
+  SELECT p_partkey, NULL AS p_name, p_brand, p_size
+  FROM part WHERE p_partkey >= 500
+)
+ORDER BY p_partkey
+"""
+
+
+@register("scan_schema_merge", oracle=_MERGE_SQL, tags=("A2b",))
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations with different
+    column sets merge into one schema (``mergeSchema``), absent columns
+    null-filled — how a 100 TB lake absorbs schema drift without
+    rewriting history. Each generation's footer contributes its
+    columns; the scan stays vectorized and column-pruned."""
+    path = os.path.join(_ARTIFACTS, "part_evolving")
+    p = tables.load(spark, sf_dir, "part")
+    v1 = p.filter(F.col("p_partkey") < 500).select("p_partkey", "p_name")
+    v2 = p.filter(F.col("p_partkey") >= 500).select("p_partkey", "p_brand", "p_size")
+    v1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(path)
+    return back.select("p_partkey", "p_name", "p_brand", "p_size").orderBy(
+        "p_partkey"
+    )
