@@ -429,3 +429,76 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") >= HH_PHI * total)
         .orderBy(F.col("n_occurrences").desc(), "term")
     )
+
+
+WINNOW_K = 4  # word k-gram width
+WINNOW_W = 4  # winnowing window (grams per window)
+
+_WINNOW_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - {WINNOW_K - 2}),
+           i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+           AS gh
+  FROM t WHERE len(w) >= {WINNOW_K}
+), wins AS (
+  SELECT doc_id, gh,
+         unnest(range(1, greatest(len(gh) - {WINNOW_W - 1}, 1) + 1)) AS pos
+  FROM grams
+), fps AS (
+  SELECT doc_id,
+         list_aggregate(
+           list_slice(gh, pos, least(pos + {WINNOW_W - 1}, len(gh))), 'min')
+           AS fp
+  FROM wins
+)
+SELECT doc_id, fp FROM fps GROUP BY doc_id, fp ORDER BY doc_id, fp
+"""
+
+
+@register("text_winnowing", oracle=_WINNOW_SQL, tags=("ext", "fingerprint"))
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    word 4-gram, keep the minimum hash of each 4-gram window, dedup —
+    guarantees any shared run of >= k+w-1 words between two documents
+    shares a fingerprint, at ~1/w the storage of all grams. All
+    map-side array expressions + one distinct; the md5 lexicographic
+    min is engine-portable (identical hex strings both sides). The
+    plagiarism/near-dup detector built on this joins documents by
+    fingerprint — same inverted-index shape as dedup_minhash bands."""
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= WINNOW_K)
+    )
+    grams = d.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(w) - {WINNOW_K - 1}),"
+            f" i -> md5(concat_ws(' ', "
+            + ", ".join(f"element_at(w, i + {k})" for k in range(WINNOW_K))
+            + ")))"
+        ).alias("gh"),
+    )
+    wins = grams.select(
+        "doc_id",
+        "gh",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("gh") - (WINNOW_W - 1), F.lit(1))
+            )
+        ).alias("pos"),
+    )
+    fp = F.array_min(
+        F.expr(
+            f"slice(gh, pos, least(pos + {WINNOW_W - 1}, size(gh)) - pos + 1)"
+        )
+    )
+    return (
+        wins.select("doc_id", fp.alias("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
+    )
