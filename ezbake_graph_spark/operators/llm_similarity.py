@@ -388,3 +388,29 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
         ).alias("l1_norm"),
     ).orderBy("vec_id")
+
+
+@register("embed_kmeans", oracle=None, tags=("K-extra", "ml", "rows-only"))
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus (k = 10, the label
+    cardinality) through Spark MLlib — the distributed Lloyd's loop:
+    broadcast centroids, map-side assignment, shuffle only the per-
+    cluster partial sums (same BSP shape as the Pregel ops). Seeded
+    kmeans|| init. Returns per-cluster sizes + intra-cluster cost;
+    rows-only (cluster ids are permutation-arbitrary), clustering
+    quality vs the ground-truth labels is asserted in
+    tests/test_llm.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector("embedding").alias("features")
+    )
+    model = KMeans(k=10, seed=42, maxIter=10).fit(e)
+    pred = model.transform(e)
+    return (
+        pred.groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy(F.col("n_vectors").desc(), "prediction")
+        .select("n_vectors")  # cluster ids are permutation-arbitrary
+    )

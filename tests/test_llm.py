@@ -115,3 +115,34 @@ def test_multimodal_decode_stub_plumbing(spark):
     schema = registry.queries()["multimodal_decode_stub"](spark, SF_SMOKE).schema
     names = [f.name for f in schema.fields]
     assert "doc_id" in names
+
+
+def test_kmeans_clusters_align_with_labels(spark):
+    """Seeded k-means on the embeddings beats random assignment:
+    majority-label purity above the 1/10 random baseline (the synthetic
+    embeddings are only weakly label-separated — measured 0.164 at
+    sf0.001 — so the bound is above-random, not high-purity)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from ezbake_graph_spark import tables
+
+    e = tables.load(spark, SF_SMOKE, "embeddings").select(
+        "label", array_to_vector("embedding").alias("features")
+    )
+    model = KMeans(k=10, seed=42, maxIter=10).fit(e)
+    pred = model.transform(e)
+    counts = (
+        pred.groupBy("prediction", "label").count().collect()
+    )
+    from collections import defaultdict
+
+    per_cluster = defaultdict(list)
+    for r in counts:
+        per_cluster[r["prediction"]].append(r["count"])
+    purity = sum(max(v) for v in per_cluster.values()) / sum(
+        sum(v) for v in per_cluster.values()
+    )
+    assert len(per_cluster) <= 10
+    assert purity > 0.12, purity
