@@ -71,3 +71,45 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sampleBy("lang", fractions=_STRATA_FRACTIONS, seed=42).select(
         "doc_id", "lang"
     )
+
+
+_RESERVOIR_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY md5(l_orderkey || '-' || l_linenumber))
+           AS rn
+  FROM lineitem
+)
+SELECT l_returnflag, l_orderkey, l_linenumber
+FROM ranked WHERE rn <= 20
+ORDER BY l_returnflag, l_orderkey, l_linenumber
+"""
+
+
+@register("sample_reservoir_hash", oracle=_RESERVOIR_SQL, tags=("ext", "sampling"))
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k per-group sample via hash-ordering — the deterministic
+    reservoir: rank rows by md5(stable key) inside each group and keep
+    the first k. Unlike RNG reservoirs this is engine-independent
+    (full SQL oracle), stable under re-runs/appends/repartitioning,
+    and uniform as long as md5 is well-mixed. One keyed window; at
+    100 TB replace the full rank with a per-partition top-k +
+    merge-of-k (same TakeOrderedAndProject shape as F3)."""
+    from pyspark.sql import Window
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    key_hash = F.md5(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(key_hash)
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    )

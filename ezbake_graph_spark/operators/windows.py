@@ -310,3 +310,49 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(1000)
     )
+
+
+_RANGE_TIME_SQL = f"""
+SELECT event_id,
+       (CAST(sum(CAST(round(value * {SCALE}) AS BIGINT)) OVER w AS DOUBLE)
+        / count(*) OVER w) / {SCALE} AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+LIMIT 2000
+"""
+
+
+@register("win_range_time", oracle=_RANGE_TIME_SQL, tags=("E4b",))
+def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user trailing-1h average (E4's
+    range variant with a real time axis). The frame is defined by
+    timestamp distance, not row count, so peers with equal ts are
+    included on both engines identically. The average is an exact
+    micro-unit window sum / count — DuckDB evaluates window sums with
+    a segment tree (pairwise order) while Spark slides sequentially,
+    so raw DOUBLE window sums drift in the last ulp; integer sums
+    don't."""
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    # RANGE frame over a timestamp column: Spark needs a numeric order
+    # key for rangeBetween — seconds would truncate, so use µs.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600 * 1_000_000, 0)
+    )
+    micro = F.round(F.col("value") * SCALE).cast("long")
+    return (
+        ev.select(
+            "event_id",
+            (
+                (F.sum(micro).over(w).cast("double") / F.count(F.lit(1)).over(w))
+                / SCALE
+            ).alias("avg_1h"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )
