@@ -234,3 +234,44 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("p_partkey", "p_name", "p_brand", "p_size").orderBy(
         "p_partkey"
     )
+
+
+_CLUSTERED_SQL = """
+SELECT count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000 AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+"""
+
+
+@register("sink_clustered_layout", oracle=_CLUSTERED_SQL, tags=("A3c",))
+def sink_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered storage layout: range-partition + sort on the filter
+    column before writing, so every parquet file (and row group) covers
+    a disjoint o_orderdate range — min/max footer stats then let a date
+    query skip all non-overlapping files/row groups at scan time. This
+    is THE data-layout lever at 100 TB (the poor man's Z-order for a
+    single dimension); tests/test_plans.py proves the written footers
+    carry disjoint ranges. The query itself reads the clustered copy
+    with the date filter pushed down."""
+    path = os.path.join(_ARTIFACTS, "orders_clustered")
+    o = tables.load(spark, sf_dir, "orders")
+    (
+        o.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-07-01").cast("timestamp")
+    micro = F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+    return (
+        back.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(micro).cast("double") / 1_000_000).alias("sum_price"),
+        )
+    )

@@ -67,3 +67,35 @@ def test_shuffle_hash_hint_selects_shj(spark, no_cache):
     plan = _plan(spark, "join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_clustered_layout_has_disjoint_rowgroup_ranges(spark, no_cache):
+    """The clustered sink's parquet footers must carry (near-)disjoint
+    o_orderdate min/max ranges — the property that lets a date filter
+    skip whole files/row groups at 100 TB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    registry.queries()["sink_clustered_layout"](spark, SF_SMOKE).collect()
+    from ezbake_graph_spark.operators.scans import _ARTIFACTS
+
+    files = sorted(glob.glob(os.path.join(_ARTIFACTS, "orders_clustered", "*.parquet")))
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_orderdate"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    overlaps = sum(
+        1 for (a, b) in zip(ranges, ranges[1:]) if a[1] > b[0]
+    )
+    # range-partitioned + sorted => consecutive files touch at most at
+    # the boundary; a shuffled layout would overlap almost everywhere
+    assert overlaps == 0, ranges
