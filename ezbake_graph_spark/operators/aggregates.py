@@ -137,6 +137,43 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUBE_SQL = f"""
+SELECT c_mktsegment, r_name,
+       count(*) AS n_customers,
+       {sql_money_sum("c_acctbal")} AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE(c_mktsegment, r_name)
+ORDER BY c_mktsegment NULLS FIRST, r_name NULLS FIRST
+"""
+
+
+@register("agg_cube", oracle=_CUBE_SQL, tags=("D4", "M57"))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE multi-dimensional aggregate (D4): all four grouping sets of
+    (segment, region) in one pass. Like ``agg_rollup`` this plans as a
+    single Expand + hash aggregate — one shuffle with map-side partial
+    aggregation for every granularity, instead of four scans."""
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.cube("c_mktsegment", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum_expr(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("r_name").asc_nulls_first(),
+        )
+    )
+
+
 _FILTERED_SQL = f"""
 SELECT o_orderpriority,
        count(*) AS n_orders,

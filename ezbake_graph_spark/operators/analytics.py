@@ -142,3 +142,81 @@ def events_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+_ZSCORE_SQL = """
+WITH m AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 1000000) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT event_type AS t, count(*) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM m GROUP BY 1
+)
+SELECT event_id, event_type, value,
+       round(CAST(CAST(n AS HUGEINT) * x - sx AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)),
+             6) AS zscore
+FROM m JOIN s ON event_type = t
+WHERE (CAST(n AS HUGEINT) * x - sx) * (CAST(n AS HUGEINT) * x - sx)
+      > 4 * (CAST(n AS HUGEINT) * sxx - sx * sx)
+ORDER BY event_id
+"""
+
+
+@register("events_zscore_outliers", oracle=_ZSCORE_SQL, tags=("ext", "M58"))
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: events whose value sits more than 2 population
+    standard deviations from their event-type mean, with the z-score.
+
+    Float determinism (SURVEY §5.3): the |z| > 2 gate is evaluated in
+    EXACT integer arithmetic — (n·x − Σx)² > 4·(n·Σx² − (Σx)²) over
+    micro-unit BIGINTs (Σx² held in decimal(38,0) / HUGEINT, values
+    ≤ ~1e26 at sf0.1, well under both engines' 38-digit range) — so the
+    boundary can never flip between engines the way a float
+    mean/stddev comparison could. The reported z divides the exact
+    integer numerator by sqrt of the exact integer variance term; both
+    casts are round-to-nearest, so the doubles agree bit-for-bit.
+
+    Scale: the per-type moment table is 5 rows (one shuffle-free
+    partial aggregate), broadcast back against the events scan —
+    two linear passes, no keyed shuffle of the fact table at any size.
+    """
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * F.lit(1_000_000)).cast("long").alias("x"),
+    )
+    dec = "decimal(38,0)"
+    stats = (
+        ev.groupBy(F.col("event_type").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        )
+    )
+    j = ev.join(F.broadcast(stats), ev.event_type == stats.t)
+    # n·x − Σx fits comfortably in BIGINT (≈1e13 at sf0.1); its square
+    # and the variance term need 38-digit integers.
+    diff = (F.col("n") * F.col("x") - F.col("sx")).alias("diff")
+    j = j.select("event_id", "event_type", "value", "n", "sx", "sxx", diff)
+    diff_sq = F.col("diff").cast(dec) * F.col("diff").cast(dec)
+    var_term = F.col("n").cast(dec) * F.col("sxx") - F.col("sx").cast(
+        dec
+    ) * F.col("sx").cast(dec)
+    return (
+        j.filter(diff_sq > F.lit(4).cast(dec) * var_term)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                F.col("diff").cast("double") / F.sqrt(var_term.cast("double")), 6
+            ).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )

@@ -82,3 +82,38 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (G4) — distinct semantics (DataFrame.subtract)."""
     a, b = _open_closed(spark, sf_dir)
     return a.subtract(b).orderBy("custkey")
+
+
+_INTERSECT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+"""
+
+
+@register("set_intersect_all", oracle=_INTERSECT_ALL_SQL, tags=("G3", "M56"))
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each custkey appears
+    min(count_left, count_right) times. Plans as one keyed
+    hash-aggregate per side plus a join on the key — same shuffle
+    count as the distinct variant, so the ALL form costs nothing
+    extra at scale."""
+    a, b = _open_closed(spark, sf_dir)
+    return a.intersectAll(b).orderBy("custkey")
+
+
+_EXCEPT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+"""
+
+
+@register("set_except_all", oracle=_EXCEPT_ALL_SQL, tags=("G4", "M56"))
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: each custkey appears
+    max(count_left − count_right, 0) times."""
+    a, b = _open_closed(spark, sf_dir)
+    return a.exceptAll(b).orderBy("custkey")

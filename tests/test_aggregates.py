@@ -55,3 +55,55 @@ def test_approx_percentile_close_to_exact(spark):
         p50a, p95a = approx[flag]
         assert abs(p50a - p50e) / p50e < 0.05
         assert abs(p95a - p95e) / p95e < 0.05
+
+
+def test_zscore_outliers_semantics(spark):
+    """Every flagged event is >2 population stddevs from its type mean
+    (checked against float moments computed independently), and the
+    flagged set is a small minority of events."""
+    import math
+    from collections import defaultdict
+
+    from ezbake_graph_spark import registry, tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry.queries()["events_zscore_outliers"](spark, sf).collect()
+    ev = tables.load(spark, sf, "events").select("event_type", "value").collect()
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r["event_type"]].append(r["value"])
+    moments = {}
+    for t, vs in by_type.items():
+        mu = sum(vs) / len(vs)
+        sd = math.sqrt(sum((v - mu) ** 2 for v in vs) / len(vs))
+        moments[t] = (mu, sd)
+    assert 0 < len(rows) < 0.05 * len(ev)
+    for r in rows:
+        mu, sd = moments[r["event_type"]]
+        assert abs(r["value"] - mu) > 2 * sd * (1 - 1e-9)
+        assert abs(r["zscore"]) > 2
+
+
+def test_intersect_all_bag_semantics(spark):
+    """intersectAll multiplicity == min(left count, right count) per key."""
+    from collections import Counter
+
+    from ezbake_graph_spark import registry, tables
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    o = tables.load(spark, sf, "orders")
+    left = Counter(
+        r["o_custkey"] for r in o.filter(F.col("o_orderstatus") == "O").collect()
+    )
+    right = Counter(
+        r["o_custkey"] for r in o.filter(F.col("o_orderstatus") == "F").collect()
+    )
+    got = Counter(
+        r["custkey"]
+        for r in registry.queries()["set_intersect_all"](spark, sf).collect()
+    )
+    want = Counter(
+        {k: min(c, right[k]) for k, c in left.items() if k in right}
+    )
+    assert got == want
