@@ -414,3 +414,53 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_vectors").desc(), "prediction")
         .select("n_vectors")  # cluster ids are permutation-arbitrary
     )
+
+
+_L2_SQL = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                     * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+              AS DOUBLE)) / 1000000 AS l2_norm
+  FROM embeddings
+)
+SELECT vec_id, l2_norm,
+       list_transform(embedding, x -> CAST(x AS DOUBLE) / l2_norm) AS unit
+FROM n
+ORDER BY vec_id
+"""
+
+
+@register("embed_l2_normalize", oracle=_L2_SQL, tags=("K-extra", "M61"))
+def embed_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize every embedding: per-vector norm + unit vector —
+    the standard pre-step before cosine retrieval (turns cosine into
+    plain dot product).
+
+    Float determinism: the squared norm is summed over micro-unit
+    BIGINTs (exact, ≤ ~6e12 for unit-scale dim-64 vectors), so sqrt
+    and the per-component divisions all see identical doubles in both
+    engines — bit-exact with NO rounding. Map-side only: no shuffle,
+    no UDF; the transform/aggregate lambdas run as JVM codegen'd
+    higher-order functions, linear at any corpus size.
+    """
+    e = tables.load(spark, sf_dir, "embeddings")
+    micro = lambda x: F.round(x.cast("double") * F.lit(1_000_000)).cast(  # noqa: E731
+        "long"
+    )
+    sumsq = F.aggregate(
+        "embedding", F.lit(0).cast("long"), lambda acc, x: acc + micro(x) * micro(x)
+    )
+    withn = e.select(
+        "vec_id",
+        "embedding",
+        (F.sqrt(sumsq.cast("double")) / F.lit(1_000_000)).alias("l2_norm"),
+    )
+    return withn.select(
+        "vec_id",
+        "l2_norm",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("l2_norm")
+        ).alias("unit"),
+    ).orderBy("vec_id")

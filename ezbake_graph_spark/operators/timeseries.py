@@ -12,7 +12,7 @@ a deterministic total order per SURVEY §5.3 rule 4.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ezbake_graph_spark import tables
@@ -158,4 +158,187 @@ def ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("week").isNotNull())
         .orderBy("week", F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first())
+    )
+
+
+_EWMA_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS x
+  FROM events
+), l AS (
+  SELECT user_id, ts, event_id, x,
+         lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+         lag(x, 3) OVER w AS x3, lag(x, 4) OVER w AS x4,
+         lag(x, 5) OVER w AS x5, lag(x, 6) OVER w AS x6,
+         lag(x, 7) OVER w AS x7
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(128 * x + 64 * coalesce(x1, 0) + 32 * coalesce(x2, 0)
+            + 16 * coalesce(x3, 0) + 8 * coalesce(x4, 0)
+            + 4 * coalesce(x5, 0) + 2 * coalesce(x6, 0)
+            + coalesce(x7, 0) AS DOUBLE)
+       / ((128 + CASE WHEN x1 IS NULL THEN 0 ELSE 64 END
+               + CASE WHEN x2 IS NULL THEN 0 ELSE 32 END
+               + CASE WHEN x3 IS NULL THEN 0 ELSE 16 END
+               + CASE WHEN x4 IS NULL THEN 0 ELSE 8 END
+               + CASE WHEN x5 IS NULL THEN 0 ELSE 4 END
+               + CASE WHEN x6 IS NULL THEN 0 ELSE 2 END
+               + CASE WHEN x7 IS NULL THEN 0 ELSE 1 END) * 1000000)
+       AS ewma
+FROM l
+"""
+
+
+@register("ts_ewma", oracle=_EWMA_SQL, tags=("ext", "timeseries", "M59"))
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) of event value
+    per user, over the trailing 8 events in (ts, event_id) order.
+
+    Float determinism: weights are powers of two over micro-unit
+    BIGINTs, so numerator (≤ 255·5e8 ≈ 1.2e11 ≪ 2^53) and denominator
+    (≤ 255e6) are EXACT integers in both engines; the single final
+    division is one deterministic IEEE op — no rounding needed. A
+    true infinite-horizon EWMA is inherently sequential; the 8-term
+    truncation (residual weight 2⁻⁸) keeps it a fixed-frame window —
+    one keyed shuffle on user_id, whole-stage-codegen'd, no Python.
+    """
+    ev = tables.load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * F.lit(1_000_000)).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("x")] + [F.lag("x", i).over(w) for i in range(1, 8)]
+    weights = [128, 64, 32, 16, 8, 4, 2, 1]
+    num = sum(
+        (F.coalesce(c, F.lit(0)) * F.lit(wt) for c, wt in zip(lags, weights)),
+        start=F.lit(0),
+    )
+    den = sum(
+        (F.when(c.isNull(), 0).otherwise(wt) for c, wt in zip(lags, weights)),
+        start=F.lit(0),
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (num.cast("double") / (den * F.lit(1_000_000))).alias("ewma"),
+    )
+
+
+_INTERP_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) lo, date_trunc('hour', max(ts)) hi FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), hourly AS (
+  SELECT event_type t, date_trunc('hour', ts) h,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS micro
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, hour_start, micro
+  FROM hours CROSS JOIN types
+  LEFT JOIN hourly ON hour_start = h AND event_type = t
+), ctx AS (
+  SELECT event_type, hour_start, micro,
+         last_value(micro IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN micro IS NOT NULL THEN hour_start END IGNORE NULLS)
+           OVER wp AS prev_h,
+         first_value(micro IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN micro IS NOT NULL THEN hour_start END IGNORE NULLS)
+           OVER wf AS next_h
+  FROM spine
+  WINDOW wp AS (PARTITION BY event_type ORDER BY hour_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY hour_start
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour_start,
+       CASE
+         WHEN micro IS NOT NULL THEN CAST(micro AS DOUBLE) / 1000000
+         WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+         ELSE CAST(prev_v * datediff('hour', hour_start, next_h)
+                   + next_v * datediff('hour', prev_h, hour_start) AS DOUBLE)
+              / (datediff('hour', prev_h, next_h) * 1000000)
+       END AS sum_value,
+       (micro IS NULL) AS interpolated
+FROM ctx
+"""
+
+
+@register("ts_interpolate", oracle=_INTERP_SQL, tags=("ext", "timeseries", "M60"))
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hourly spine: missing
+    (event_type, hour) cells get the time-weighted average of the
+    nearest non-missing hourly sums on each side; edge gaps stay NULL.
+
+    Float determinism: hourly sums are exact micro-unit integers, and
+    the interpolation (prev·(len−pos) + next·pos) / len is an exact
+    integer rational — a single IEEE division, identical in both
+    engines, no rounding. The spine is O(hours×types), built from a
+    2-row aggregate (never O(events)); the gap lookups are two window
+    passes over the spine, so fact-table cost is one hourly aggregate
+    regardless of scale.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour_start"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    hourly = ev.groupBy(
+        F.col("event_type").alias("t"), F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * F.lit(1_000_000)).cast("long")).alias(
+            "micro"
+        )
+    )
+    spine = hours.crossJoin(types)
+    spine = spine.join(
+        hourly, (spine.hour_start == hourly.h) & (spine.event_type == hourly.t), "left"
+    ).select("event_type", "hour_start", "micro")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked_hour = F.when(F.col("micro").isNotNull(), F.col("hour_start"))
+    ctx = spine.select(
+        "event_type",
+        "hour_start",
+        "micro",
+        F.last("micro", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(marked_hour, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("micro", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(marked_hour, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    hdiff = lambda a, b: (  # noqa: E731
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600
+    ).cast("long")
+    interp = (
+        F.col("prev_v") * hdiff(F.col("hour_start"), F.col("next_h"))
+        + F.col("next_v") * hdiff(F.col("prev_h"), F.col("hour_start"))
+    ).cast("double") / (hdiff(F.col("prev_h"), F.col("next_h")) * F.lit(1_000_000))
+    return ctx.select(
+        "event_type",
+        "hour_start",
+        F.when(F.col("micro").isNotNull(), F.col("micro").cast("double") / 1_000_000)
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(interp)
+        .alias("sum_value"),
+        F.col("micro").isNull().alias("interpolated"),
     )

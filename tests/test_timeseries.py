@@ -1,0 +1,73 @@
+"""Semantic tests for the time-series operators (gap-fill companions):
+EWMA, linear interpolation, and L2 normalization. The oracle-parity
+test already pins engine-vs-DuckDB equality; these assert the math
+means what the docstrings claim, against independent Python recomputes.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from ezbake_graph_spark import registry, tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ewma_matches_python_recompute(spark):
+    """Spark EWMA == trailing-8 power-of-two weighted mean recomputed
+    row-by-row in Python over the same (ts, event_id) order."""
+    ev = sorted(
+        tables.load(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in registry.queries()["ts_ewma"](spark, SF).collect()
+    }
+    hist: dict[int, list[int]] = defaultdict(list)
+    for r in ev:
+        hist[r["user_id"]].append(round(r["value"] * 1_000_000))
+        tail = hist[r["user_id"]][-8:]
+        num = sum(x * 2**i for i, x in enumerate(tail))
+        den = sum(2**i for i in range(len(tail))) * 1_000_000
+        assert got[r["event_id"]] == num / den
+
+
+def test_interpolate_bounded_by_neighbors(spark):
+    """Interpolated cells are strictly between the neighboring actual
+    hourly sums (linear interpolation can't overshoot); actual cells
+    equal the exact micro-unit hourly sum."""
+    rows = registry.queries()["ts_interpolate"](spark, SF).collect()
+    by_type: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    n_interp = 0
+    for series in by_type.values():
+        series.sort(key=lambda r: r["hour_start"])
+        actual = [
+            (i, r["sum_value"]) for i, r in enumerate(series) if not r["interpolated"]
+        ]
+        idx_of_actual = [i for i, _ in actual]
+        for i, r in enumerate(series):
+            if not r["interpolated"] or r["sum_value"] is None:
+                continue
+            n_interp += 1
+            lo = max(j for j in idx_of_actual if j < i)
+            hi = min(j for j in idx_of_actual if j > i)
+            a, b = series[lo]["sum_value"], series[hi]["sum_value"]
+            assert min(a, b) - 1e-9 <= r["sum_value"] <= max(a, b) + 1e-9
+    assert n_interp > 0  # sf0.001 is sparse enough to have gaps
+
+
+def test_l2_normalize_unit_norm(spark):
+    rows = registry.queries()["embed_l2_normalize"](spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        norm = math.sqrt(sum(u * u for u in r["unit"]))
+        # micro-unit quantization of the norm contributes up to
+        # ~sum(|x_i|)*1e-6/norm ≈ 1e-5 relative error for dim-64
+        assert abs(norm - 1.0) < 1e-5
+        assert r["l2_norm"] > 0
