@@ -220,3 +220,77 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_CONVERSION_SQL = """
+WITH fv AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY 1
+), conv AS (
+  SELECT e.user_id, f.first_view,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > f.first_view
+                  THEN e.ts END) AS first_purchase_after
+  FROM events e JOIN fv f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.c_mktsegment AS segment, count(*) AS n_users,
+       count_if(first_view IS NOT NULL) AS n_viewed,
+       count_if(first_purchase_after IS NOT NULL
+                AND first_purchase_after <= first_view + INTERVAL 1 HOUR)
+         AS n_converted_1h,
+       CAST(count_if(first_purchase_after IS NOT NULL
+                     AND first_purchase_after <= first_view + INTERVAL 1 HOUR)
+            AS DOUBLE)
+         / count_if(first_view IS NOT NULL) AS conversion_1h
+FROM conv JOIN customer c ON user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_funnel_conversion", oracle=_CONVERSION_SQL, tags=("ext", "M64"))
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel conversion per market segment: of users with a
+    'view', how many reached a 'purchase' within 1 hour of their FIRST
+    view. Two passes over events (first-view per user, then earliest
+    qualifying purchase) + a broadcast join to the customer dim; the
+    conversion rate is an exact BIGINT/BIGINT division, identical in
+    both engines (timestamp comparisons are exact µs integers).
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    cust = tables.load(spark, sf_dir, "customer")
+    fv = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    conv = (
+        ev.join(fv, "user_id")
+        .groupBy("user_id", "first_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase_after")
+        )
+    )
+    converted = F.col("first_purchase_after").isNotNull() & (
+        F.col("first_purchase_after")
+        <= F.col("first_view") + F.expr("interval 1 hour")
+    )
+    return (
+        conv.join(F.broadcast(cust), conv.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count_if(F.col("first_view").isNotNull()).alias("n_viewed"),
+            F.count_if(converted).alias("n_converted_1h"),
+            (
+                F.count_if(converted).cast("double")
+                / F.count_if(F.col("first_view").isNotNull())
+            ).alias("conversion_1h"),
+        )
+        .orderBy("segment")
+    )

@@ -17,7 +17,7 @@ The 100 TB design ladder:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ezbake_graph_spark import tables
@@ -496,4 +496,74 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= PREFIX_T)
         .select("doc1", "doc2", "jaccard")
         .orderBy("doc1", "doc2")
+    )
+
+
+_CLUSTER_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < 200
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / CAST(len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+), sym AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM t
+  UNION
+  SELECT s.dst AS node, r.label
+  FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.label < s.dst
+), comp AS (
+  SELECT node AS doc_id, min(label) AS canonical_doc_id
+  FROM reach GROUP BY node
+)
+SELECT doc_id, canonical_doc_id,
+       count(*) OVER (PARTITION BY canonical_doc_id) AS cluster_size,
+       (doc_id = canonical_doc_id) AS is_canonical
+FROM comp
+ORDER BY doc_id
+"""
+
+
+@register("dedup_cluster_canonical", oracle=_CLUSTER_SQL, tags=("ext", "M62"))
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    Jaccard >= 0.8 pair graph (same kernel and doc_id<200 scope as
+    ``dedup_jaccard_pairs``), each doc mapped to its cluster's min
+    doc_id as the canonical representative — the "keep one per
+    near-dup group" step a training-data pipeline actually runs after
+    pair finding (transitive closure matters: A~B, B~C puts A and C in
+    one cluster even when A!~C).
+
+    Composition showcase: the dedup pair kernel feeds the engine's own
+    Pregel connected-components loop. At 100 TB the pair graph (from
+    the MinHash path, K3) is vastly smaller than the corpus, so the
+    iterative part runs on the reduced edge set only. Oracle is a
+    recursive-CTE min-label propagation — fully SQL-checkable.
+    """
+    from ezbake_graph_spark.graph.pregel import connected_components
+
+    tok = _doc_tokens(spark, sf_dir, max_doc=200)
+    pairs = (
+        _jaccard_pairs(tok)
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    )
+    verts = tok.select(F.col("doc_id").alias("id")).distinct()
+    comp = connected_components(verts, pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("canonical_doc_id")
+    )
+    w = Window.partitionBy("canonical_doc_id")
+    return (
+        comp.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_canonical", F.col("doc_id") == F.col("canonical_doc_id")
+        )
+        .orderBy("doc_id")
     )

@@ -502,3 +502,70 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id", "fp")
     )
+
+
+_PMI_SQL = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS w FROM t),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+ut AS (SELECT count(*) AS nu FROM uni),
+b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t),
+bc AS (SELECT bigram, count(*) AS c12 FROM b GROUP BY bigram),
+bt AS (SELECT count(*) AS nb FROM b)
+SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+       c12,
+       round(ln(CAST(c12 * nu * nu AS DOUBLE)
+                / CAST(u1.c * u2.c * nb AS DOUBLE)), 6) AS pmi
+FROM bc
+JOIN uc u1 ON u1.w = split_part(bigram, ' ', 1)
+JOIN uc u2 ON u2.w = split_part(bigram, ' ', 2)
+CROSS JOIN ut CROSS JOIN bt
+WHERE c12 >= 5
+ORDER BY CAST(c12 * nu * nu AS DOUBLE)
+         / CAST(u1.c * u2.c * nb AS DOUBLE) DESC, w1, w2
+LIMIT 30
+"""
+
+
+@register("text_pmi_bigrams", oracle=_PMI_SQL, tags=("ext", "M63"))
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-30 word bigrams by pointwise mutual
+    information, min support 5 — PMI = ln(p(w1w2) / (p(w1)·p(w2))).
+
+    Determinism: the RANKING key is the exact integer rational
+    c12·N_uni² / (c1·c2·N_bi) — numerator ≤ ~3e15 and denominator
+    ≤ ~1e14 at sf0.1, both < 2^53, so the division is one IEEE op and
+    the sort order can never disagree between engines (ln() is applied
+    only to the already-selected rows, then rounded per §5.3 rule 2).
+    Tie-break (w1, w2). Scale: two keyed shuffles (unigram + bigram
+    counts) + broadcast of the two 1-row totals; bigram explosion is
+    map-side.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+        " (t, i) -> struct(t AS w1, element_at(split(text, ' '), i + 2) AS w2))"
+    )
+    uni = d.select(F.explode(F.split("text", " ")).alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.agg(F.count(F.lit(1)).alias("nu"))
+    bg = d.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    nb = bg.agg(F.count(F.lit(1)).alias("nb"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    ratio = (F.col("c12") * F.col("nu") * F.col("nu")).cast("double") / (
+        F.col("c1") * F.col("c2") * F.col("nb")
+    ).cast("double")
+    return (
+        bc.filter(F.col("c12") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .withColumn("ratio", ratio)
+        .orderBy(F.col("ratio").desc(), "w1", "w2")
+        .limit(30)
+        .select("w1", "w2", "c12", F.round(F.log("ratio"), 6).alias("pmi"))
+    )

@@ -146,3 +146,56 @@ def test_kmeans_clusters_align_with_labels(spark):
     )
     assert len(per_cluster) <= 10
     assert purity > 0.12, purity
+
+
+def test_dedup_cluster_canonical_consistent_with_pairs(spark):
+    """Cluster assignment is the transitive closure of the >=0.8 pair
+    graph: both ends of every pair share a canonical id; the canonical
+    id is the min doc_id of its cluster; singletons are their own
+    canonical."""
+    from ezbake_graph_spark import registry
+    from collections import defaultdict
+
+    sf = "/root/testdata/sf0.001"
+    canon = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in registry.queries()["dedup_cluster_canonical"](spark, sf).collect()
+    }
+    pairs = [
+        (r["doc1"], r["doc2"])
+        for r in registry.queries()["dedup_jaccard_pairs"](spark, sf).collect()
+    ]
+    assert pairs, "fixture should contain near-dup pairs"
+    for d1, d2 in pairs:
+        assert canon[d1] == canon[d2]
+    clusters = defaultdict(list)
+    for d, c in canon.items():
+        clusters[c].append(d)
+    for c, members in clusters.items():
+        assert c == min(members)
+
+
+def test_pmi_matches_python_recompute(spark):
+    """PMI of the returned bigrams matches a from-scratch count."""
+    import math
+    from collections import Counter
+
+    from ezbake_graph_spark import registry, tables
+
+    sf = "/root/testdata/sf0.001"
+    texts = [
+        r["text"] for r in tables.load(spark, sf, "documents").collect()
+    ]
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = t.split(" ")
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    nu, nb = sum(uni.values()), sum(bi.values())
+    rows = registry.queries()["text_pmi_bigrams"](spark, sf).collect()
+    assert len(rows) == 30
+    for r in rows:
+        c12 = bi[(r["w1"], r["w2"])]
+        assert c12 == r["c12"] >= 5
+        want = math.log((c12 * nu * nu) / (uni[r["w1"]] * uni[r["w2"]] * nb))
+        assert abs(r["pmi"] - want) < 1e-5
