@@ -469,3 +469,96 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths_weighted(verts, wedges, source_ids=[1]).orderBy(
         "dist", "id"
     )
+
+
+_CLUSTCOEF_SQL = """
+WITH e AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+  FROM lineitem WHERE l_suppkey < 100
+), cos AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+), sym AS (
+  SELECT u, v FROM cos UNION ALL SELECT v AS u, u AS v FROM cos
+), deg AS (
+  SELECT u AS id, count(*) AS degree FROM sym GROUP BY 1
+), tri AS (
+  SELECT w1.u AS id, count(*) AS n_tri
+  FROM sym w1
+  JOIN sym w2 ON w1.u = w2.u AND w1.v < w2.v
+  JOIN cos c ON c.u = w1.v AND c.v = w2.v
+  GROUP BY 1
+)
+SELECT d.id AS supplier, d.degree,
+       coalesce(t.n_tri, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE)
+                 / (d.degree * (d.degree - 1))
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN tri t ON d.id = t.id
+ORDER BY supplier
+"""
+
+
+@register("graph_clustering_coeff", oracle=_CLUSTCOEF_SQL, tags=("ext", "M67"))
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per supplier on the co-supplier
+    projection (suppliers adjacent when they share a part), over the
+    declared s_suppkey < 100 induced subgraph — the wedge join is
+    O(Σ deg²), and the full sf0.1 projection is near-complete
+    (SURVEY §7.4(3)), so the operator declares its subgraph the same
+    way ``graph_triangles`` declares its scale.
+
+    coeff(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — an exact INT/INT
+    rational, bit-identical in both engines, no rounding. Plan: one
+    keyed self-join builds the projection, one wedge self-join + edge
+    join counts per-vertex triangles; all shuffles are keyed (no
+    cross join), so the same plan distributes at cluster scale when
+    given a degree-bounded (sampled or thresholded) graph.
+    """
+    e = (
+        tables.load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 100)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e2 = e.select(F.col("p").alias("p2"), F.col("s").alias("s2"))
+    cos = (
+        e.join(e2, (e.p == e2.p2) & (e.s < e2.s2))
+        .select(F.col("s").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+        .cache()
+    )
+    sym = cos.unionByName(
+        cos.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    w1 = sym.select(F.col("u").alias("apex"), F.col("v").alias("n1"))
+    w2 = sym.select(F.col("u").alias("apex2"), F.col("v").alias("n2"))
+    wedges = w1.join(
+        w2, (w1.apex == w2.apex2) & (w1.n1 < w2.n2)
+    ).select("apex", "n1", "n2")
+    tri = (
+        wedges.join(
+            cos, (wedges.n1 == cos.u) & (wedges.n2 == cos.v), "left_semi"
+        )
+        .groupBy(F.col("apex").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            F.col("id").alias("supplier"),
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+            coeff.alias("clustering_coeff"),
+        )
+        .orderBy("supplier")
+    )

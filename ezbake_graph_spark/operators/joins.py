@@ -515,3 +515,112 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
         .orderBy("p_id")
     )
+
+
+_SALTED_JOIN_SQL = f"""
+SELECT c_mktsegment AS segment,
+       count(*) AS n_events,
+       {sql_money_sum("e.value")} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+_N_SALTS = 8
+
+
+@register("join_salted_skew", oracle=_SALTED_JOIN_SQL, tags=("ext", "M65"))
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-and-replicate join for skewed keys: the fact side appends a
+    deterministic salt (event_id mod 8), the dim side is replicated
+    once per salt value, and the join key becomes (custkey, salt) — a
+    single hot key now spreads across 8 shuffle partitions instead of
+    stalling one reducer. events.user_id is exactly such a key space
+    (1 500 users × ~67 events each at sf0.1; a production clickstream
+    has power-law users at millions of events).
+
+    The result is identical to the unsalted join — the oracle IS the
+    plain join — so the rewrite is proven semantics-preserving. At
+    100 TB prefer AQE skew-join splitting first; explicit salting is
+    the fallback when skew is known ahead of time (it also composes
+    with the exact micro-unit aggregation here, which AQE's runtime
+    split cannot change). Dim replication is a map-side explode of a
+    broadcast table — no extra shuffle.
+    """
+    ev = tables.load(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(_N_SALTS)).cast("int")
+    )
+    cust = (
+        tables.load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    return (
+        ev.join(cust, (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum_expr(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+_BLOOM_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {sql_money_sum("value")} AS sum_value
+FROM events
+WHERE user_id IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1
+"""
+
+_N_BUCKETS = 1 << 16
+
+
+@register("join_bloom_pruned", oracle=_BLOOM_SQL, tags=("ext", "M66"))
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern: semi-join events to urgent-order
+    customers through an approximate membership pre-filter, then an
+    exact semi-join of the survivors.
+
+    The pre-filter is the distinct set of hash buckets
+    (xxhash64(key) mod 2^16) of the build side — a bounded-size
+    broadcast no matter how many build keys exist (the same role a
+    bloom filter plays in Spark's own runtime row-level filtering;
+    one hash function keeps it SQL-expressible). False positives pass
+    the bucket check and are removed by the exact join, so the result
+    is EXACTLY the plain semi-join — which is what the oracle asserts.
+    At 100 TB the win is that the probe side drops most rows map-side
+    BEFORE the shuffle/join; the exact join then runs on a fraction of
+    the data. Locally both stages are broadcast joins; the plan shape
+    (map-side filter → exact join) is what scales.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    urgent = (
+        tables.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("build_key"))
+        .distinct()
+    )
+    buckets = urgent.select(
+        F.pmod(F.xxhash64("build_key"), F.lit(_N_BUCKETS)).alias("bucket")
+    ).distinct()
+    pre = ev.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64("user_id"), F.lit(_N_BUCKETS)) == F.col("bucket"),
+        "left_semi",
+    )
+    exact = pre.join(
+        F.broadcast(urgent), pre.user_id == urgent.build_key, "left_semi"
+    )
+    return (
+        exact.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum_expr(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
