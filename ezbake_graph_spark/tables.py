@@ -65,6 +65,18 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Fixture generations differ in timestamp annotation: some write
+    # isAdjustedToUTC=false µs, which Spark 4 reads as TIMESTAMP_NTZ
+    # (inferTimestampNTZ default). The engine's type regime — and every
+    # validated oracle pair — is session-local TIMESTAMP in a UTC
+    # session (µs-instant functions like unix_micros reject NTZ), so
+    # normalize at the one load seam. The cast is value-preserving
+    # under UTC: same wall-clock, same serialized instant.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
