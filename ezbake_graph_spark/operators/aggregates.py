@@ -177,7 +177,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FILTERED_SQL = f"""
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       count_if(o_orderstatus = 'F') AS n_finished,
+       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
        {sql_money_sum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS open_value
 FROM orders
 GROUP BY o_orderpriority

@@ -234,10 +234,10 @@ WITH fv AS (
   GROUP BY 1, 2
 )
 SELECT c.c_mktsegment AS segment, count(*) AS n_users,
-       count_if(first_view IS NOT NULL) AS n_viewed,
-       count_if(first_purchase_after IS NOT NULL
+       CAST(count_if(first_view IS NOT NULL) AS BIGINT) AS n_viewed,
+       CAST(count_if(first_purchase_after IS NOT NULL
                 AND first_purchase_after <= first_view + INTERVAL 1 HOUR)
-         AS n_converted_1h,
+         AS BIGINT) AS n_converted_1h,
        CAST(count_if(first_purchase_after IS NOT NULL
                      AND first_purchase_after <= first_view + INTERVAL 1 HOUR)
             AS DOUBLE)

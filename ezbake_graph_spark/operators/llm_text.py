@@ -133,8 +133,8 @@ WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 )
 SELECT doc_id,
-       count_if(term IN {POS_WORDS}) AS n_pos,
-       count_if(term IN {NEG_WORDS}) AS n_neg,
+       CAST(count_if(term IN {POS_WORDS}) AS BIGINT) AS n_pos,
+       CAST(count_if(term IN {NEG_WORDS}) AS BIGINT) AS n_neg,
        CAST(count_if(term IN {POS_WORDS}) AS BIGINT)
          - CAST(count_if(term IN {NEG_WORDS}) AS BIGINT) AS sentiment
 FROM tok
@@ -170,7 +170,7 @@ WITH t AS (
 )
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
        count(DISTINCT source) AS n_sources
 FROM t

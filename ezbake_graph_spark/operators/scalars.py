@@ -134,7 +134,8 @@ SELECT doc_id,
        list_contains(tokens, 'spark') AS has_spark,
        array_to_string(tokens[1:3], ' ') AS first3,
        list_sort(list_distinct(tokens))[1] AS first_token_sorted,
-       list_aggregate(list_transform(tokens, t -> length(t)), 'sum') AS total_chars
+       CAST(list_aggregate(list_transform(tokens, t -> length(t)), 'sum')
+            AS BIGINT) AS total_chars
 FROM toks
 ORDER BY doc_id
 """

@@ -27,8 +27,9 @@ from ezbake_graph_spark.registry import register
 
 _SCALAR_SQL = """
 SELECT c_custkey,
-       list_aggregate(list_transform(string_split(CAST(c_custkey AS VARCHAR), ''),
-                                     x -> CAST(x AS INT)), 'sum') AS digit_sum,
+       CAST(list_aggregate(list_transform(string_split(CAST(c_custkey AS VARCHAR), ''),
+                                          x -> CAST(x AS INT)), 'sum')
+            AS BIGINT) AS digit_sum,
        CAST(c_custkey % 97 AS BIGINT) AS key_mod97
 FROM customer
 ORDER BY c_custkey

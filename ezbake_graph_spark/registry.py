@@ -50,13 +50,31 @@ def _load_all_operators() -> None:
     import ezbake_graph_spark.operators  # noqa: F401
 
 
+def _cost_class(spec: QuerySpec) -> int:
+    """Emission order for the driver: cheap, fully-SQL-oracled queries
+    first; rows-only checks next; iterative Pregel fixpoints (tens of
+    seconds each at sf0.01) last. A budget-capped correctness run then
+    value-hash-checks the maximum number of queries before it spends
+    its remaining time on the expensive iterative tail (round 1's run
+    stopped after 50 queries, 6 of them Pregel loops)."""
+    if "pregel" in spec.tags:
+        return 2
+    if spec.oracle is None:
+        return 1
+    return 0
+
+
+def _ordered_specs() -> list[QuerySpec]:
+    return sorted(REGISTRY.values(), key=_cost_class)  # stable within class
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all_operators()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {spec.name: spec.fn for spec in _ordered_specs()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all_operators()
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        spec.name: spec.oracle for spec in _ordered_specs() if spec.oracle is not None
     }

@@ -77,6 +77,18 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    # The normalization above only sees top-level columns. No fixture
+    # nests timestamps today; assert that so a future nested-NTZ fixture
+    # fails loudly here instead of silently skipping normalization.
+    if "timestamp_ntz" in df.schema.simpleString().replace(
+        "", ""
+    ) and not ntz or any(
+        "timestamp_ntz" in t for _, t in df.dtypes if not t == "timestamp_ntz"
+    ):
+        raise TypeError(
+            f"{name}: nested timestamp_ntz field present; extend the "
+            "NTZ normalization in tables._read to recurse"
+        )
     return df
 
 

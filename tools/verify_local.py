@@ -85,11 +85,45 @@ def spark_collect(df) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
-def duck_collect(con, sql: str) -> tuple[list[str], list[tuple]]:
+def duck_collect(con, sql: str) -> tuple[list[str], list[tuple], list[str]]:
+    """Fetch a DuckDB result plus a list of type-cleanliness problems.
+
+    The driver may fetch oracle results via pandas or Arrow, where
+    DuckDB's HUGEINT (e.g. from count_if / sum(int)) becomes float64 or
+    decimal128 and stringifies as '2.0' / Decimal — mismatching Spark's
+    plain int even when values are equal (CORRECTNESS_r01: agg_filtered,
+    events_funnel_conversion). Oracles must therefore emit only
+    BIGINT-or-narrower ints, DOUBLE, VARCHAR, BOOL, DATE, TIMESTAMP,
+    and lists thereof.
+    """
+    import pyarrow as pa
+
+    tbl = con.execute(sql).fetch_arrow_table()
+    cols = tbl.column_names
+
+    def unclean(t) -> bool:
+        if pa.types.is_decimal(t) or pa.types.is_unsigned_integer(t) or pa.types.is_float32(t):
+            return True
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return unclean(t.value_type)
+        return False
+
+    dirty = [f"{f.name}:{f.type}" for f in tbl.schema if unclean(f.type)]
     cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
-    return cols, rows
+    return cols, rows, dirty
+
+
+_SPARK_DIRTY = ("decimal", "float")  # DecimalType / FloatType in simpleString
+
+
+def spark_dirty_cols(df) -> list[str]:
+    out = []
+    for f in df.schema.fields:
+        s = f.dataType.simpleString()
+        if any(t in s for t in _SPARK_DIRTY):
+            out.append(f"{f.name}:{s}")
+    return out
 
 
 def main() -> int:
@@ -112,7 +146,8 @@ def main() -> int:
     for k in keys:
         t0 = time.time()
         try:
-            scols, srows = spark_collect(qs[k](spark, args.sf))
+            sdf = qs[k](spark, args.sf)
+            scols, srows = spark_collect(sdf)
         except Exception:
             print(f"FAIL  {k}: spark raised")
             traceback.print_exc()
@@ -125,7 +160,7 @@ def main() -> int:
                 print(f"WARN  {k}: 0 rows from rows-only query")
             continue
         try:
-            dcols, drows = duck_collect(con, oracles[k])
+            dcols, drows, dirty = duck_collect(con, oracles[k])
         except Exception:
             print(f"FAIL  {k}: duckdb oracle raised")
             traceback.print_exc()
@@ -134,6 +169,9 @@ def main() -> int:
         sc, ss = canon_rows(scols, srows)
         dc, ds = canon_rows(dcols, drows)
         problems = []
+        dirty += [f"spark {c}" for c in spark_dirty_cols(sdf)]
+        if dirty:
+            problems.append(f"type-unclean output cols (driver-fetch hazard): {dirty}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sc != dc:
