@@ -50,22 +50,70 @@ def _load_all_operators() -> None:
     import ezbake_graph_spark.operators  # noqa: F401
 
 
-def _cost_class(spec: QuerySpec) -> int:
-    """Emission order for the driver: cheap, fully-SQL-oracled queries
-    first; rows-only checks next; iterative Pregel fixpoints (tens of
-    seconds each at sf0.01) last. A budget-capped correctness run then
-    value-hash-checks the maximum number of queries before it spends
-    its remaining time on the expensive iterative tail (round 1's run
-    stopped after 50 queries, 6 of them Pregel loops)."""
-    if "pregel" in spec.tags:
-        return 2
-    if spec.oracle is None:
-        return 1
-    return 0
+def _driver_green() -> frozenset[str]:
+    """Keys with a green row in any prior round's CORRECTNESS_r*.json
+    (committed at the repo root by the driver each round). Reading them
+    at emission time makes the rotation self-updating: next round, the
+    keys verified this round automatically drop to the back."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key, row in data.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            if row.get("rows_match") and row.get("hash_match") is not False:
+                green.add(key)
+    return frozenset(green)
+
+
+# Keys measured slow at sf0.01 in the local verify harness (Spark +
+# DuckDB oracle combined); pushed to the back of their class so a
+# time-budgeted correctness run checks more keys first.
+_SLOW: frozenset[str] = frozenset()
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    return sorted(REGISTRY.values(), key=_cost_class)  # stable within class
+    """Emission order for the driver's budget-capped correctness run
+    (~50 slots per round; it walks ``queries()`` in dict order).
+
+    Rounds 1-2 spent 41 of round 2's 50 slots re-verifying keys already
+    green in round 1 (VERDICT r2 finding #1). The order that maximizes
+    *new* verified coverage per round:
+
+    0. never-green, SQL-oracled, non-Pregel  — full value-hash, cheap
+    1. never-green, rows-only, non-Pregel    — weaker check, but no
+       DuckDB cost and these have no driver record at all yet
+    2. green Pregel (graph_wcc / graph_bfs)  — keep the two flagship
+       iterative algorithms with a current row, budget permitting
+    3. green, everything else                — cheap re-verification
+    4. never-green Pregel fixpoints          — tens of seconds each,
+       rows-only: strictly last
+    """
+    green = _driver_green()
+
+    def key(spec: QuerySpec) -> tuple[int, int]:
+        pregel = "pregel" in spec.tags
+        if spec.name not in green:
+            if pregel:
+                cls = 4
+            elif spec.oracle is not None:
+                cls = 0
+            else:
+                cls = 1
+        else:
+            cls = 2 if pregel else 3
+        return (cls, 1 if spec.name in _SLOW else 0)
+
+    return sorted(REGISTRY.values(), key=key)  # stable within class
 
 
 def queries() -> dict[str, QueryFn]:

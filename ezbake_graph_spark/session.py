@@ -39,6 +39,13 @@ def get_session(app_name: str = "ezbake-graph-spark") -> SparkSession:
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
         # reader rejects; read as long and convert in tables.load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark's legacy default writes timestamps as INT96, and parquet
+        # writers emit NO min/max statistics for INT96 — which silently
+        # defeats row-group skipping on any timestamp-clustered sink
+        # (sink_clustered_layout's whole purpose). Write µs INT64, which
+        # carries full footer stats and is what every modern reader
+        # (DuckDB, Arrow, Spark itself) expects.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # No data locality to wait for: local mode here, object storage
         # (S3/GCS) at the 100 TB design point. Waiting the 3s default
         # per locality level only delays task launch.

@@ -53,6 +53,11 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # conf) so caller-provided sessions — the driver builds its own,
     # with no custom configs — are covered on every load path.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # INT96 (Spark's legacy parquet timestamp default) carries no min/max
+    # footer stats, which silently disables row-group skipping in every
+    # timestamp-clustered sink. Set at runtime for the same reason as the
+    # timezone: caller-provided sessions must write stats-bearing INT64 µs.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS); the Spark reader
         # rejects it unless read as long. Set at runtime so queries work
@@ -79,17 +84,30 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     # The normalization above only sees top-level columns. No fixture
     # nests timestamps today; assert that so a future nested-NTZ fixture
-    # fails loudly here instead of silently skipping normalization.
-    if "timestamp_ntz" in df.schema.simpleString().replace(
-        "", ""
-    ) and not ntz or any(
-        "timestamp_ntz" in t for _, t in df.dtypes if not t == "timestamp_ntz"
-    ):
+    # fails loudly here instead of silently skipping normalization. (Any
+    # NTZ still present after the cast above is by definition nested.)
+    if any(_has_ntz(f.dataType) for f in df.schema.fields):
         raise TypeError(
             f"{name}: nested timestamp_ntz field present; extend the "
             "NTZ normalization in tables._read to recurse"
         )
     return df
+
+
+def _has_ntz(dt) -> bool:
+    """Recursive walk: does this Spark DataType contain TIMESTAMP_NTZ
+    anywhere (top-level or nested in struct/array/map)?"""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampNTZType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_ntz(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_ntz(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_ntz(dt.keyType) or _has_ntz(dt.valueType)
+    return False
 
 
 def _fact_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:

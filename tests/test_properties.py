@@ -126,3 +126,22 @@ def test_sssp_matches_dijkstra(spark, edges):
         for r in shortest_paths_weighted(vdf, edf, [src]).collect()
     }
     assert got == _ref_dijkstra(adj, src)
+
+
+def test_nested_ntz_guard_recursive_walk():
+    """tables._has_ntz walks struct/array/map nesting and ignores
+    columns merely NAMED like the type (the r2 guard's false-positive)."""
+    from pyspark.sql import types as T
+
+    from ezbake_graph_spark.tables import _has_ntz
+
+    ntz = T.TimestampNTZType()
+    assert _has_ntz(ntz)
+    assert _has_ntz(T.StructType([T.StructField("x", ntz)]))
+    assert _has_ntz(T.ArrayType(T.StructType([T.StructField("x", ntz)])))
+    assert _has_ntz(T.MapType(T.StringType(), T.ArrayType(ntz)))
+    assert not _has_ntz(T.TimestampType())
+    assert not _has_ntz(T.ArrayType(T.TimestampType()))
+    # a column *named* timestamp_ntz must not trip the guard
+    named = T.StructType([T.StructField("timestamp_ntz", T.StringType())])
+    assert not _has_ntz(named)

@@ -1,0 +1,56 @@
+"""Driver-emission-order regression tests (VERDICT r2 findings #1/#8).
+
+The driver's correctness run is budget-capped (~50 slots/round) and
+walks ``queries()`` in dict order, so the order IS the verification
+coverage policy: keys without a green row in any committed
+CORRECTNESS_r*.json must come first, SQL-oracled before rows-only,
+expensive Pregel fixpoints last.
+"""
+
+from __future__ import annotations
+
+from ezbake_graph_spark import registry
+
+
+def _classes() -> list[tuple[str, int]]:
+    keys = list(registry.queries())
+    green = registry._driver_green()
+    out = []
+    for k in keys:
+        spec = registry.REGISTRY[k]
+        pregel = "pregel" in spec.tags
+        g = k in green
+        if not g and pregel:
+            c = 4
+        elif not g and spec.oracle is not None:
+            c = 0
+        elif not g:
+            c = 1
+        elif pregel:
+            c = 2
+        else:
+            c = 3
+        out.append((k, c))
+    return out
+
+
+def test_never_verified_keys_emit_first():
+    cls = [c for _, c in _classes()]
+    assert cls == sorted(cls), "registry emission order must be class-sorted"
+
+
+def test_all_never_green_oracled_precede_all_green():
+    seen_green = False
+    for key, c in _classes():
+        if c >= 2:
+            seen_green = True
+        if c == 0:
+            assert not seen_green, f"never-verified oracled key {key} emitted after green keys"
+
+
+def test_green_set_reads_correctness_files():
+    green = registry._driver_green()
+    # r1/r2 are committed in-repo; the union was 52 keys at round-3 start
+    assert "agg_pricing_q1" in green
+    assert "join_star_q5" in green
+    assert len(green) >= 52

@@ -96,21 +96,21 @@ def duck_collect(con, sql: str) -> tuple[list[str], list[tuple], list[str]]:
     BIGINT-or-narrower ints, DOUBLE, VARCHAR, BOOL, DATE, TIMESTAMP,
     and lists thereof.
     """
-    import pyarrow as pa
-
-    tbl = con.execute(sql).fetch_arrow_table()
-    cols = tbl.column_names
-
-    def unclean(t) -> bool:
-        if pa.types.is_decimal(t) or pa.types.is_unsigned_integer(t) or pa.types.is_float32(t):
-            return True
-        if pa.types.is_list(t) or pa.types.is_large_list(t):
-            return unclean(t.value_type)
-        return False
-
-    dirty = [f"{f.name}:{f.type}" for f in tbl.schema if unclean(f.type)]
-    cur = con.execute(sql)
-    rows = cur.fetchall()
+    # Relation API: DuckDB's own logical type names are available on the
+    # lazy relation BEFORE execution (binder only), so one execution
+    # serves both the type check and the row fetch. Using DuckDB types —
+    # not the Arrow mapping — also catches HUGEINT on duckdb versions
+    # that map it to float64, where the Arrow check can't tell it from a
+    # legitimate DOUBLE.
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    _dirty = ("HUGEINT", "DECIMAL", "UINTEGER", "UBIGINT", "USMALLINT", "UTINYINT", "FLOAT")
+    dirty = [
+        f"{c}:{t}"
+        for c, t in zip(cols, (str(t).upper() for t in rel.types))
+        if any(d in t for d in _dirty)
+    ]
+    rows = rel.fetchall()
     return cols, rows, dirty
 
 
