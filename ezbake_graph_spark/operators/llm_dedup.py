@@ -260,40 +260,36 @@ ORDER BY vid1, vid2
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: all pairs with cosine >= 0.4
     (the fixture vectors are near-random, so 0.4 marks the far tail).
-    Same block-parallel BLAS kernel as sim_cosine_topk, but
-    threshold-filtered instead of top-k — each Arrow batch emits only
+    Same grid-partitioned block-pair matmul kernel as sim_cosine_topk,
+    but threshold-filtered instead of top-k — each pair-task emits only
     its qualifying pairs, so output (not the quadratic pair space)
-    bounds the shuffle. Scale path: prune candidates first via
-    sim_blocked / sim_ivf cells, then apply this same threshold kernel
-    per cell."""
-    import numpy as np
+    bounds the result shuffle, and no corpus matrix is ever built on
+    the driver. Scale path: prune candidates first via sim_blocked /
+    sim_ivf cells, then apply this same threshold kernel per cell."""
     import pandas as pd
 
-    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = emb.collect()  # broadcast-dimension build
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    from ezbake_graph_spark.operators.llm_similarity import (
+        _apply_pair_kernel,
+        _grid_blocks,
+        _pair_group_sims,
+    )
 
-    def block_pairs(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
-            sims = np.round((q_mat @ b_mat.T) / np.outer(q_norms, b_norms), 6)
-            keep = (q_ids[:, None] < b_ids[None, :]) & (sims >= EMBED_DUP_THRESHOLD)
-            qi, bi = np.nonzero(keep)
-            if len(qi) == 0:
-                continue
-            yield pd.DataFrame(
-                {"vid1": q_ids[qi], "vid2": b_ids[bi], "cosine": sims[qi, bi]}
-            )
+    n_blocks = _grid_blocks(spark, sf_dir)
 
-    local = emb.mapInPandas(block_pairs, "vid1 long, vid2 long, cosine double")
+    def pair_thresh(pdf):
+        out = _pair_group_sims(pdf, n_blocks)
+        empty = pd.DataFrame({"vid1": [], "vid2": [], "cosine": []}).astype(
+            {"vid1": "int64", "vid2": "int64", "cosine": "float64"}
+        )
+        if out is None:
+            return empty
+        v1, v2, s = out
+        keep = s >= EMBED_DUP_THRESHOLD
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"vid1": v1[keep], "vid2": v2[keep], "cosine": s[keep]})
+
+    local = _apply_pair_kernel(spark, sf_dir, pair_thresh)
     return local.orderBy("vid1", "vid2")
 
 

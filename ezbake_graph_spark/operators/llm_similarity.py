@@ -54,68 +54,173 @@ ORDER BY cosine DESC, vid1, vid2
 LIMIT 20
 """
 
+# Target rows per grid block for the block-pair self-join. Replication
+# factor = number of blocks B, so B is the knob trading shuffle volume
+# (B x corpus) against per-task matmul size ((n/B)^2). Below ~4k rows
+# the whole corpus is one block and the planner takes the shuffle-free
+# narrow path (B == 1: a 4k x 4k x 64 matmul is ~25ms of BLAS —
+# task-launch overhead, not compute, dominates); above it, B grows so
+# one block (~n/B vectors) fits an executor's memory budget — the
+# kernel itself never changes. This mirrors how Catalyst picks
+# broadcast vs sort-merge: same logical operator, size-picked physical
+# strategy.
+_BLOCK_ROWS = 4096
+_PAIR_SCHEMA = "vid1 long, vid2 long, cosine double"
+
+# (applicationId, sf_dir) -> corpus row count, to avoid a count() job
+# per query invocation (bench reruns the same query many times).
+_N_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _n_vectors(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _N_CACHE.get(key)
+    if n is None:
+        n = tables.load(spark, sf_dir, "embeddings").count()
+        _N_CACHE[key] = n
+    return n
+
+
+def _grid_blocks(spark: SparkSession, sf_dir: str) -> int:
+    n = _n_vectors(spark, sf_dir)
+    cap = max(16, spark.sparkContext.defaultParallelism)
+    return max(1, min(cap, -(-n // _BLOCK_ROWS)))
+
+
+def _grid_pairs(emb: DataFrame, n_blocks: int) -> DataFrame:
+    """Replicate each vector to its B grid pair-groups.
+
+    Block id b = vec_id mod B; a vector in block b belongs to every
+    unordered block pair {b, o}, o in [0, B). Pair key pk encodes
+    (min, max) so the later groupBy co-locates exactly the two blocks
+    each pair-task needs. Shuffle volume is B x corpus — linear, chosen,
+    and independent of the quadratic pair space.
+    """
+    b = (F.col("vec_id") % n_blocks).cast("int")
+    return (
+        emb.select("vec_id", "embedding", b.alias("b"))
+        .withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .select(
+            "vec_id",
+            "embedding",
+            "b",
+            (F.least("b", "o") * n_blocks + F.greatest("b", "o")).alias("pk"),
+        )
+    )
+
+
+def _apply_pair_kernel(spark: SparkSession, sf_dir: str, per_group) -> DataFrame:
+    """Run a pair-group kernel (``pdf -> pdf`` over ``_PAIR_SCHEMA``)
+    across the embedding corpus with a size-picked physical strategy:
+
+    - B == 1 (corpus fits one block): narrow ``coalesce(1)`` +
+      ``mapInPandas`` — ZERO shuffle; the one task sees every vector.
+    - B > 1: grid block-pair replication + ``groupBy(pk).applyInPandas``
+      — one linear B x corpus shuffle, B(B+1)/2 bounded pair-tasks.
+    """
+    import pandas as pd
+
+    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_blocks = _grid_blocks(spark, sf_dir)
+    if n_blocks > 1:
+        return _grid_pairs(emb, n_blocks).groupBy("pk").applyInPandas(
+            per_group, _PAIR_SCHEMA
+        )
+    one = emb.select(
+        "vec_id",
+        "embedding",
+        F.lit(0).cast("int").alias("b"),
+        F.lit(0).cast("int").alias("pk"),
+    )
+
+    def run(batches):
+        pdfs = [p for p in batches if len(p)]
+        if pdfs:
+            yield per_group(pd.concat(pdfs, ignore_index=True))
+
+    return one.coalesce(1).mapInPandas(run, _PAIR_SCHEMA)
+
+
+def _pair_group_sims(pdf, n_blocks: int):
+    """Dense cosine matrix for one grid pair-group (pandas side).
+
+    Returns (vid1, vid2, sims) flat arrays with vid1 < vid2, each
+    unordered pair appearing exactly once across ALL groups: a pair
+    {x, y} lives only in the group of its block pair {x%B, y%B}, and
+    within a group the diagonal-block upper-triangle mask (bi == bj)
+    or the bipartite cross product (bi != bj) counts it once.
+    """
+    import numpy as np
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    blocks = pdf["b"].to_numpy()
+    bi, bj = divmod(int(pdf["pk"].iat[0]), n_blocks)
+    if bi == bj:
+        q_ids = c_ids = ids
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        qi, ci = np.nonzero(q_ids[:, None] < c_ids[None, :])
+    else:
+        qsel, csel = blocks == bi, blocks == bj
+        if not qsel.any() or not csel.any():
+            return None
+        q_ids, c_ids = ids[qsel], ids[csel]
+        sims = np.round(
+            (mat[qsel] @ mat[csel].T) / np.outer(norms[qsel], norms[csel]), 6
+        )
+        qi, ci = np.nonzero(np.ones_like(sims, dtype=bool))
+    if len(qi) == 0:
+        return None
+    v1 = np.minimum(q_ids[qi], c_ids[ci])
+    v2 = np.maximum(q_ids[qi], c_ids[ci])
+    return v1, v2, sims[qi, ci]
+
 
 @register("sim_cosine_topk", oracle=_COSINE_TOPK_SQL, tags=("K4", "bench"))
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-20 over all vector pairs (K4).
 
-    Block-parallel BLAS kernel: one side of the pair space is broadcast
-    as a dense float64 matrix, and each Arrow batch of the other side
-    computes a vectorized ``batch @ M.T`` inside ``mapInPandas``, keeps
-    its local top-20 (a superset bound: any global top-20 pair appears
-    in the local top-20 of the batch holding its vid1), and the global
-    ``orderBy().limit(20)`` merges ~20 rows per partition.
+    Grid-partitioned block-pair self-join: vectors are hashed into B
+    blocks, each of the B(B+1)/2 block *pairs* becomes one task that
+    computes a dense vectorized matmul over its two blocks and keeps a
+    local top-20 (a superset bound: the global top-20 pairs each live in
+    exactly one block pair, and that task's local top-20 retains them).
+    The global ``orderBy().limit(20)`` then merges ~20 rows per task
+    (TakeOrderedAndProject — no full sort).
 
-    Scale path: at 100 TB the corpus no longer fits one broadcast —
-    this exact kernel is then applied per block-pair (grid-partitioned
-    self-join) or after LSH/IVF pruning (``sim_blocked``/``sim_ivf``);
-    the per-task compute stays this same dense matmul.
+    This is the 100 TB shape: no driver-side matrix build, no broadcast
+    of the corpus — shuffle volume is B x corpus (linear, chosen via
+    ``_BLOCK_ROWS``), per-task memory is two blocks, and the same
+    kernel drops behind LSH/IVF pruning (``sim_blocked`` / ``sim_ivf``)
+    when even the grid is too coarse. When the corpus fits one block
+    (B == 1) the planner takes a shuffle-free narrow path instead
+    (``_apply_pair_kernel``).
     """
     import numpy as np
     import pandas as pd
 
-    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = emb.collect()  # broadcast-dimension build: 2k x 64 floats
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    n_blocks = _grid_blocks(spark, sf_dir)
 
-    def block_topk(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
-            sims = (q_mat @ b_mat.T) / np.outer(q_norms, b_norms)
-            # pair constraint vid1 < vid2; -inf knocks masked cells out
-            mask = q_ids[:, None] < b_ids[None, :]
-            sims = np.where(mask, np.round(sims, 6), -np.inf)
-            flat = sims.ravel()
-            k = min(20, int(mask.sum()))
-            if k == 0:
-                continue
-            # keep EVERY cell tied with the k-th value, then cut by the
-            # full (cosine desc, vid1, vid2) order — an argpartition-only
-            # cut would resolve boundary ties arbitrarily and could drop
-            # a pair the global composite order needs
-            kth_val = np.partition(flat, len(flat) - k)[len(flat) - k]
-            cand = np.flatnonzero(flat >= kth_val)
-            cand = cand[flat[cand] > -np.inf]
-            v1 = q_ids[cand // len(b_ids)]
-            v2 = b_ids[cand % len(b_ids)]
-            order = np.lexsort((v2, v1, -flat[cand]))[:k]
-            yield pd.DataFrame(
-                {
-                    "vid1": v1[order],
-                    "vid2": v2[order],
-                    "cosine": flat[cand][order],
-                }
+    def pair_topk(pdf):
+        out = _pair_group_sims(pdf, n_blocks)
+        if out is None:
+            return pd.DataFrame({"vid1": [], "vid2": [], "cosine": []}).astype(
+                {"vid1": "int64", "vid2": "int64", "cosine": "float64"}
             )
+        v1, v2, s = out
+        k = min(20, len(s))
+        # keep EVERY cell tied with the k-th value, then cut by the full
+        # (cosine desc, vid1, vid2) order — an argpartition-only cut
+        # would resolve boundary ties arbitrarily and could drop a pair
+        # the global composite order needs
+        kth = np.partition(s, len(s) - k)[len(s) - k]
+        cand = np.flatnonzero(s >= kth)
+        order = np.lexsort((v2[cand], v1[cand], -s[cand]))[:k]
+        sel = cand[order]
+        return pd.DataFrame({"vid1": v1[sel], "vid2": v2[sel], "cosine": s[sel]})
 
-    local = emb.mapInPandas(block_topk, "vid1 long, vid2 long, cosine double")
+    local = _apply_pair_kernel(spark, sf_dir, pair_topk)
     return local.orderBy(F.col("cosine").desc(), "vid1", "vid2").limit(20)
 
 

@@ -75,10 +75,23 @@ def _driver_green() -> frozenset[str]:
     return frozenset(green)
 
 
-# Keys measured slow at sf0.01 in the local verify harness (Spark +
-# DuckDB oracle combined); pushed to the back of their class so a
-# time-budgeted correctness run checks more keys first.
-_SLOW: frozenset[str] = frozenset()
+# Keys measured slow at sf0.01 in the local verify harness (≥1.3s
+# Spark-side, round-3 measurement over all 101 never-verified keys);
+# pushed to the back of their class so a time-budgeted correctness run
+# checks more keys first.
+_SLOW: frozenset[str] = frozenset(
+    {
+        "dedup_prefix_filter",
+        "text_langid",
+        "agg_heavy_hitters",
+        "text_winnowing",
+        "stream_dedup",
+        "dedup_minhash",
+        "embed_kmeans",
+        "dedup_simhash",
+        "stream_source_smoke",
+    }
+)
 
 
 def _ordered_specs() -> list[QuerySpec]:

@@ -199,3 +199,57 @@ def test_pmi_matches_python_recompute(spark):
         assert c12 == r["c12"] >= 5
         want = math.log((c12 * nu * nu) / (uni[r["w1"]] * uni[r["w2"]] * nb))
         assert abs(r["pmi"] - want) < 1e-5
+
+
+def test_grid_pairs_cover_every_unordered_pair_exactly_once(spark):
+    """The block-pair grid (sim_cosine_topk's 100 TB shape) must place
+    every unordered vector pair in EXACTLY one pair-group: a pair {x,y}
+    lives only in the group of its block pair {x%B, y%B}. Missing a
+    group loses pairs; double-placement double-counts them."""
+    from ezbake_graph_spark.operators.llm_similarity import _grid_pairs
+
+    n, B = 37, 4  # deliberately not multiples of each other
+    emb = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    rows = _grid_pairs(emb, B).collect()
+    # reconstruct which unordered pairs each group can see
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.pk, []).append((r.vec_id, r.b))
+    seen = {}
+    for pk, members in groups.items():
+        bi, bj = divmod(pk, B)
+        for x, bx in members:
+            for y, by in members:
+                if x >= y:
+                    continue
+                # the kernel pairs only (block bi) x (block bj) members
+                if {bx, by} == {bi, bj} if bi != bj else (bx == by == bi):
+                    seen[(x, y)] = seen.get((x, y), 0) + 1
+    expected = {(x, y) for x in range(n) for y in range(x + 1, n)}
+    assert set(seen) == expected
+    assert set(seen.values()) == {1}
+
+
+def test_grid_path_matches_narrow_path(spark):
+    """Forcing small blocks (B > 1, the 100 TB grid path) must produce
+    byte-identical results to the shuffle-free B == 1 path for both
+    pair kernels — the physical strategy choice may never change the
+    answer."""
+    from ezbake_graph_spark.operators import llm_dedup, llm_similarity as ls
+
+    sf = "/root/testdata/sf0.001"
+    orig = ls._BLOCK_ROWS
+    try:
+        ls._BLOCK_ROWS = 10**9  # force B == 1
+        narrow_topk = ls.sim_cosine_topk(spark, sf).collect()
+        narrow_dup = llm_dedup.dedup_embedding(spark, sf).collect()
+        ls._BLOCK_ROWS = 64  # force a real grid
+        assert ls._grid_blocks(spark, sf) > 1
+        grid_topk = ls.sim_cosine_topk(spark, sf).collect()
+        grid_dup = llm_dedup.dedup_embedding(spark, sf).collect()
+    finally:
+        ls._BLOCK_ROWS = orig
+    assert grid_topk == narrow_topk
+    assert grid_dup == narrow_dup
