@@ -99,3 +99,39 @@ def test_clustered_layout_has_disjoint_rowgroup_ranges(spark, no_cache):
     # range-partitioned + sorted => consecutive files touch at most at
     # the boundary; a shuffled layout would overlap almost everywhere
     assert overlaps == 0, ranges
+
+
+def test_cosine_narrow_path_has_zero_exchanges(spark, no_cache):
+    """When the corpus fits one block (B == 1) the pair kernel must run
+    shuffle-free: coalesce + mapInPandas + TakeOrderedAndProject."""
+    from ezbake_graph_spark.operators import llm_similarity as ls
+
+    assert ls._grid_blocks(spark, SF_SMOKE) == 1
+    plan = _plan(spark, "sim_cosine_topk")
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_grid_path_has_single_linear_shuffle(spark, no_cache):
+    """The B > 1 grid path pays exactly ONE shuffle (the B x corpus
+    pair-group exchange) before the ~k-rows-per-task top-k merge —
+    never a quadratic crossJoin."""
+    from ezbake_graph_spark.operators import llm_similarity as ls
+
+    orig = ls._BLOCK_ROWS
+    try:
+        ls._BLOCK_ROWS = 64
+        assert ls._grid_blocks(spark, SF_SMOKE) > 1
+        df = registry.queries()["sim_cosine_topk"](spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        ls._BLOCK_ROWS = orig
+    # AQE appends "== Initial Plan ==" after the final plan — count
+    # exchanges in the executed section only
+    plan = plan.split("== Initial Plan ==")[0]
+    # one hash-partitioned exchange for the pair groups; the final
+    # top-20 merge is TakeOrderedAndProject, not a sort shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan
