@@ -89,12 +89,27 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(decode_batches, schema).orderBy("doc_id")
 
 
-@register("multimodal_frame_sample", oracle=None, tags=("K-extra", "rows-only"))
+_FRAME_SAMPLE_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         unnest(range(0, octet_length(encode(text)), 64)) AS frame_offset
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, frame_offset, least(16, n - frame_offset) AS frame_len
+FROM f
+ORDER BY doc_id, frame_offset
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_SAMPLE_SQL, tags=("K-extra",))
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one binary payload → N sampled "frame"
     rows (every 64th byte-offset), the row-explosion shape video frame
     extraction uses. Pure DataFrame ops — the per-frame payload slice
-    stays binary."""
+    stays binary. Fully deterministic (offset arithmetic on byte
+    lengths), so it carries a real value-hash oracle: the frame length
+    is min(16, n_bytes - offset) in both engines."""
     d = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     payload = F.encode(F.col("text"), "UTF-8")
     n = F.length(payload)

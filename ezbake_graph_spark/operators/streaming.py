@@ -196,9 +196,19 @@ def _run_to_memory(spark, sdf, name: str, output_mode: str) -> DataFrame:
     return spark.table(qname)
 
 
-@register("stream_source_smoke", oracle=None, tags=("A5", "rows-only"))
+_SOURCE_SMOKE_SQL = """
+SELECT event_type, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("stream_source_smoke", oracle=_SOURCE_SMOKE_SQL, tags=("A5",))
 def stream_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File streaming source (A5): readStream → memory sink, append."""
+    """File streaming source (A5): readStream → memory sink, append.
+
+    SQL-oracled: ``availableNow`` with no file-rate cap processes the
+    whole source in ONE micro-batch, so the appended rows are exactly
+    the events table and the per-type counts are deterministic."""
     sdf = _read_events_stream(spark, sf_dir).select("event_id", "event_type", "ts")
     out = _run_to_memory(spark, sdf, "source_smoke", "append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events")).orderBy(
@@ -206,9 +216,19 @@ def stream_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_sink_smoke", oracle=None, tags=("A6", "rows-only"))
+_SINK_SMOKE_SQL = """
+SELECT count(*) AS n_purchases, count(DISTINCT user_id) AS n_users
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("stream_sink_smoke", oracle=_SINK_SMOKE_SQL, tags=("A6",))
 def stream_sink_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch sink (A6): per-batch custom write to parquet."""
+    """foreachBatch sink (A6): per-batch custom write to parquet.
+
+    SQL-oracled: the sink lands every purchase row exactly once (fresh
+    output dir per call, one availableNow batch), so the read-back
+    count/distinct-users equal the batch aggregate over events."""
     sdf = _read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
     out_dir = os.path.join(_STREAM_TMP, "sink", uuid.uuid4().hex[:8])
     ckpt = os.path.join(_STREAM_TMP, "ckpt", os.path.basename(out_dir))
@@ -230,10 +250,25 @@ def stream_sink_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_watermark", oracle=None, tags=("I4", "rows-only"))
+_WATERMARK_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_watermark", oracle=_WATERMARK_SQL, tags=("I4",))
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling aggregate (I4): 10-min watermark bounds
-    window state; late events beyond it are dropped on a real stream."""
+    window state; late events beyond it are dropped on a real stream.
+
+    SQL-oracled: one availableNow batch means the watermark never
+    advances mid-data, so nothing is dropped and complete-mode output
+    equals the batch hourly aggregate — which is exactly what makes
+    the check deterministic."""
     sdf = _read_events_stream(spark, sf_dir)
     agg = (
         sdf.withWatermark("ts", "10 minutes")
@@ -245,10 +280,24 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
-@register("stream_dedup", oracle=None, tags=("I5", "rows-only"))
+_DEDUP_SQL = """
+SELECT event_type,
+       count(DISTINCT event_id) AS n_events,
+       count(DISTINCT event_id) AS n_distinct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("stream_dedup", oracle=_DEDUP_SQL, tags=("I5",))
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (I5): the source holds every event
-    TWICE; dropDuplicatesWithinWatermark must emit each once."""
+    TWICE; dropDuplicatesWithinWatermark must emit each once.
+
+    SQL-oracled: event_id is unique in the fixture, so emitting each
+    id exactly once makes both per-type counts equal the batch
+    count(DISTINCT event_id) — any duplicate leak fails the hash."""
     sdf = _read_events_stream(spark, sf_dir, copies=2)
     dedup = (
         sdf.withWatermark("ts", "1 hour")
@@ -262,26 +311,44 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@register("stream_stateful", oracle=None, tags=("I7", "rows-only"))
+_STATEFUL_SQL = f"""
+SELECT user_id,
+       count(*) AS n_events,
+       {sql_money_sum("value")} AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("stream_stateful", oracle=_STATEFUL_SQL, tags=("I7",))
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful op (I7): applyInPandasWithState keeps a
-    per-user (count, micro-sum) state across micro-batches."""
+    per-user (count, micro-sum) state across micro-batches.
+
+    SQL-oracled: micro-unit rounding happens JVM-side (same
+    ``F.round`` as ``money_sum_expr``, so the integer state matches
+    the oracle bit-for-bit; pandas' own ``.round()`` is half-even and
+    would diverge on exact .5 micro grid points), the integer state
+    sum is order-free, and the final division is one IEEE op."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    sdf = _read_events_stream(spark, sf_dir).select("user_id", "value")
+    sdf = _read_events_stream(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * SCALE).cast("long").alias("micro")
+    )
 
     def track(key, pdfs, state: GroupState):
         n, micro = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            micro += int((pdf["value"] * SCALE).round().astype("int64").sum())
+            micro += int(pdf["micro"].sum())
         state.update((n, micro))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(micro / SCALE, 6)],
+                "total_value": [micro / SCALE],
             }
         )
 
@@ -317,7 +384,19 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_stream_join", oracle=None, tags=("I-extra", "rows-only"))
+_SS_JOIN_SQL = """
+SELECT p.user_id AS p_user, count(*) AS n_pairs
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY p.user_id
+ORDER BY p_user
+"""
+
+
+@register("stream_stream_join", oracle=_SS_JOIN_SQL, tags=("I-extra",))
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases joined to the same
     user's clicks within the preceding hour, both sides real file
@@ -352,6 +431,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("interval 1 hour")),
     )
     out = _run_to_memory(spark, joined, "ss_join", "append")
+    # SQL-oracled: inner stream-stream joins emit matches as found, and
+    # one availableNow batch sees both sides in full before any
+    # watermark eviction — so the pair set equals the batch interval
+    # join and the per-user counts are deterministic.
     return (
         out.groupBy("p_user")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -359,7 +442,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_incremental_mv", oracle=None, tags=("I-extra", "rows-only"))
+_MV_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {sql_money_sum("value")} AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("stream_incremental_mv", oracle=_MV_SQL, tags=("I-extra",))
 def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance via foreachBatch: each
     micro-batch's partial aggregate merges into a parquet state table
