@@ -460,3 +460,87 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT c_mktsegment, r_name,
+       count(*) AS n_customers,
+       {sql_money_sum("c_acctbal")} AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((c_mktsegment), (r_name))
+ORDER BY c_mktsegment NULLS FIRST, r_name NULLS FIRST
+"""
+
+
+@register("agg_grouping_sets", oracle=_GROUPING_SETS_SQL, tags=("D-extra",))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent group-bys ((segment),
+    (region)) answered in one pass over the join. Spark plans this as
+    a single Expand + partial/final HashAggregate around ONE shuffle,
+    vs two full scans for separate queries — the same dimension-table
+    broadcast star as agg_cube, but with only the requested sets, not
+    the full power set (at 100 TB CUBE over k columns is 2^k sets;
+    GROUPING SETS keeps the Expand factor at exactly what's asked)."""
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.groupingSets(
+            [["c_mktsegment"], ["r_name"]], "c_mktsegment", "r_name"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum_expr(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("r_name").asc_nulls_first(),
+        )
+    )
+
+
+_UNPIVOT_SQL = f"""
+WITH a AS (
+  SELECT l_returnflag,
+         {sql_money_sum("l_quantity")} AS sum_qty,
+         {sql_money_sum("l_extendedprice")} AS sum_price,
+         {sql_money_sum("l_discount")} AS sum_disc,
+         {sql_money_sum("l_tax")} AS sum_tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM a
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+UNION ALL
+SELECT l_returnflag, 'sum_tax', sum_tax FROM a
+ORDER BY l_returnflag, measure
+"""
+
+
+@register("agg_unpivot", oracle=_UNPIVOT_SQL, tags=("D-extra",))
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide → long), the inverse of agg_pivot: four
+    per-flag measure columns become (measure, value) rows. Spark's
+    ``unpivot`` is a zero-shuffle Expand over the already-aggregated
+    (tiny) frame — the aggregation before the melt is the scale move,
+    never melt-then-aggregate (which would 4x the shuffled bytes)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        money_sum_expr(F.col("l_quantity")).alias("sum_qty"),
+        money_sum_expr(F.col("l_extendedprice")).alias("sum_price"),
+        money_sum_expr(F.col("l_discount")).alias("sum_disc"),
+        money_sum_expr(F.col("l_tax")).alias("sum_tax"),
+    )
+    return wide.unpivot(
+        "l_returnflag",
+        ["sum_qty", "sum_price", "sum_disc", "sum_tax"],
+        "measure",
+        "value",
+    ).orderBy("l_returnflag", "measure")

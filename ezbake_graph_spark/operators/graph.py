@@ -562,3 +562,104 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supplier")
     )
+
+
+_SCC_SQL = """
+WITH RECURSIVE trade AS (
+  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+), reach(src, dst) AS (
+  SELECT src, dst FROM trade
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN trade e ON r.dst = e.src
+), verts AS (
+  SELECT DISTINCT src AS v FROM trade
+  UNION SELECT DISTINCT dst FROM trade
+), mutual AS (
+  SELECT a.src AS v, a.dst AS w
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+  UNION
+  SELECT v, v FROM verts
+)
+SELECT v AS nation_id, min(w) AS scc_id
+FROM mutual GROUP BY v ORDER BY nation_id
+"""
+
+
+@register("graph_scc", oracle=_SCC_SQL, tags=("J-extra", "iterative"))
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED nation trade graph
+    (edge c_nation → s_nation when a customer ordered from a supplier,
+    self-loops dropped): SCC id = min nation mutually reachable.
+
+    Computed by iterating the transitive closure to a count fixpoint
+    (extend every reach pair one hop, distinct, repeat until the pair
+    count stops growing), then pairing reach with its transpose for
+    mutual reachability. At data-scale vertex counts the delta rule
+    (join only the NEW pairs per round) cuts each iteration's join
+    input; here the whole reach set is bounded by |nations|², so the
+    simpler full re-extend per round costs the same and avoids
+    anti-join bookkeeping.
+    The heavy, data-proportional work is the 4-table edge derivation —
+    broadcast dims around one keyed orderkey shuffle. The closure runs
+    on the DERIVED graph whose vertex count is the nation-dimension
+    cardinality (bounded, tiny), so the quadratic reach set is safe by
+    construction; for SCC over data-scale vertex sets the right
+    algorithm is forward/backward pivot coloring over the Pregel loop
+    instead, trading closure size for O(#SCC) supersteps. Oracle is
+    the identical fixpoint as a recursive CTE."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    cust_nation = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select(F.col("o_orderkey").alias("ok"), F.col("c_nationkey").alias("src"))
+    supp_nation = li.join(
+        F.broadcast(s), li.l_suppkey == s.s_suppkey
+    ).select(F.col("l_orderkey").alias("ok"), F.col("s_nationkey").alias("dst"))
+    edges = (
+        cust_nation.join(supp_nation, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()  # tiny (≤ |nations|²); truncate the 4-table lineage
+    )
+    reach = edges
+    n_reach = reach.count()
+    while True:
+        extended = (
+            reach.alias("r")
+            .join(edges.alias("e"), F.col("r.dst") == F.col("e.src"))
+            .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
+        )
+        reach = (
+            reach.unionByName(extended).distinct().localCheckpoint()
+        )
+        n_next = reach.count()
+        if n_next == n_reach:
+            break
+        n_reach = n_next
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    mutual = (
+        reach.alias("a")
+        .join(
+            reach.alias("b"),
+            (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+        )
+        .select(F.col("a.src").alias("v"), F.col("a.dst").alias("w"))
+        .unionByName(verts.select(F.col("v"), F.col("v").alias("w")))
+    )
+    return (
+        mutual.groupBy(F.col("v").alias("nation_id"))
+        .agg(F.min("w").alias("scc_id"))
+        .orderBy("nation_id")
+    )

@@ -624,3 +624,39 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_NULL_SAFE_SQL = """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation
+  ON nullif(c_nationkey, 5) IS NOT DISTINCT FROM nullif(n_nationkey, 5)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("join_null_safe", oracle=_NULL_SAFE_SQL, tags=("C-extra",))
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing, the semantics entity-
+    resolution pipelines need when a join key is legitimately absent.
+    The fixture has no NULL keys, so both sides nullify key 5 — the
+    null-safe join must reunite exactly those rows (a plain equi-join
+    would silently drop them, failing the count for nation 5).
+
+    Scale: Spark treats <=> as an equi-join condition (EqualNullSafe
+    is a sargable key, coalescing NULL into the hash), so this plans
+    as a broadcast-hash join, NOT a cartesian + filter — same cost as
+    the plain equi-join."""
+    c = tables.load(spark, sf_dir, "customer").withColumn(
+        "ck", F.expr("nullif(c_nationkey, 5)")
+    )
+    n = tables.load(spark, sf_dir, "nation").withColumn(
+        "nk", F.expr("nullif(n_nationkey, 5)")
+    )
+    return (
+        c.join(F.broadcast(n), c["ck"].eqNullSafe(n["nk"]))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )

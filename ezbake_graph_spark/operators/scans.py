@@ -88,6 +88,33 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORC_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 6) AS s_acctbal
+FROM supplier ORDER BY s_suppkey
+"""
+
+
+@register("scan_orc_roundtrip", oracle=_ORC_SQL, tags=("A2c",))
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read (A2c): the second columnar format a lake must
+    speak. Same vectorized reader + pushdown machinery as parquet on
+    the Spark side; the oracle reads the ORIGINAL parquet table, so
+    the round trip must preserve values exactly (per-row round6 on the
+    one double column is regime-1 deterministic)."""
+    path = os.path.join(_ARTIFACTS, "supplier_orc")
+    s = tables.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 6).alias("s_acctbal"),
+    ).orderBy("s_suppkey")
+
+
 _SINK_SQL = """
 SELECT o_orderstatus, count(*) AS n_orders
 FROM orders

@@ -97,6 +97,7 @@ _SLOW: frozenset[str] = frozenset(
         "stream_stateful",
         "stream_stream_join",
         "stream_incremental_mv",
+        "graph_scc",  # iterative closure loop, ~11s at sf0.01
     }
 )
 
