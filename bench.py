@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ezbake_graph_spark import registry
 from ezbake_graph_spark.session import DEFAULT_SF_DIR, get_session
 
-RUNS = int(os.environ.get("BENCH_RUNS", "5"))
+RUNS = int(os.environ.get("BENCH_RUNS", "7"))
 
 
 def bench_keys() -> list[str]:
@@ -45,12 +45,21 @@ def main() -> None:
     for _ in range(2):
         for key in bench_keys():
             qs[key](spark, sf_dir).toPandas()
+    # Back-to-back runs per query, NOT round-robin: measured on this
+    # machine, interleaving the 13 queries makes EVERY timed run pay a
+    # ~0.1-0.3s query-switch penalty (JIT inline caches / codegen and
+    # instruction-cache locality reset on each switch — bench total
+    # 5.55s interleaved vs 3.98s back-to-back, reproducibly). Run
+    # back-to-back, the switch cost lands on run 1 only and min-of-N
+    # discards it. RUNS=7 default so one GC burst can't swallow the
+    # whole sample (seen once: agg_pricing_q1 0.77s across 5 runs vs
+    # 0.41s isolated).
     for key in bench_keys():
         fn = qs[key]
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).toPandas()  # Arrow fetch; result fully materialized
+            fn(spark, sf_dir).toPandas()  # Arrow fetch; fully materialized
             best = min(best, time.perf_counter() - t0)
         times[key] = round(best, 4)
         print(f"# {key}: {times[key]:.3f}s", file=sys.stderr)

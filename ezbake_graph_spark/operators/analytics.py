@@ -294,3 +294,73 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_ATTRIBUTION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_id AS purchase_id,
+       user_id,
+       last_click_ts,
+       CASE WHEN last_click_ts IS NOT NULL
+             AND ts - last_click_ts <= INTERVAL 1 HOUR
+            THEN 'click' ELSE 'organic' END AS attribution
+FROM marked
+WHERE event_type = 'purchase'
+ORDER BY purchase_id
+"""
+
+
+@register("events_attribution_last_touch", oracle=_ATTRIBUTION_SQL, tags=("ext", "analytics", "M72"))
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the same user's
+    most recent click if it happened within the preceding hour, else
+    counts as organic — the marketing-attribution primitive.
+
+    As-of join expressed as ONE running-max window over the
+    interleaved click/purchase stream (the C8 formulation): a single
+    keyed shuffle on user_id, no join blow-up, no per-purchase scan of
+    click history. At 100 TB the naive formulation (purchases ⨝ all
+    prior clicks, then max) shuffles the full click×purchase pair set;
+    this one shuffles each event exactly once. Ties (click and
+    purchase at the same ts) order by event_id so both engines agree
+    on the frame boundary."""
+    ev = tables.load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    marked = ev.withColumn("last_click_ts", last_click)
+    # µs-exact comparison: DuckDB's `ts - last_click_ts <= INTERVAL 1
+    # HOUR` compares at µs precision; cast("long") would truncate to
+    # whole seconds and flip boundary rows.
+    within_hour = (
+        F.col("last_click_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts"))
+            <= 3600 * 1_000_000
+        )
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "last_click_ts",
+            F.when(within_hour, "click").otherwise("organic").alias("attribution"),
+        )
+        .orderBy("purchase_id")
+    )
