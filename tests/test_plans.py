@@ -135,3 +135,44 @@ def test_cosine_grid_path_has_single_linear_shuffle(spark, no_cache):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_null_safe_join_is_broadcast_hash_not_cartesian(spark, no_cache):
+    """<=> must plan as an equi-join (EqualNullSafe is a sargable key),
+    never a cartesian/nested-loop + filter."""
+    plan = _plan(spark, "join_null_safe")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_grouping_sets_is_one_expand_one_shuffle(spark, no_cache):
+    """GROUPING SETS answers both requested sets in ONE Expand +
+    partial/final aggregate pass — not one scan per set."""
+    plan = _plan(spark, "agg_grouping_sets")
+    plan_exec = plan.split("== Initial Plan ==")[0]
+    assert plan_exec.count("Expand") >= 1
+    # one aggregation shuffle (the broadcast builds are not hash exchanges)
+    assert plan_exec.count("Exchange hashpartitioning") <= 2  # agg + final sort window
+
+
+def test_attribution_shuffles_each_event_once(spark, no_cache):
+    """The running-max window formulation shuffles events once on
+    user_id — no purchase x click join blow-up."""
+    plan = _plan(spark, "events_attribution_last_touch")
+    plan_exec = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan_exec  # window, not join
+    # one keyed exchange for the window + the final presentation sort
+    assert plan_exec.count("Exchange hashpartitioning") == 1
+
+
+def test_unpivot_expands_after_aggregation(spark, no_cache):
+    """Melt runs on the already-aggregated tiny frame: the Expand node
+    sits ABOVE the aggregate, so the shuffle never widens by 4x."""
+    plan = _plan(spark, "agg_unpivot")
+    plan_exec = plan.split("== Initial Plan ==")[0]
+    assert "Expand" in plan_exec
+    # Expand appears after (above) the final HashAggregate in the tree
+    expand_pos = plan_exec.index("Expand")
+    agg_positions = [i for i in range(len(plan_exec)) if plan_exec.startswith("HashAggregate", i)]
+    assert any(expand_pos < p for p in agg_positions)
