@@ -52,21 +52,40 @@ def _fake_decode(payload: bytes) -> tuple[int, float, int]:
     """STUB decode — deterministic fake standing in for an image/audio
     decoder (real decoders are not installed in this container).
     Returns (n_pixels, mean_intensity, checksum16). Raises on empty
-    payloads like a real decoder would on corrupt input."""
+    payloads like a real decoder would on corrupt input. The mean is
+    a single exact-int division (NO round): both engines divide the
+    identical integer pair, so the double is bit-identical."""
     if not payload:
         raise ValueError("empty payload: cannot decode")
     n_pixels = len(payload)
-    mean_intensity = round(sum(payload) / len(payload), 6)
+    mean_intensity = sum(payload) / len(payload)
     checksum16 = sum(payload[:16]) % 65536
     return n_pixels, mean_intensity, checksum16
 
 
-@register("multimodal_decode_stub", oracle=None, tags=("K-extra", "rows-only"))
+_DECODE_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_pixels,
+       CAST(list_aggregate(list_transform(str_split(text, ''), c -> ord(c)),
+                           'sum') AS DOUBLE)
+         / octet_length(encode(text)) AS mean_intensity,
+       CAST(list_aggregate(list_transform(str_split(substr(text, 1, 16), ''),
+                                          c -> ord(c)), 'sum') % 65536
+            AS BIGINT) AS checksum16
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_decode_stub", oracle=_DECODE_SQL, tags=("K-extra",))
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode / feature-extract over binary columns via mapInPandas
     (Arrow batches). The decode itself is the deterministic stub
     above; the batch shape, schema, and partitioning are the real
-    100 TB plumbing."""
+    100 TB plumbing. SQL-oracled: the fixture text is pure ASCII
+    (verified octet_length == length at every SF), so the oracle can
+    recompute byte sums with per-char ord() — the per-doc mean is one
+    exact integer division in both engines."""
     import pandas as pd
 
     d = tables.load(spark, sf_dir, "documents").select(

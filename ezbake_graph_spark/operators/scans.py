@@ -302,3 +302,72 @@ def sink_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(micro).cast("double") / 1_000_000).alias("sum_price"),
         )
     )
+
+
+_ZORDER_SQL = f"""
+SELECT count(*) AS n_events,
+       {sql_money_sum("value")} AS sum_value
+FROM events
+WHERE user_id >= 10 AND user_id < 20
+  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+"""
+
+_Z_BITS = 16
+
+
+def _z_value(x, y):
+    """Interleave the low _Z_BITS of two non-negative int columns into
+    a Morton (Z-curve) key — pure JVM bit ops, codegen-friendly."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@register("sink_zorder_layout", oracle=_ZORDER_SQL, tags=("A3d", "M73"))
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered layout: interleave the bits of the
+    two filter dimensions (user_id, event day) into one sort key, then
+    range-partition + sort + write. Every parquet file then covers a
+    LOCALIZED box in (user, time) space, so its footer min/max let a
+    two-dimensional box query skip files on EITHER dimension — the
+    multi-dim generalization of sink_clustered_layout's single-dim
+    sort, and the standard lakehouse layout lever (Delta/Iceberg
+    OPTIMIZE ZORDER BY) at 100 TB. A single-dim time sort leaves every
+    file spanning the full user range (second-dim stats useless);
+    tests/test_plans.py asserts the written footers skip on BOTH
+    dimensions. The query itself reads the z-ordered copy with both
+    filters pushed down; the oracle computes the same box on the
+    original table, so a mis-layout that loses rows fails the hash."""
+    path = os.path.join(_ARTIFACTS, "events_zorder")
+    ev = tables.load(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+    z = _z_value(F.col("user_id").cast("long"), day.cast("long"))
+    (
+        ev.withColumn("z", z)
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    lo_ts = F.lit("2024-01-10").cast("timestamp")
+    hi_ts = F.lit("2024-01-20").cast("timestamp")
+    micro = F.round(F.col("value") * 1_000_000).cast("long")
+    return (
+        back.filter(
+            (F.col("user_id") >= 10)
+            & (F.col("user_id") < 20)
+            & (F.col("ts") >= lo_ts)
+            & (F.col("ts") < hi_ts)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(micro).cast("double") / 1_000_000).alias("sum_value"),
+        )
+    )

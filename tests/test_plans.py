@@ -176,3 +176,39 @@ def test_unpivot_expands_after_aggregation(spark, no_cache):
     expand_pos = plan_exec.index("Expand")
     agg_positions = [i for i in range(len(plan_exec)) if plan_exec.startswith("HashAggregate", i)]
     assert any(expand_pos < p for p in agg_positions)
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, no_cache):
+    """Z-ordered files must carry footer stats that exclude some files
+    for a box filter on EACH dimension — a single-dim time sort would
+    leave every file spanning the full user range (user stats skip
+    nothing)."""
+    import glob
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+
+    registry.queries()["sink_zorder_layout"](spark, SF_SMOKE).collect()
+    from ezbake_graph_spark.operators.scans import _ARTIFACTS
+
+    files = sorted(glob.glob(os.path.join(_ARTIFACTS, "events_zorder", "*.parquet")))
+    assert len(files) >= 8
+    user_skipped = ts_skipped = 0
+    lo_u, hi_u = 10, 20
+    from datetime import timezone
+
+    lo_t = datetime(2024, 1, 10, tzinfo=timezone.utc)
+    hi_t = datetime(2024, 1, 20, tzinfo=timezone.utc)
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        u_min = min(md.row_group(r).column(idx["user_id"]).statistics.min for r in range(md.num_row_groups))
+        u_max = max(md.row_group(r).column(idx["user_id"]).statistics.max for r in range(md.num_row_groups))
+        t_min = min(md.row_group(r).column(idx["ts"]).statistics.min for r in range(md.num_row_groups))
+        t_max = max(md.row_group(r).column(idx["ts"]).statistics.max for r in range(md.num_row_groups))
+        if u_max < lo_u or u_min >= hi_u:
+            user_skipped += 1
+        if t_max < lo_t or t_min >= hi_t:
+            ts_skipped += 1
+    assert user_skipped > 0, "user_id stats skipped no files — layout not multi-dim"
+    assert ts_skipped > 0, "ts stats skipped no files — layout not multi-dim"
