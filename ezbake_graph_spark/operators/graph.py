@@ -564,6 +564,30 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed nation trade edges (c_nation → s_nation per order line,
+    self-loops dropped): the heavy data-proportional derivation —
+    broadcast dims around one keyed orderkey shuffle — producing a
+    derived graph bounded by the nation-dimension cardinality."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    cust_nation = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select(F.col("o_orderkey").alias("ok"), F.col("c_nationkey").alias("src"))
+    supp_nation = li.join(
+        F.broadcast(s), li.l_suppkey == s.s_suppkey
+    ).select(F.col("l_orderkey").alias("ok"), F.col("s_nationkey").alias("dst"))
+    return (
+        cust_nation.join(supp_nation, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()  # tiny (≤ |nations|²); truncate the 4-table lineage
+    )
+
+
 _SCC_SQL = """
 WITH RECURSIVE trade AS (
   SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
@@ -612,23 +636,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm is forward/backward pivot coloring over the Pregel loop
     instead, trading closure size for O(#SCC) supersteps. Oracle is
     the identical fixpoint as a recursive CTE."""
-    o = tables.load(spark, sf_dir, "orders")
-    c = tables.load(spark, sf_dir, "customer")
-    li = tables.load(spark, sf_dir, "lineitem")
-    s = tables.load(spark, sf_dir, "supplier")
-    cust_nation = o.join(
-        F.broadcast(c), o.o_custkey == c.c_custkey
-    ).select(F.col("o_orderkey").alias("ok"), F.col("c_nationkey").alias("src"))
-    supp_nation = li.join(
-        F.broadcast(s), li.l_suppkey == s.s_suppkey
-    ).select(F.col("l_orderkey").alias("ok"), F.col("s_nationkey").alias("dst"))
-    edges = (
-        cust_nation.join(supp_nation, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint()  # tiny (≤ |nations|²); truncate the 4-table lineage
-    )
+    edges = _nation_trade_edges(spark, sf_dir)
     reach = edges
     n_reach = reach.count()
     while True:
@@ -661,5 +669,86 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         mutual.groupBy(F.col("v").alias("nation_id"))
         .agg(F.min("w").alias("scc_id"))
+        .orderBy("nation_id")
+    )
+
+
+_CLOSENESS_SQL = """
+WITH RECURSIVE trade AS (
+  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+), hop(src, dst, d) AS (
+  SELECT src, dst, 1 FROM trade
+  UNION
+  SELECT h.src, e.dst, h.d + 1
+  FROM hop h JOIN trade e ON h.dst = e.src
+  WHERE h.d < 25
+), dist AS (
+  SELECT src, dst, min(d) AS d FROM hop GROUP BY src, dst
+)
+SELECT src AS nation_id,
+       count(*) AS n_reachable,
+       CAST(sum(CAST(round(1000000.0 / d) AS BIGINT)) AS DOUBLE) / 1000000
+         AS harmonic_centrality
+FROM dist
+WHERE src <> dst
+GROUP BY src
+ORDER BY nation_id
+"""
+
+
+@register("graph_closeness", oracle=_CLOSENESS_SQL, tags=("J-extra", "iterative", "M75"))
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality of the directed nation trade
+    graph: h(v) = Σ_{u reachable, u≠v} 1/d(v,u), computed from
+    all-pairs min-hop distances.
+
+    The APSP loop relaxes (src, dst, d) → min(d) to a fixpoint (pair
+    count and total distance both stable); each reciprocal is rounded
+    to integer micro-units BEFORE the sum so the centrality is an
+    exact order-free integer sum in both engines (a float Σ 1/d would
+    drift with summation order). Distances live on the derived
+    dimension-bounded graph — same scale posture as graph_scc: the
+    data-proportional stage is the edge derivation, not the fixpoint.
+    At data-scale vertex counts, harmonic closeness is estimated with
+    sampled multi-source BFS (Eppstein-Wang) over the Pregel loop
+    rather than exact APSP."""
+    edges = _nation_trade_edges(spark, sf_dir)
+    dist = edges.withColumn("d", F.lit(1))
+    n_pairs, sum_d = 0, 0
+    while True:
+        extended = (
+            dist.alias("r")
+            .join(edges.alias("e"), F.col("r.dst") == F.col("e.src"))
+            .select(
+                F.col("r.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                (F.col("r.d") + 1).alias("d"),
+            )
+        )
+        dist = (
+            dist.unionByName(extended)
+            .groupBy("src", "dst")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+        stats = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("d").alias("s")
+        ).collect()[0]
+        if (stats["n"], stats["s"]) == (n_pairs, sum_d):
+            break
+        n_pairs, sum_d = stats["n"], stats["s"]
+    micro = F.round(F.lit(1_000_000.0) / F.col("d")).cast("long")
+    return (
+        dist.filter(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("nation_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reachable"),
+            (F.sum(micro).cast("double") / 1_000_000).alias("harmonic_centrality"),
+        )
         .orderBy("nation_id")
     )

@@ -371,3 +371,28 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(micro).cast("double") / 1_000_000).alias("sum_value"),
         )
     )
+
+
+_LATERAL_SQL = """
+SELECT c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c_custkey < 100
+ORDER BY c_custkey, o_orderkey
+"""
+
+
+@register("sql_lateral_topn", oracle=_LATERAL_SQL, tags=("A4", "M74"))
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL entry point: top-2
+    orders per customer, the IDENTICAL SQL text in both engines (ties
+    broken by o_orderkey so row choice can't drift). Catalyst
+    decorrelates the lateral into a ranked window over one keyed
+    shuffle (RewriteLateralSubquery + rank pushdown) rather than
+    re-running the subquery per customer row — per-row re-execution
+    is exactly what cannot survive 100 TB."""
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
