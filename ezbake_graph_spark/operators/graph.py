@@ -500,7 +500,7 @@ ORDER BY supplier
 """
 
 
-@register("graph_clustering_coeff", oracle=_CLUSTCOEF_SQL, tags=("ext", "M67"))
+@register("graph_clustering_coeff", oracle=_CLUSTCOEF_SQL, tags=("ext", "M76"))
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per supplier on the co-supplier
     projection (suppliers adjacent when they share a part), over the
