@@ -752,3 +752,89 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_id")
     )
+
+
+def _pagerank_exact_sql() -> str:
+    """Build the 10-step chained-CTE oracle for integer PageRank.
+
+    Standard SQL forbids aggregates in a recursive CTE term, so the
+    FIXED iteration count unrolls into pr0..pr10 — one grouped sum per
+    step, identical integer recurrence as the Spark loop."""
+    steps = []
+    for i in range(10):
+        steps.append(
+            f"pr{i + 1} AS (\n"
+            f"  SELECT s.dst AS id,\n"
+            f"         150000 + (85 * CAST(sum(p.r // d.d) AS BIGINT)) // 100 AS r\n"
+            f"  FROM pr{i} p\n"
+            f"  JOIN deg d ON d.id = p.id\n"
+            f"  JOIN sym s ON s.src = p.id\n"
+            f"  GROUP BY s.dst\n"
+            f")"
+        )
+    return (
+        "WITH edges AS (\n"
+        "  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem\n"
+        "), sym AS (\n"
+        "  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges\n"
+        "), verts AS (\n"
+        "  SELECT DISTINCT src AS id FROM sym\n"
+        "), deg AS (\n"
+        "  SELECT src AS id, count(*) AS d FROM sym GROUP BY src\n"
+        "), pr0 AS (\n"
+        "  SELECT id, CAST(1000000 AS BIGINT) AS r FROM verts\n"
+        "),\n" + ",\n".join(steps) + "\n"
+        "SELECT id, CAST(r AS DOUBLE) / 1000000 AS rank\n"
+        "FROM pr10 ORDER BY id"
+    )
+
+
+@register(
+    "graph_pagerank_exact",
+    oracle=_pagerank_exact_sql(),
+    tags=("J-extra", "iterative", "M77"),
+)
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with a FULL cross-engine value-hash oracle — the
+    float-drift objection to oracling iterative algorithms (SURVEY
+    §5.3 rule 5) dissolved by running the recurrence in pure integer
+    arithmetic: micro-unit ranks, integer floor-division shares,
+    r' = 150000 + (85·Σ shares)//100. No float op exists anywhere in
+    the loop, so summation order cannot matter and both engines
+    produce bit-identical ranks; the one double division happens on
+    output. Costs one quantization of 1e-6 per share per step vs the
+    float version — identical plan shape (per superstep: shares join +
+    grouped sum, the same two keyed shuffles as graph/pregel.py
+    pagerank), so the perf story transfers. 10 fixed supersteps on the
+    symmetrized part-supplier graph; every vertex has degree ≥ 1 by
+    construction, so no dangling-mass term is needed."""
+    edges = bipartite_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    state = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("r", F.lit(1_000_000).cast("long"))
+    )
+    for i in range(10):
+        shares = (
+            state.join(deg, "id")
+            .withColumn("share", F.expr("r div d"))
+            .join(sym, state["id"] == sym["src"])
+            .select(F.col("dst").alias("id"), "share")
+        )
+        state = (
+            shares.groupBy("id")
+            .agg(
+                (
+                    F.lit(150_000)
+                    + F.expr("(85 * sum(share)) div 100")
+                ).alias("r")
+            )
+        )
+        if i % 3 == 2:
+            state = state.localCheckpoint()  # truncate lineage every 3 steps
+    return state.select(
+        "id", (F.col("r").cast("double") / 1_000_000).alias("rank")
+    ).orderBy("id")

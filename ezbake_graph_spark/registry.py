@@ -98,6 +98,7 @@ _SLOW: frozenset[str] = frozenset(
         "stream_stream_join",
         "stream_incremental_mv",
         "graph_scc",  # iterative closure loop, ~11s at sf0.01
+        "graph_pagerank_exact",  # 10 integer supersteps, ~10s at sf0.01
     }
 )
 
