@@ -219,10 +219,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
 
 
-@register("graph_labelprop", oracle=None, tags=("J8", "pregel", "rows-only"))
+def _labelprop_sql(iterations: int = 5) -> str:
+    """Unrolled-CTE oracle for synchronous label propagation: the
+    whole run is integer-deterministic (labels are vertex ids, ties
+    break to the smallest label), so with the iteration count FIXED
+    each superstep is one grouped vote count + one argmax window —
+    no aggregate-in-recursive-term limitation applies."""
+    steps = []
+    for i in range(iterations):
+        steps.append(
+            f"votes{i} AS (\n"
+            f"  SELECT s.dst AS id, p.label, count(*) AS votes\n"
+            f"  FROM lp{i} p JOIN sym s ON s.src = p.id\n"
+            f"  GROUP BY s.dst, p.label\n"
+            f"), lp{i + 1} AS (\n"
+            f"  SELECT id, label FROM (\n"
+            f"    SELECT id, label,\n"
+            f"           row_number() OVER (PARTITION BY id\n"
+            f"                              ORDER BY votes DESC, label ASC) AS rn\n"
+            f"    FROM votes{i}) t WHERE rn = 1\n"
+            f")"
+        )
+    return (
+        "WITH edges AS (\n"
+        "  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem\n"
+        "), sym AS (\n"
+        "  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges\n"
+        "), verts AS (\n"
+        "  SELECT DISTINCT src AS id FROM sym\n"
+        "), lp0 AS (\n"
+        "  SELECT id, id AS label FROM verts\n"
+        "),\n" + ",\n".join(steps) + "\n"
+        f"SELECT id, label FROM lp{iterations} ORDER BY id"
+    )
+
+
+@register("graph_labelprop", oracle=_labelprop_sql(5), tags=("J8", "pregel"))
 def graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label propagation (J8), 5 synchronous supersteps, deterministic
-    min-label tie-break."""
+    min-label tie-break. SQL-oracled (upgraded from rows-only): every
+    quantity in the loop is an integer and the tie-break is total, so
+    the unrolled-CTE oracle reproduces the run bit-for-bit — same
+    argument as graph_pagerank_exact (M77), no quantization needed."""
     edges = bipartite_edges(spark, sf_dir)
     verts = graph_vertices(edges)
     return label_propagation(verts, edges, iterations=5).orderBy("id")
