@@ -450,7 +450,43 @@ def graph_vertex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_kcore", oracle=None, tags=("J-extra", "pregel", "rows-only"))
+def _kcore_sql(steps: int = 8) -> str:
+    """Unrolled-CTE oracle for the h-index core-number fixpoint.
+
+    The iteration is integer-deterministic (H is invariant to the
+    arbitrary row_number order among tied c values: permuting equal
+    values never changes max(min(rn, c))) and monotonically
+    non-increasing, so steps PAST convergence are idempotent. Measured
+    fixpoint: 2/4/5 iterations at sf0.001/0.01/0.1 — 8 unrolled steps
+    overshoot safely; if a future fixture needed more, the verify hash
+    would fail loudly rather than silently drift."""
+    parts = []
+    for i in range(steps):
+        parts.append(
+            f"h{i} AS MATERIALIZED (\n"
+            f"  SELECT id, max(least(rn, c)) AS h FROM (\n"
+            f"    SELECT s.src AS id, p.c,\n"
+            f"           row_number() OVER (PARTITION BY s.src ORDER BY p.c DESC) AS rn\n"
+            f"    FROM sym s JOIN c{i} p ON s.dst = p.id) t\n"
+            f"  GROUP BY id\n"
+            f"), c{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT c.id, least(c.c, h.h) AS c\n"
+            f"  FROM c{i} c JOIN h{i} h ON h.id = c.id\n"
+            f")"
+        )
+    return (
+        "WITH edges AS (\n"
+        "  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem\n"
+        "), sym AS MATERIALIZED (\n"
+        "  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges\n"
+        "), c0 AS MATERIALIZED (\n"
+        "  SELECT src AS id, count(*) AS c FROM sym GROUP BY src\n"
+        "),\n" + ",\n".join(parts) + "\n"
+        f"SELECT id, c FROM c{steps} ORDER BY c DESC, id"
+    )
+
+
+@register("graph_kcore", oracle=_kcore_sql(8), tags=("J-extra", "pregel"))
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core number (degeneracy) per vertex via the distributed h-index
     fixpoint: init c(v)=deg(v); iterate c(v) <- min(c(v), H(neighbor
@@ -459,8 +495,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     number — the classic sequential peeling is inherently serial, this
     formulation is pure keyed shuffles (join + window + agg) per
     superstep, so it scales like any Pregel op. Golden-tested against
-    networkx core_number in tests/test_graph.py (rows-only here: no
-    recursive-CTE equivalent fits DuckDB)."""
+    networkx core_number in tests/test_graph.py, and SQL-oracled
+    (upgraded from rows-only): the fixpoint is integer-deterministic,
+    so an unrolled-CTE overshoot past the measured convergence depth
+    reproduces it exactly (see _kcore_sql)."""
     from ezbake_graph_spark.graph.pregel import core_number
 
     return core_number(bipartite_edges(spark, sf_dir)).orderBy(
@@ -483,14 +521,48 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_sssp", oracle=None, tags=("J-extra", "pregel", "rows-only"))
+def _sssp_sql(steps: int = 8) -> str:
+    """Unrolled-CTE oracle for weighted SSSP: ``steps`` Bellman-Ford
+    relax rounds (distance after round k = shortest path using ≤ k
+    edges). Integer weights → integer distances, and relaxation past
+    the fixpoint is idempotent. Measured fixpoint: 4 rounds at every
+    SF — 8 unrolled rounds overshoot safely; a deeper graph would fail
+    the verify hash loudly, never drift silently."""
+    parts = []
+    for i in range(steps):
+        parts.append(
+            f"d{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT id, min(d) AS d FROM (\n"
+            f"    SELECT id, d FROM d{i}\n"
+            f"    UNION ALL\n"
+            f"    SELECT e.dst AS id, p.d + e.w AS d\n"
+            f"    FROM d{i} p JOIN wedges e ON e.src = p.id) t\n"
+            f"  GROUP BY id\n"
+            f")"
+        )
+    return (
+        "WITH dw AS (\n"
+        "  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst,\n"
+        "         CAST(count(*) AS BIGINT) AS w\n"
+        "  FROM lineitem GROUP BY 1, 2\n"
+        "), wedges AS (\n"
+        "  SELECT src, dst, w FROM dw UNION ALL SELECT dst, src, w FROM dw\n"
+        "), d0 AS (\n"
+        "  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d\n"
+        "),\n" + ",\n".join(parts) + "\n"
+        f"SELECT id, d AS dist FROM d{steps} ORDER BY dist, id"
+    )
+
+
+@register("graph_sssp", oracle=_sssp_sql(8), tags=("J-extra", "pregel"))
 def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source shortest paths from supplier 0 (unified
     id 1). Edge weight = number of lineitem rows per (part, supplier)
     link (an exact integer, so distances are exact and deterministic);
     the graph is treated undirected (both directions carry the same
     weight). Bellman-Ford Pregel loop; golden-tested against Python
-    Dijkstra at sf0.001."""
+    Dijkstra at sf0.001, and SQL-oracled (upgraded from rows-only) via
+    unrolled relax rounds — see _sssp_sql."""
     from ezbake_graph_spark.graph.pregel import shortest_paths_weighted
 
     li = tables.load(spark, sf_dir, "lineitem")
