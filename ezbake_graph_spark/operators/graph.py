@@ -948,3 +948,93 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "id", (F.col("r").cast("double") / 1_000_000).alias("rank")
     ).orderBy("id")
+
+
+def _ppr_exact_sql(seed: int = 1, iterations: int = 10) -> str:
+    """Unrolled-CTE oracle for exact-integer personalized PageRank:
+    identical recurrence to _pagerank_exact_sql except the teleport
+    term lands ONLY on the seed vertex (150000 there, 0 elsewhere),
+    so rank mass measures proximity to the seed."""
+    steps = []
+    for i in range(iterations):
+        steps.append(
+            f"pr{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT v.id,\n"
+            f"         CASE WHEN v.id = {seed} THEN 150000 ELSE 0 END\n"
+            f"           + (85 * CAST(coalesce(m.acc, 0) AS BIGINT)) // 100 AS r\n"
+            f"  FROM verts v LEFT JOIN (\n"
+            f"    SELECT s.dst AS id, sum(p.r // d.d) AS acc\n"
+            f"    FROM pr{i} p\n"
+            f"    JOIN deg d ON d.id = p.id\n"
+            f"    JOIN sym s ON s.src = p.id\n"
+            f"    WHERE p.r > 0\n"
+            f"    GROUP BY s.dst) m ON m.id = v.id\n"
+            f")"
+        )
+    return (
+        "WITH edges AS (\n"
+        "  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem\n"
+        "), sym AS MATERIALIZED (\n"
+        "  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges\n"
+        "), verts AS MATERIALIZED (\n"
+        "  SELECT DISTINCT src AS id FROM sym\n"
+        "), deg AS MATERIALIZED (\n"
+        "  SELECT src AS id, count(*) AS d FROM sym GROUP BY src\n"
+        "), pr0 AS (\n"
+        f"  SELECT id, CASE WHEN id = {seed} THEN CAST(1000000 AS BIGINT)\n"
+        "              ELSE CAST(0 AS BIGINT) END AS r FROM verts\n"
+        "),\n" + ",\n".join(steps) + "\n"
+        f"SELECT id, CAST(r AS DOUBLE) / 1000000 AS rank\n"
+        f"FROM pr{iterations} WHERE r > 0 ORDER BY rank DESC, id"
+    )
+
+
+@register(
+    "graph_ppr_exact",
+    oracle=_ppr_exact_sql(seed=1, iterations=10),
+    tags=("J-extra", "iterative", "M78"),
+)
+def graph_ppr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from supplier 0 (unified id 1) in the
+    same pure-integer regime as graph_pagerank_exact (M77): teleport
+    mass returns only to the seed, shares are integer floor divisions,
+    so both engines produce bit-identical micro-ranks — proximity
+    scoring with a full value-hash oracle. Vertices never reached keep
+    rank 0 and are filtered, mirroring sparse PPR at scale (frontier
+    stays small; state ∝ touched vertices, not |V|)."""
+    edges = bipartite_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    verts = sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    state = verts.withColumn(
+        "r",
+        F.when(F.col("id") == 1, F.lit(1_000_000)).otherwise(F.lit(0)).cast("long"),
+    )
+    for i in range(10):
+        acc = (
+            state.filter(F.col("r") > 0)
+            .join(deg, "id")
+            .withColumn("share", F.expr("r div d"))
+            .join(sym, F.col("id") == sym["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("share").alias("acc"))
+        )
+        state = (
+            verts.join(acc, "id", "left")
+            .select(
+                "id",
+                (
+                    F.when(F.col("id") == 1, F.lit(150_000)).otherwise(F.lit(0))
+                    + F.expr("(85 * coalesce(acc, 0)) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+        if i % 3 == 2:
+            state = state.localCheckpoint()
+    return (
+        state.filter(F.col("r") > 0)
+        .select("id", (F.col("r").cast("double") / 1_000_000).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+    )

@@ -99,6 +99,7 @@ _SLOW: frozenset[str] = frozenset(
         "stream_incremental_mv",
         "graph_scc",  # iterative closure loop, ~11s at sf0.01
         "graph_pagerank_exact",  # 10 integer supersteps, ~10s at sf0.01
+        "graph_ppr_exact",  # same shape, ~10s at sf0.01
     }
 )
 
