@@ -285,3 +285,42 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_STRUCT_SQL = """
+SELECT o_orderkey,
+       o_orderstatus AS status,
+       round(o_totalprice, 6) AS price,
+       CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'normal' END AS tier
+FROM orders WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
+@register("scalar_struct", oracle=_STRUCT_SQL, tags=("H-extra",))
+def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (nested record) construction and field access: pack
+    columns into a struct, compute over it, unpack fields for output.
+    The struct never leaves the JVM (codegen'd named_struct +
+    GetStructField), and the OUTPUT is flat scalars — nested types
+    stringify differently across engines (Spark Row vs DuckDB map), so
+    flat extraction is also the hash-stable form. This is the
+    dynamic-property-bag shape (SURVEY §1.2) the reference's property
+    graph carries per vertex/edge."""
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    packed = o.withColumn(
+        "props",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        ),
+    ).withColumn(
+        "tier",
+        F.when(F.col("props.price") > 200000, "high").otherwise("normal"),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("props.status").alias("status"),
+        F.round(F.col("props.price"), 6).alias("price"),
+        "tier",
+    ).orderBy("o_orderkey")

@@ -396,3 +396,48 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables.load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     tables.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+_COMPACTION_SQL = """
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000 AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("sink_compaction", oracle=_COMPACTION_SQL, tags=("A3e", "M79"))
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance operator: a
+    fragmented table (64 tiny files, the classic streaming-ingest
+    artifact) is rewritten into size-targeted files via coalesce
+    (narrow, no shuffle — compaction must not pay a shuffle just to
+    merge files). At 100 TB this is OPTIMIZE/rewriteDataFiles: small
+    files destroy scan throughput (footer+open cost per file, tiny
+    row groups defeat vectorization), and compaction restores
+    ~128 MB-1 GB files. The oracle checks the rewrite lost/duplicated
+    NOTHING (count + exact money sum per flag on the read-back);
+    tests/test_plans.py asserts the file count actually dropped."""
+    frag = os.path.join(_ARTIFACTS, "lineitem_fragmented")
+    compact = os.path.join(_ARTIFACTS, "lineitem_compacted")
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    frag_df = spark.read.parquet(frag)
+    target_files = max(1, sum(
+        f.stat().st_size for f in __import__("pathlib").Path(frag).glob("*.parquet")
+    ) >> 23)  # ~8 MB target per file at test scale; 128 MB-1 GB in prod
+    frag_df.coalesce(target_files).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    micro = F.round(F.col("l_extendedprice") * 1_000_000).cast("long")
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(micro).cast("double") / 1_000_000).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -118,8 +118,9 @@ def _ordered_specs() -> list[QuerySpec]:
     2. green Pregel (graph_wcc / graph_bfs)  — keep the two flagship
        iterative algorithms with a current row, budget permitting
     3. green, everything else                — cheap re-verification
-    4. never-green Pregel fixpoints          — tens of seconds each,
-       rows-only: strictly last
+    4. never-green Pregel fixpoints          — tens of seconds each
+       (several now carry SQL oracles — labelprop/kcore/sssp — but
+       their cost still argues for the tail): strictly last
     """
     green = _driver_green()
 

@@ -212,3 +212,19 @@ def test_zorder_layout_skips_on_both_dimensions(spark, no_cache):
             ts_skipped += 1
     assert user_skipped > 0, "user_id stats skipped no files — layout not multi-dim"
     assert ts_skipped > 0, "ts stats skipped no files — layout not multi-dim"
+
+
+def test_compaction_reduces_file_count_without_shuffle(spark, no_cache):
+    """Compaction must actually merge files (64 fragments → few
+    size-targeted files) and must do it with coalesce (no Exchange —
+    a shuffle just to merge files is the anti-pattern)."""
+    import glob
+
+    df = registry.queries()["sink_compaction"](spark, SF_SMOKE)
+    df.collect()
+    from ezbake_graph_spark.operators.scans import _ARTIFACTS
+
+    frag = glob.glob(os.path.join(_ARTIFACTS, "lineitem_fragmented", "*.parquet"))
+    compact = glob.glob(os.path.join(_ARTIFACTS, "lineitem_compacted", "*.parquet"))
+    assert len(frag) == 64
+    assert len(compact) < len(frag) // 4, (len(frag), len(compact))
