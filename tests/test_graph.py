@@ -219,3 +219,79 @@ def test_ppr_golden(spark):
     assert set(got) == set(ref)
     for v, r in ref.items():
         assert abs(got[v] - r) < 1e-9, (v, got[v], r)
+
+
+def test_scc_golden_networkx(spark):
+    """graph_scc must equal networkx strongly_connected_components on
+    the same derived nation digraph."""
+    import networkx as nx
+
+    from ezbake_graph_spark import registry
+    from ezbake_graph_spark.operators.graph import _nation_trade_edges
+
+    edges = [(r["src"], r["dst"]) for r in _nation_trade_edges(spark, SF_SMOKE).collect()]
+    g = nx.DiGraph(edges)
+    ref = {}
+    for comp in nx.strongly_connected_components(g):
+        label = min(comp)
+        for v in comp:
+            ref[v] = label
+    got = {
+        r["nation_id"]: r["scc_id"]
+        for r in registry.queries()["graph_scc"](spark, SF_SMOKE).collect()
+    }
+    assert got == ref
+
+
+def test_closeness_golden_networkx(spark):
+    """Harmonic centrality (outgoing distances) vs networkx on the
+    nation digraph; micro-quantization of each 1/d costs < 1e-3."""
+    import networkx as nx
+
+    from ezbake_graph_spark import registry
+    from ezbake_graph_spark.operators.graph import _nation_trade_edges
+
+    edges = [(r["src"], r["dst"]) for r in _nation_trade_edges(spark, SF_SMOKE).collect()]
+    g = nx.DiGraph(edges)
+    # our h(v) sums 1/d over OUTGOING shortest paths = nx harmonic
+    # centrality of the reversed graph
+    ref = nx.harmonic_centrality(g.reverse())
+    got = {
+        r["nation_id"]: r["harmonic_centrality"]
+        for r in registry.queries()["graph_closeness"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) <= set(ref)
+    worst = max(abs(got[k] - ref[k]) for k in got)
+    assert worst < 1e-3, f"max |Δh| = {worst}"
+
+
+def test_pagerank_exact_semantics(spark):
+    """The integer-arithmetic PageRank must track the float recurrence
+    it quantizes: same formula run in floats for the same 10 steps,
+    agreement within the accumulated quantization error (≤ ~1e-3 of a
+    1.0-mean rank per step's 1e-6 grid and floor-div loss)."""
+    from collections import defaultdict
+
+    from ezbake_graph_spark import registry
+    from ezbake_graph_spark.operators.graph import bipartite_edges
+
+    e = [(r["src"], r["dst"]) for r in bipartite_edges(spark, SF_SMOKE).collect()]
+    sym = e + [(b, a) for a, b in e]
+    out = defaultdict(list)
+    for a, b in sym:
+        out[a].append(b)
+    rank = {v: 1.0 for v in out}
+    for _ in range(10):
+        acc = defaultdict(float)
+        for u, nbrs in out.items():
+            share = rank[u] / len(nbrs)
+            for v in nbrs:
+                acc[v] += share
+        rank = {v: 0.15 + 0.85 * acc[v] for v in out}
+    got = {
+        r["id"]: r["rank"]
+        for r in registry.queries()["graph_pagerank_exact"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(rank)
+    worst = max(abs(got[k] - rank[k]) for k in got)
+    assert worst < 1e-3, f"max |Δrank| = {worst}"
