@@ -544,3 +544,28 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     ).orderBy("l_returnflag", "measure")
+
+
+@register("agg_sketch_merge", oracle=None, tags=("D-extra", "rows-only", "M81"))
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable-sketch rollup — THE 100 TB distinct-count
+    pattern: build one HLL sketch per partition scope (here per order
+    status), then union-merge sketches into the global estimate
+    without ever re-touching the raw data. Sketches are small (~KB),
+    associative, and mergeable, so a daily/per-partition sketch table
+    answers any cross-scope distinct question with a KB-sized merge —
+    re-scanning 100 TB for each ad-hoc distinct query is the
+    anti-pattern this replaces. Rows-only by design (sketch estimates
+    are engine-specific; SURVEY §5.3 rule 5); the merged estimate is
+    invariant-tested against the exact distinct in
+    tests/test_aggregates.py."""
+    o = tables.load(spark, sf_dir, "orders")
+    per_scope = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    merged = per_scope.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_customers"),
+        F.sum("n_orders").alias("n_orders"),
+    )
+    return merged

@@ -107,3 +107,19 @@ def test_intersect_all_bag_semantics(spark):
         {k: min(c, right[k]) for k, c in left.items() if k in right}
     )
     assert got == want
+
+
+def test_sketch_merge_tracks_exact_distinct(spark):
+    """The union-merged HLL estimate must track the exact distinct
+    count within HLL's error envelope (lgConfigK=12 → ~1.6% σ; allow
+    5%)."""
+    from ezbake_graph_spark import registry, tables
+    from tests.conftest import SF_SMOKE
+
+    row = registry.queries()["agg_sketch_merge"](spark, SF_SMOKE).collect()[0]
+    exact = (
+        tables.load(spark, SF_SMOKE, "orders")
+        .select("o_custkey").distinct().count()
+    )
+    assert abs(row["est_distinct_customers"] - exact) <= max(2, 0.05 * exact)
+    assert row["n_orders"] == tables.load(spark, SF_SMOKE, "orders").count()
