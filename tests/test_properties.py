@@ -145,3 +145,57 @@ def test_nested_ntz_guard_recursive_walk():
     # a column *named* timestamp_ntz must not trip the guard
     named = T.StructType([T.StructField("timestamp_ntz", T.StringType())])
     assert not _has_ntz(named)
+
+
+def test_zorder_morton_key_roundtrip():
+    """The Morton interleave must be invertible (no bit collisions):
+    de-interleaving the z-value recovers both coordinates for random
+    16-bit inputs — the property that makes footer ranges meaningful."""
+    from hypothesis import given, strategies as st
+
+    from ezbake_graph_spark.operators.scans import _Z_BITS
+
+    def z_py(x: int, y: int) -> int:
+        z = 0
+        for i in range(_Z_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    def unz_py(z: int) -> tuple[int, int]:
+        x = y = 0
+        for i in range(_Z_BITS):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    @given(
+        st.integers(min_value=0, max_value=(1 << _Z_BITS) - 1),
+        st.integers(min_value=0, max_value=(1 << _Z_BITS) - 1),
+    )
+    def check(x, y):
+        assert unz_py(z_py(x, y)) == (x, y)
+
+    check()
+
+
+def test_zorder_spark_expr_matches_python(spark):
+    """The JVM bit-op expression in sink_zorder_layout computes the
+    same Morton key as the reference Python implementation."""
+    from pyspark.sql import functions as F
+
+    from ezbake_graph_spark.operators.scans import _Z_BITS, _z_value
+
+    def z_py(x: int, y: int) -> int:
+        z = 0
+        for i in range(_Z_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(0, 0), (1, 0), (0, 1), (1499, 29), (65535, 65535), (1234, 4321)]
+    df = spark.createDataFrame(pairs, "x long, y long").withColumn(
+        "z", _z_value(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r["z"] == z_py(r["x"], r["y"]), (r["x"], r["y"])
