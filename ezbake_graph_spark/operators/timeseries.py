@@ -342,3 +342,36 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value"),
         F.col("micro").isNull().alias("interpolated"),
     )
+
+
+_SCD2_SQL = """
+SELECT user_id,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       round(value, 6) AS value
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY user_id, valid_from
+"""
+
+
+@register("ts_scd2_intervals", oracle=_SCD2_SQL, tags=("ext", "M82"))
+def ts_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) interval construction:
+    turn a changelog into [valid_from, valid_to) validity rows — each
+    record's valid_to is the next change's timestamp, NULL marks the
+    current version. One lead() window per entity key = one keyed
+    shuffle, linear at any scale; this is how a 100 TB dimension
+    history is built from CDC events without self-joins (the
+    join-based formulation is quadratic per hot key). Ties order by
+    event_id so both engines pick identical interval boundaries."""
+    ev = tables.load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.round("value", 6).alias("value"),
+    ).orderBy("user_id", "valid_from")
