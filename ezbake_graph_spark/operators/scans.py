@@ -441,3 +441,32 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_TEXT_SQL = """
+SELECT count(*) AS n_lines,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       min(length(text)) AS min_len,
+       max(length(text)) AS max_len
+FROM documents
+"""
+
+
+@register("scan_text_roundtrip", oracle=_TEXT_SQL, tags=("A2d", "M83"))
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-lines write → read (A2d): one document per line, the
+    rawest LLM-corpus interchange format (`spark.read.text` is how a
+    100 TB crawl dump enters the pipeline before any schema exists).
+    Line order is not preserved across writers, so the oracle compares
+    order-free aggregates of the read-back against the original table
+    — a lost or truncated line fails the count/char-sum."""
+    path = os.path.join(_ARTIFACTS, "documents_text")
+    d = tables.load(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)  # one column: value
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
