@@ -660,3 +660,76 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("n_name")
     )
+
+
+_ASOF_FWD_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+), purch AS (
+  SELECT event_id, user_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+       c.ts AS next_click_ts, c.click_value AS next_click_value
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+ORDER BY p.event_id
+"""
+
+
+@register("join_asof_forward", oracle=_ASOF_FWD_SQL, tags=("C8b", "M84"))
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (C8b): each purchase ↔ the EARLIEST click
+    at-or-after it, per user — the look-ahead direction (next
+    treatment after exposure, next error after deploy). Mirror of C8:
+    tagged union, one sort per user partition, running
+    ``first(..., ignorenulls)`` over the FOLLOWING frame. At equal ts
+    the purchase sorts before the click so an exactly-simultaneous
+    click qualifies, matching the oracle's ``p.ts <= c.ts``. Same
+    single-keyed-shuffle linear shape as C8."""
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            "click_value",
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("kind") == 1, F.col("ts"))
+    click_val = F.when(F.col("kind") == 1, F.col("click_value"))
+    return (
+        clicks.unionByName(purch)
+        .withColumn("next_click_ts", F.first(click_ts, ignorenulls=True).over(w))
+        .withColumn("next_click_value", F.first(click_val, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "purchase_value",
+            "next_click_ts",
+            "next_click_value",
+        )
+        .orderBy("event_id")
+    )
