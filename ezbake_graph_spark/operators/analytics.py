@@ -364,3 +364,79 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("purchase_id")
     )
+
+
+_SESSION_STATS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_ev,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(n_ev) AS BIGINT) AS n_events,
+       CAST(sum(n_ev) AS DOUBLE) / count(*) AS avg_session_events,
+       CAST(sum(dur_us) AS DOUBLE) / 1000000 / count(*) AS avg_session_secs
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_session_stats", oracle=_SESSION_STATS_SQL, tags=("ext", "analytics", "M88"))
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session statistics: sessionize on the strict 30-min gap
+    (identical gaps-and-islands kernel as events_funnel_paths /
+    stream_session), then two keyed aggregations — per-session
+    (count + µs duration) and per-user (session count, totals,
+    averages). The engagement-summary shape every event pipeline runs.
+
+    Exactness: durations are integer µs (max-min of µs instants), so
+    every sum is exact; the two averages are single IEEE divisions of
+    exact integers — deterministic in both engines with no rounding.
+    Scale: one keyed shuffle for the sessionize window, then the
+    per-session and per-user aggregates reuse the same user_id
+    partitioning (no extra exchange: groupBy(user_id, session_id) and
+    groupBy(user_id) are both co-partitioned with the window)."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+        .over(run)
+        .alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
+            (F.sum("n_ev").cast("double") / F.count(F.lit(1))).alias(
+                "avg_session_events"
+            ),
+            (
+                F.sum("dur_us").cast("double") / 1_000_000 / F.count(F.lit(1))
+            ).alias("avg_session_secs"),
+        )
+        .orderBy("user_id")
+    )

@@ -113,3 +113,50 @@ def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_orderkey", "l_linenumber")
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     )
+
+
+_TEMPERATURE_SQL = """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+     m AS (SELECT min(n) AS mn FROM counts)
+SELECT d.lang, d.doc_id
+FROM documents d JOIN counts c ON d.lang = c.lang, m
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+    * ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+    * c.n < m.mn * 4294967296
+ORDER BY d.lang, d.doc_id
+"""
+
+
+@register("sample_temperature_mix", oracle=_TEMPERATURE_SQL, tags=("ext", "sampling", "M85"))
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened corpus mixing (alpha = 0.5): sample each
+    language at rate sqrt(min_count / n_lang), so over-represented
+    languages are downsampled toward the smallest one — the standard
+    multilingual-corpus rebalancing knob (alpha=1 keeps natural
+    proportions, alpha=0 equalizes; sqrt is the midpoint used by
+    multilingual LM data recipes).
+
+    Engine-independent exactness: selection is the pure integer
+    predicate h^2 * n < min_count * 2^32 with h = first-16-bits of
+    md5(doc_id) — i.e. keep iff (h/2^16)^2 < min/n, a deterministic
+    uniform draw at rate sqrt(min/n) with NO float sqrt or RNG anywhere
+    (both engines agree bit-for-bit, full value-hash oracle; contrast
+    sample_bernoulli's engine-specific RNG).
+
+    Scale: two tiny aggregates (per-lang counts, global min) broadcast
+    into a map-side filter over the corpus — one pass, no shuffle of
+    the documents themselves; the assignment is stable under re-runs,
+    appends, and repartitioning, like all hash-keyed sampling here."""
+    d = tables.load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(F.min("n").alias("mn"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(m))
+        .filter(h * h * F.col("n") < F.col("mn") * F.lit(4294967296))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

@@ -375,3 +375,82 @@ def ts_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.round("value", 6).alias("value"),
     ).orderBy("user_id", "valid_from")
+
+
+_LOCF_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) lo, date_trunc('hour', max(ts)) hi FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), hourly AS (
+  SELECT event_type t, date_trunc('hour', ts) h,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS sum_micro
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, hour_start, sum_micro
+  FROM hours CROSS JOIN types
+  LEFT JOIN hourly ON hour_start = h AND event_type = t
+)
+SELECT event_type, hour_start,
+       CAST(last_value(sum_micro IGNORE NULLS)
+              OVER (PARTITION BY event_type ORDER BY hour_start
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000
+         AS carried_sum,
+       (sum_micro IS NULL) AS carried
+FROM spine
+ORDER BY event_type, hour_start
+"""
+
+
+@register("ts_locf", oracle=_LOCF_SQL, tags=("ext", "timeseries", "M89"))
+def ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward resample: the dense hourly
+    spine per event type (same construction as ts_gapfill), with each gap
+    hour carrying the most recent observed hourly sum instead of zero
+    — the step-function fill for state-like metrics (a gauge keeps its
+    last reading; contrast ts_gapfill's zero-fill for counters and
+    ts_interpolate's linear blend). First-hours before any observation
+    stay NULL — LOCF has nothing to carry, and inventing 0 would be a
+    lie the oracle hash could not distinguish from real data.
+
+    Exactness: the carried metric is an exact integer micro-sum; the
+    fill is a last-IGNORE-NULLS window over the unique hour order —
+    pure value transport, no arithmetic — and the final /1e6 is one
+    IEEE division. Scale: spine explode + one keyed shuffle to the
+    (type) window; the spine is |types| x |hours| rows, trivial beside
+    the event scan."""
+    ev = tables.load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour_start"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    hourly = ev.groupBy(
+        F.col("event_type").alias("t"), F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("sum_micro"))
+    spine = hours.crossJoin(types)
+    joined = spine.join(
+        hourly,
+        (spine.hour_start == hourly.h) & (spine.event_type == hourly.t),
+        "left",
+    ).select("event_type", "hour_start", "sum_micro")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour_start",
+        (
+            F.last("sum_micro", ignorenulls=True).over(w).cast("double") / 1_000_000
+        ).alias("carried_sum"),
+        F.col("sum_micro").isNull().alias("carried"),
+    ).orderBy("event_type", "hour_start")

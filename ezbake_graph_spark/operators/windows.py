@@ -356,3 +356,48 @@ def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(2000)
     )
+
+
+_ROLLING_MEDIAN_SQL = """
+SELECT event_id,
+       quantile_cont(CAST(round(value * 1000000) AS BIGINT), 0.5)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 1000000
+         AS med_7
+FROM events
+ORDER BY event_id
+LIMIT 2000
+"""
+
+
+@register("win_rolling_median", oracle=_ROLLING_MEDIAN_SQL, tags=("E4c", "M87"))
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median (E4c): per-user trailing-7-row median of the
+    event value — the robust-statistics smoother (median absolute
+    filters shrug off the outliers that wreck rolling means). Planned
+    as one keyed shuffle + per-partition sort, then a WindowExec whose
+    aggregate is ``percentile`` over the frame. Exactness: the frame
+    holds integer micro-units, and a median of integers is either an
+    element or the midpoint of two (x.5 micro) — exact in double either
+    way, and Spark's ``percentile`` and DuckDB's ``quantile_cont`` use
+    the same (n-1)*p linear interpolation, so no rounding is needed.
+    At 100 TB a rank-based window over a frame is O(frame log frame)
+    per row in both engines; the per-user keyed shuffle is the only
+    data movement."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    micro = F.round(F.col("value") * SCALE).cast("long")
+    return (
+        ev.select(
+            "event_id",
+            (F.expr(
+                f"percentile(CAST(round(value * {SCALE}) AS BIGINT), 0.5)"
+            ).over(w) / SCALE).alias("med_7"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )
