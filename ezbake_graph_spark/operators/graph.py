@@ -14,7 +14,7 @@ lineage checkpointing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ezbake_graph_spark import tables
@@ -1038,3 +1038,121 @@ def graph_ppr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", (F.col("r").cast("double") / 1_000_000).alias("rank"))
         .orderBy(F.col("rank").desc(), "id")
     )
+
+
+_WALK_STEPS = 4
+
+
+def _random_walk_sql(steps: int = _WALK_STEPS) -> str:
+    """Unrolled fixpoint CTE: one hop per step, neighbor picked by the
+    same md5-derived index as the Spark loop."""
+    parts = [
+        """
+WITH base AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         'p' || CAST(l_partkey AS VARCHAR) AS dst FROM base
+  UNION ALL
+  SELECT 'p' || CAST(l_partkey AS VARCHAR),
+         's' || CAST(l_suppkey AS VARCHAR) FROM base
+),
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM edges
+),
+step0 AS (
+  SELECT 2 * l_suppkey + w AS walk_id,
+         's' || CAST(l_suppkey AS VARCHAR) AS node
+  FROM (SELECT DISTINCT l_suppkey FROM lineitem),
+       (SELECT unnest(range(2)) AS w)
+)"""
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f""",
+step{t} AS (
+  SELECT s.walk_id, r.dst AS node
+  FROM step{t - 1} s JOIN ranked r ON r.src = s.node
+   AND r.rnk = 1 + (('0x' || substr(md5(
+         CAST(s.walk_id AS VARCHAR) || '-{t}-' || s.node), 1, 4))::BIGINT
+       % r.deg)
+)"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, node FROM step{t}" for t in range(steps + 1)
+    )
+    parts.append(f"\nSELECT walk_id, step, node FROM ({unions})\n")
+    parts.append("ORDER BY walk_id, step")
+    return "".join(parts)
+
+
+@register("graph_random_walk", oracle=_random_walk_sql(), tags=("J-extra", "M92"))
+def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks (the DeepWalk/node2vec sampling
+    primitive — walk corpora are what graph-embedding trainers consume)
+    on the supplier-part bipartite graph: 2 walks per supplier, 4 hops,
+    the next hop chosen by indexing the neighbor list (ranked by dst)
+    with the first 16 bits of md5(walk_id, step, node) mod degree.
+
+    Hash-indexed selection replaces RNG: every engine — and every
+    re-run, on any partitioning — picks the identical neighbor, so an
+    inherently "random" sampling operator still gets a full value-hash
+    oracle (4 unrolled CTE hops on the DuckDB side).
+
+    Scale: the ranked adjacency (rank + degree via one keyed window) is
+    built once; each hop is one equi-join of the walk frontier against
+    it, keyed on the current node — frontier size stays constant
+    (#walks), so a W-step walk is W keyed shuffles of #walks rows, not
+    a blowup. At 100 TB: partition the adjacency by src once (it is
+    reused every hop) and the frontier joins co-locate; this is the
+    same reuse discipline as graph/pregel.py."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    base = li.select("l_suppkey", "l_partkey").distinct()
+    s_node = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    p_node = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    edges = base.select(s_node.alias("src"), p_node.alias("dst")).unionByName(
+        base.select(p_node.alias("src"), s_node.alias("dst"))
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = edges.select(
+        "src",
+        "dst",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+    )
+    starts = (
+        li.select("l_suppkey")
+        .distinct()
+        .crossJoin(spark.range(2).select(F.col("id").alias("w")))
+    )
+    state = starts.select(
+        (F.col("l_suppkey") * 2 + F.col("w")).alias("walk_id"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("node"),
+    )
+    out = state.withColumn("step", F.lit(0))
+    for t in range(1, _WALK_STEPS + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("walk_id").cast("string"),
+                        F.lit(f"-{t}-"),
+                        F.col("node"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        nxt = (
+            state.join(ranked, state.node == ranked.src)
+            .filter(F.col("rnk") == 1 + (h % F.col("deg")))
+            .select("walk_id", F.col("dst").alias("node"))
+        )
+        out = out.unionByName(nxt.withColumn("step", F.lit(t)))
+        state = nxt
+    return out.select("walk_id", "step", "node").orderBy("walk_id", "step")

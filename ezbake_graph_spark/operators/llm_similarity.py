@@ -569,3 +569,83 @@ def embed_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: x.cast("double") / F.col("l2_norm")
         ).alias("unit"),
     ).orderBy("vec_id")
+
+
+_RP_BITS = 16
+_RP_DIM = 64
+
+_RP_SKETCH_SQL = f"""
+WITH w AS (
+  SELECT b, j,
+         ('0x' || substr(md5(b || '-' || j), 1, 4))::BIGINT - 32768 AS wt
+  FROM (SELECT unnest(range({_RP_BITS})) AS b),
+       (SELECT unnest(range({_RP_DIM})) AS j)
+), e AS (
+  SELECT vec_id, j,
+         CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM embeddings, (SELECT unnest(range({_RP_DIM})) AS j)
+), dots AS (
+  SELECT vec_id, b, sum(wt * x) AS dot
+  FROM e JOIN w USING (j)
+  GROUP BY vec_id, b
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
+FROM dots
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+def _rp_weights() -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes: wt(b, j) = first 16
+    bits of md5(f"{b}-{j}") - 2^15 — the same integers the oracle
+    derives in SQL, so no RNG state crosses the engine boundary."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{b}-{j}".encode()).hexdigest()[:4], 16) - 32768
+            for j in range(_RP_DIM)
+        ]
+        for b in range(_RP_BITS)
+    ]
+
+
+@register("sim_rp_sketch", oracle=_RP_SKETCH_SQL, tags=("ext", "M90"))
+def sim_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) sketch: each vector is
+    compressed to a 16-bit signature whose b-th bit is the sign of a
+    dot product with a fixed pseudo-random hyperplane. Collision
+    probability per bit is 1 - theta/pi (Goemans-Williamson / Charikar
+    LSH), so equal or near-equal signatures are the candidate filter
+    for cosine similarity search: 2 BYTES per vector stand in for 256
+    bytes of floats — at 100 TB the sketch table fits in memory and
+    candidate generation is a groupBy(sig) bucket join (multi-probe:
+    also probe signatures at hamming distance 1), with the exact
+    kernel (sim_cosine_topk's matmul) re-scoring only candidates.
+
+    This is the sketch-build stage, value-hash-oracled end to end:
+    hyperplane weights are integers derived from md5 (identical in
+    both engines — no RNG), embeddings enter as exact micro-units, so
+    every dot product is exact integer arithmetic and the sign can
+    never flip between engines. The plan is pure map-side JVM
+    (zip_with + aggregate lambdas fused into codegen, no Python, no
+    explode, no shuffle until the final orderBy)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * SCALE).cast("long")
+    )
+    df = emb.withColumn("m", micro)
+    sig = F.lit(0).cast("long")
+    for b, wts in enumerate(_rp_weights()):
+        warr = F.array(*[F.lit(w).cast("long") for w in wts])
+        dot = F.aggregate(
+            F.zip_with("m", warr, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.select("vec_id", sig.alias("sig")).orderBy("vec_id")

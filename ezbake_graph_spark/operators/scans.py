@@ -470,3 +470,51 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("value")).alias("min_len"),
         F.max(F.length("value")).alias("max_len"),
     )
+
+
+_DPP_SQL = f"""
+SELECT event_type, count(*) AS n_events,
+       {sql_money_sum("value")} AS sum_value
+FROM events
+WHERE length(event_type) >= 6
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("join_dpp_partitioned", oracle=_DPP_SQL, tags=("A3f", "M86", "join"))
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is written partitioned
+    by event_type; the dim side is a small *computed* set of event
+    types (those with length >= 6 — a predicate on a dim attribute, so
+    the surviving keys are unknowable at plan time). Catalyst's DPP
+    rule turns the broadcast build of the dim side into a runtime
+    partition filter on the fact scan (`dynamicpruningexpression` in
+    PartitionFilters, asserted in tests/test_plans.py), so partitions
+    whose key the dim filter eliminated are never read from disk.
+
+    This is THE star-schema scan killer feature at 100 TB: a
+    date-dimension filter ("fiscal Q3") prunes a year-partitioned fact
+    to the matching directories at runtime — without DPP the scan reads
+    all partitions and throws rows away after the join. The oracle
+    computes the same join-as-filter on the original table, so a
+    mis-pruned read (wrong or missing partitions) fails the hash."""
+    path = os.path.join(_ARTIFACTS, "events_dpp")
+    ev = tables.load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .filter(F.length("event_type") >= 6)
+    )
+    micro = F.round(F.col("value") * 1_000_000).cast("long")
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(micro).cast("double") / 1_000_000).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -118,3 +118,33 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_qty").desc(), "c_custkey")
     )
+
+
+_WINDOW_DEDUP_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts, round(value, 6) AS last_value
+FROM ranked
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register("sql_window_dedup", oracle=_WINDOW_DEDUP_SQL, tags=("A4", "M91"))
+def sql_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed dedup through the SQL entry point: latest event per
+    user via ROW_NUMBER in a CTE — the IDENTICAL SQL text runs in both
+    engines (the CDC compaction idiom as users actually write it;
+    dedup_upsert_latest is the same semantics via the DataFrame API).
+    Catalyst plans it as one keyed shuffle + per-partition sort with
+    a rank-limit pushdown (WindowGroupLimit): each partition keeps
+    only its running top-1, so the sort never materializes full
+    per-user history — the property that makes latest-row compaction
+    viable over a 100 TB changelog. Tie-break on event_id makes row
+    choice deterministic; round(value, 6) is per-row regime-1."""
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_WINDOW_DEDUP_SQL)

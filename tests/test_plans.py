@@ -228,3 +228,12 @@ def test_compaction_reduces_file_count_without_shuffle(spark, no_cache):
     compact = glob.glob(os.path.join(_ARTIFACTS, "lineitem_compacted", "*.parquet"))
     assert len(frag) == 64
     assert len(compact) < len(frag) // 4, (len(frag), len(compact))
+
+
+def test_dpp_join_prunes_fact_partitions_at_runtime(spark, no_cache):
+    """join_dpp_partitioned's whole point: the computed dim filter must
+    reach the partitioned fact scan as a runtime partition filter."""
+    plan = _plan(spark, "join_dpp_partitioned")
+    scan = plan.split("events_dpp")[1]
+    pf = scan.split("PartitionFilters: ")[1].split("PushedFilters")[0]
+    assert "dynamicpruningexpression" in pf
