@@ -440,3 +440,53 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+FROM pairs
+ORDER BY prev_type, next_type
+"""
+
+
+@register("events_markov_transitions", oracle=_MARKOV_SQL, tags=("ext", "analytics", "M93"))
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each (previous event type -> next event type) adjacent pair within
+    a user's timeline, the count and the conditional probability — the
+    behavioral-model fit every sequence pipeline starts with (and the
+    sequence-statistics shape used to build n-gram LM counts over user
+    journeys).
+
+    Plan: one keyed window (lag over user timeline, same shuffle key as
+    every session op), a small groupBy on the 5x5 type pairs, and a
+    window sum for row-normalization — the probability is an exact
+    integer/integer IEEE division, deterministic in both engines.
+    Scale: the only data-sized movement is the per-user window shuffle;
+    everything after is |types|^2 rows."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"),
+    ).orderBy("prev_type", "next_type")

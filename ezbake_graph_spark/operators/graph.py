@@ -1156,3 +1156,63 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(nxt.withColumn("step", F.lit(t)))
         state = nxt
     return out.select("walk_id", "step", "node").orderBy("walk_id", "step")
+
+
+_LINKPRED_SQL = """
+WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+sim AS (
+  SELECT DISTINCT a.s AS s, b.s AS s2
+  FROM e a JOIN e b ON a.p = b.p AND a.s <> b.s
+  WHERE a.s < 5
+),
+cand AS (
+  SELECT sim.s, e2.p, count(DISTINCT sim.s2) AS score
+  FROM sim JOIN e e2 ON e2.s = sim.s2
+  WHERE NOT EXISTS (SELECT 1 FROM e x WHERE x.s = sim.s AND x.p = e2.p)
+  GROUP BY sim.s, e2.p
+)
+SELECT s AS supp_id, p AS part_id, score
+FROM cand
+ORDER BY score DESC, supp_id, part_id
+LIMIT 50
+"""
+
+
+@register("graph_link_prediction", oracle=_LINKPRED_SQL, tags=("J-extra", "M95"))
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative-filtering link prediction on the supplier-part
+    bipartite graph: for a seed set of suppliers, score each part they
+    do NOT yet supply by how many *similar* suppliers (sharing at least
+    one part with the seed) do supply it — the count-of-2-paths
+    (s - p' - s' - p) recommender kernel, top-50. Scores are integer
+    counts with (score desc, supp, part) total order, so the ranking
+    can't drift between engines.
+
+    Plan: seed-filtered wedge join builds the similarity pairs, one
+    keyed join expands to candidate parts, a left-anti join removes
+    existing edges, then count-distinct + top-k (TakeOrderedAndProject).
+    Scale: scoped to a per-query seed set — the shape production
+    recommenders run (score candidates for THESE entities); the
+    all-pairs batch variant is the same pipeline without the seed
+    filter, whose wedge join is the graph_vertex_jaccard /
+    graph_clustering_coeff cost profile (bounded by co-occurrence
+    blocking)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    a = e.filter(F.col("s") < 5).select(F.col("s").alias("seed"), F.col("p").alias("ap"))
+    b = e.select(F.col("s").alias("s2"), F.col("p").alias("bp"))
+    sim = (
+        a.join(b, (F.col("ap") == F.col("bp")) & (F.col("seed") != F.col("s2")))
+        .select("seed", "s2")
+        .distinct()
+    )
+    e2 = e.select(F.col("s").alias("es"), F.col("p").alias("cand_p"))
+    pairs = sim.join(e2, sim.s2 == e2.es).select("seed", "s2", "cand_p")
+    existing = e.select(F.col("s").alias("seed"), F.col("p").alias("cand_p"))
+    new_pairs = pairs.join(existing, ["seed", "cand_p"], "left_anti")
+    return (
+        new_pairs.groupBy(F.col("seed").alias("supp_id"), F.col("cand_p").alias("part_id"))
+        .agg(F.countDistinct("s2").alias("score"))
+        .orderBy(F.col("score").desc(), "supp_id", "part_id")
+        .limit(50)
+    )

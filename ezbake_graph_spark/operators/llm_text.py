@@ -569,3 +569,63 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .select("w1", "w2", "c12", F.round(F.log("ratio"), 6).alias("pmi"))
     )
+
+
+_ZIPF_SQL = """
+WITH terms AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), freq AS (
+  SELECT term, count(*) AS n FROM terms WHERE term <> '' GROUP BY term
+), top AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM freq
+), pts AS (
+  SELECT ln(CAST(rnk AS DOUBLE)) AS lx, ln(CAST(n AS DOUBLE)) AS ly
+  FROM top WHERE rnk <= 100
+)
+SELECT count(*) AS n_points,
+       round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+             / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 6) AS zipf_slope
+FROM pts
+"""
+
+
+@register("text_zipf_slope", oracle=_ZIPF_SQL, tags=("ext", "M96"))
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: least-squares
+    slope of ln(freq) vs ln(rank) on the top-100 terms — the classic
+    corpus-health diagnostic (natural language sits near -1; word-salad
+    or boilerplate-heavy corpora flatten it; a training-data pipeline
+    tracks this per source/shard to catch degenerate scrapes).
+
+    Rank order is (count desc, term asc) — fully deterministic. The
+    regression sums run over exactly 100 doubles of magnitude ~10, so
+    cross-engine summation-order drift is ~1e-14 relative — far inside
+    the round-6 envelope (SURVEY §5.3: small-n float aggregates round
+    safely; only data-sized accumulations need the micro-int regime).
+    Plan: explode + keyed term count (the text_term_counts shuffle),
+    top-100 via TakeOrdered-style rank, then a single-row aggregate."""
+    d = tables.load(spark, sf_dir, "documents")
+    terms = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    # Top-100 via orderBy+limit FIRST (TakeOrderedAndProject: per-partition
+    # heads + merge, never a global sort of the vocabulary), then rank the
+    # 100 survivors — the single-partition window touches 100 rows, not
+    # the corpus vocabulary.
+    head = freq.orderBy(F.col("n").desc(), "term").limit(100)
+    w = Window.orderBy(F.col("n").desc(), "term")
+    top = head.select("n", F.row_number().over(w).alias("rnk"))
+    pts = top.select(
+        F.log(F.col("rnk").cast("double")).alias("lx"),
+        F.log(F.col("n").cast("double")).alias("ly"),
+    )
+    cnt = F.count(F.lit(1))
+    return pts.agg(
+        cnt.alias("n_points"),
+        F.round(
+            (cnt * F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly"))
+            / (cnt * F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx")),
+            6,
+        ).alias("zipf_slope"),
+    )

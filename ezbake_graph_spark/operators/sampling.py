@@ -22,7 +22,7 @@ bookkeeping join at read time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ezbake_graph_spark import tables
@@ -159,4 +159,58 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h * h * F.col("n") < F.col("mn") * F.lit(4294967296))
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
+    )
+
+
+_NEGATIVES_SQL = """
+WITH pairs AS (
+  SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+         row_number() OVER (
+           PARTITION BY a.doc_id
+           ORDER BY md5(CAST(a.doc_id AS VARCHAR) || '-'
+                        || CAST(c.doc_id AS VARCHAR))) AS rnk
+  FROM documents a JOIN documents c ON c.doc_id <> a.doc_id
+  WHERE a.doc_id < 50
+)
+SELECT anchor_id, neg_id, rnk
+FROM pairs WHERE rnk <= 5
+ORDER BY anchor_id, rnk
+"""
+
+
+@register("sample_negatives_hash", oracle=_NEGATIVES_SQL, tags=("ext", "sampling", "M99"))
+def sample_negatives_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: 5
+    negatives per anchor document, chosen by ranking candidates on
+    md5(anchor, candidate) — uniform over the corpus, reproducible on
+    any engine/partitioning/re-run (no RNG state to seed or ship), and
+    different per anchor (the hash mixes both ids). This is the
+    in-batch-negatives replacement when training needs STABLE pairs
+    (eval sets, cached hard-negative mining).
+
+    Scale: as written, anchors x corpus pairs flow through one keyed
+    window — fine for a bounded anchor set. For all-anchors at 100 TB,
+    keep the identical hash but select via threshold (hash16 < k/N *
+    2^16: expected-k, no window) or per-anchor top-k over a hash-
+    bucketed candidate slice; determinism is unchanged because the
+    hash, not the plan, defines the sample."""
+    d = tables.load(spark, sf_dir, "documents")
+    anchors = d.filter(F.col("doc_id") < 50).select(F.col("doc_id").alias("anchor_id"))
+    cands = d.select(F.col("doc_id").alias("neg_id"))
+    pairs = F.broadcast(anchors).join(
+        cands, F.col("neg_id") != F.col("anchor_id")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit("-"),
+                F.col("neg_id").cast("string"),
+            )
+        )
+    )
+    return (
+        pairs.select("anchor_id", "neg_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("anchor_id", "rnk")
     )

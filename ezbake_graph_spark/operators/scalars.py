@@ -324,3 +324,40 @@ def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("props.price"), 6).alias("price"),
         "tier",
     ).orderBy("o_orderkey")
+
+
+_URL_SQL = """
+SELECT p_partkey,
+       'https' AS proto,
+       'shop.example.com' AS host,
+       '/parts/' || CAST(p_partkey AS VARCHAR) AS path,
+       CAST(p_size AS VARCHAR) AS size_param
+FROM part
+WHERE p_partkey < 200
+ORDER BY p_partkey
+"""
+
+
+@register("scalar_url", oracle=_URL_SQL, tags=("H8", "M97"))
+def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family (H8): build a URL per part row, then extract
+    protocol / host / path / one query parameter with ``parse_url`` —
+    the web-crawl normalization primitive (a 100 TB crawl pipeline
+    keys dedup and domain quotas on exactly these pieces). All JVM
+    codegen string ops, map-side only. The oracle reconstructs the
+    expected pieces directly from the source columns, so a parse that
+    drops or mangles any component fails the hash."""
+    p = tables.load(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    url = F.concat(
+        F.lit("https://shop.example.com/parts/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?size="),
+        F.col("p_size").cast("string"),
+    )
+    return p.select(
+        "p_partkey",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("size")).alias("size_param"),
+    ).orderBy("p_partkey")

@@ -518,3 +518,33 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_BINARYFILE_SQL = """
+SELECT CAST(1 AS BIGINT) AS n_files,
+       CAST(sum(length(text) + 1) AS BIGINT) AS total_bytes
+FROM documents
+"""
+
+
+@register("scan_binaryfile", oracle=_BINARYFILE_SQL, tags=("A2e", "M98"))
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary-file ingestion (A2e): dump the corpus as one raw
+    text file, then read it back through the ``binaryFile`` data source
+    — (path, length, content: BINARY) rows, the entry point for
+    image/audio/video blobs at 100 TB (each media file becomes one
+    binary row; decode happens later via mapInPandas, see
+    multimodal.py). The oracle pins the exact byte accounting: one
+    file, sum(length(text)+1) bytes — the writer's newline per line —
+    so truncation or encoding drift fails the hash. Scale note:
+    binaryFile loads each file fully into one row; for 100 TB media
+    lakes cap file size and let partition planning spread files across
+    executors (maxPartitionBytes governs grouping, not splitting)."""
+    path = os.path.join(_ARTIFACTS, "documents_blob")
+    d = tables.load(spark, sf_dir, "documents")
+    d.select("text").repartition(1).write.mode("overwrite").text(path)
+    blob = spark.read.format("binaryFile").load(os.path.join(path, "*.txt"))
+    return blob.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).alias("total_bytes"),
+    )

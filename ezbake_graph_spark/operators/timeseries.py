@@ -454,3 +454,70 @@ def ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("carried_sum"),
         F.col("sum_micro").isNull().alias("carried"),
     ).orderBy("event_type", "hour_start")
+
+
+_MAD_SQL = """
+WITH m AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 1000000) AS BIGINT) AS x
+  FROM events
+), med AS (
+  SELECT event_type AS t,
+         CAST(quantile_cont(2 * x, 0.5) AS BIGINT) AS m2
+  FROM m GROUP BY event_type
+), d AS (
+  SELECT event_id, event_type, value, abs(2 * x - m2) AS dev
+  FROM m JOIN med ON event_type = t
+), mad AS (
+  SELECT event_type AS t,
+         CAST(quantile_cont(2 * dev, 0.5) AS BIGINT) AS mad2
+  FROM d GROUP BY event_type
+)
+SELECT event_id, event_type, round(value, 6) AS value
+FROM d JOIN mad ON event_type = t
+WHERE 2 * dev > 3 * mad2
+ORDER BY event_id
+"""
+
+
+@register("ts_anomaly_mad", oracle=_MAD_SQL, tags=("ext", "timeseries", "M94"))
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: flag events whose value deviates from
+    the per-type MEDIAN by more than 3x the median absolute deviation —
+    the MAD gate is the robust twin of events_zscore_outliers (a few
+    extreme outliers inflate a stddev and mask each other; they cannot
+    move a median).
+
+    Exactness: values become integer micro-units; medians are taken of
+    DOUBLED integers so the even-count midpoint (a+b)/2 is itself an
+    integer (no .5, no float), and the 3-sigma-style gate compares pure
+    integers (2*dev vs 3*mad2) — the flag boundary cannot flip between
+    engines, which is precisely what breaks naive float outlier oracles.
+
+    Plan: two grouped exact percentiles over the 5 types (partial+final
+    hash agg; percentile state is per-group, small), each broadcast
+    back onto the stream — a map-side filter, no event shuffle at all.
+    At 100 TB swap the exact percentile for approx_percentile with the
+    same doubling trick (the gate then carries the sketch's rank
+    error, declared rows-only)."""
+    ev = tables.load(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 1_000_000).cast("long")
+    m = ev.select("event_id", "event_type", "value", x.alias("x"))
+    med = m.groupBy(F.col("event_type").alias("t")).agg(
+        F.expr("CAST(percentile(2 * x, 0.5) AS BIGINT)").alias("m2")
+    )
+    d = m.join(F.broadcast(med), m.event_type == med.t).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(2 * F.col("x") - F.col("m2")).alias("dev"),
+    )
+    mad = d.groupBy(F.col("event_type").alias("t")).agg(
+        F.expr("CAST(percentile(2 * dev, 0.5) AS BIGINT)").alias("mad2")
+    )
+    return (
+        d.join(F.broadcast(mad), d.event_type == mad.t)
+        .filter(2 * F.col("dev") > 3 * F.col("mad2"))
+        .select("event_id", "event_type", F.round("value", 6).alias("value"))
+        .orderBy("event_id")
+    )
