@@ -100,6 +100,9 @@ _SLOW: frozenset[str] = frozenset(
         "graph_scc",  # iterative closure loop, ~11s at sf0.01
         "graph_pagerank_exact",  # 10 integer supersteps, ~10s at sf0.01
         "graph_ppr_exact",  # same shape, ~10s at sf0.01
+        "sim_rp_sketch",  # 16x64 literal-array codegen compile, ~2s
+        "graph_random_walk",  # 4 chained hop joins, ~3-12s at sf0.01
+        "dedup_cluster_canonical",  # pair kernel + Pregel WCC, ~3.3s
     }
 )
 

@@ -295,3 +295,29 @@ def test_pagerank_exact_semantics(spark):
     assert set(got) == set(rank)
     worst = max(abs(got[k] - rank[k]) for k in got)
     assert worst < 1e-3, f"max |Δrank| = {worst}"
+
+
+def test_random_walk_follows_real_edges(spark):
+    """Every consecutive (node_t -> node_{t+1}) in every walk must be an
+    edge of the symmetrized bipartite graph, and every walk must have
+    exactly steps+1 rows."""
+    from ezbake_graph_spark import registry, tables
+    from ezbake_graph_spark.operators.graph import _WALK_STEPS
+
+    qs = registry.queries()
+    rows = qs["graph_random_walk"](spark, SF_SMOKE).collect()
+    li = tables.load(spark, SF_SMOKE, "lineitem")
+
+    base = li.select("l_suppkey", "l_partkey").distinct().collect()
+    edges = set()
+    for r in base:
+        s, p = f"s{r.l_suppkey}", f"p{r.l_partkey}"
+        edges.add((s, p))
+        edges.add((p, s))
+    walks = defaultdict(dict)
+    for r in rows:
+        walks[r.walk_id][r.step] = r.node
+    for wid, steps in walks.items():
+        assert sorted(steps) == list(range(_WALK_STEPS + 1)), wid
+        for t in range(_WALK_STEPS):
+            assert (steps[t], steps[t + 1]) in edges, (wid, t)
