@@ -569,3 +569,34 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").alias("n_orders"),
     )
     return merged
+
+
+_BOOL_SQL = """
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+         AS n_urgent
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("agg_bool", oracle=_BOOL_SQL, tags=("D-extra", "M102"))
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (D-extra): ``bool_and`` / ``bool_or`` — the
+    data-quality assertion primitives ("every row in this partition
+    satisfies the invariant") that short-circuit map-side: a partial
+    FALSE (for every) kills the AND without seeing more rows. One keyed
+    shuffle of 1-bit partials."""
+    o = tables.load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -490,3 +490,74 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+_AB_SQL = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS value_micro
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         converted, value_micro
+  FROM u
+)
+SELECT arm,
+       count(*) AS n_users,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       CAST(sum(converted) AS DOUBLE) / count(*) AS conv_rate,
+       (CAST(sum(value_micro) AS DOUBLE) / count(*)) / 1000000
+         AS avg_user_value
+FROM armed
+GROUP BY arm
+ORDER BY arm
+"""
+
+
+@register("events_ab_assignment", oracle=_AB_SQL, tags=("ext", "analytics", "M103"))
+def events_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based experiment assignment + per-arm outcome readout: users
+    split 50/50 into arms A/B by the parity of md5(user_id) — the
+    production A/B bucketing scheme (assignment must be a pure function
+    of the unit id: stable across sessions, services, and re-runs, with
+    no assignment table to join) — then per-arm user counts, conversion
+    rate, and average per-user value.
+
+    Exactness: assignment is an integer hash predicate; conversion is a
+    max-flag; rates are exact-integer IEEE divisions; per-user value
+    sums are micro-units. Plan: one user-keyed aggregate (same shuffle
+    key as every per-user op), then a 2-row arm rollup — the arm column
+    derives map-side from the group key, costing nothing."""
+    ev = tables.load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("value_micro"),
+    )
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    return (
+        u.select(arm.alias("arm"), "converted", "value_micro")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+            (F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+                "conv_rate"
+            ),
+            (
+                (F.sum("value_micro").cast("double") / F.count(F.lit(1)))
+                / 1_000_000
+            ).alias("avg_user_value"),
+        )
+        .orderBy("arm")
+    )

@@ -361,3 +361,50 @@ def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("size")).alias("size_param"),
     ).orderBy("p_partkey")
+
+
+_TRY_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber = 1 THEN NULL
+            ELSE round(l_extendedprice / (l_linenumber - 1), 6) END AS price_per_line,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+       TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                     THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                     ELSE l_returnflag END AS INTEGER) AS mixed_as_int
+FROM lineitem
+WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("scalar_try_arith", oracle=_TRY_SQL, tags=("H9", "M101"))
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family (H9): ``try_divide`` yields NULL on
+    division by zero and ``try_cast`` NULL on malformed input, instead
+    of failing the job — the ingestion-hardening primitives (a 100 TB
+    crawl batch always contains malformed rows; one poison value must
+    not kill a 6-hour job). All JVM codegen; the oracle expresses the
+    same NULL-on-error semantics via CASE/TRY_CAST. The div result is
+    a per-row scalar at ~1e4 magnitude (regime-1 round6 safe; dividing
+    by the small float discount instead pushes ~1e8 magnitudes where
+    the engines' round() implementations pick adjacent 6-dp doubles).
+    mixed_as_int feeds a column that alternates integer strings and
+    letters: the former parse, the latter go NULL, identically in both
+    engines. (Decimal strings would NOT be portable: DuckDB's TRY_CAST
+    reads '44.0' as 44 where Spark yields NULL — measured, avoided.)"""
+    li = tables.load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide("l_extendedprice", F.col("l_linenumber") - 1), 6
+        ).alias("price_per_line"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.when(
+            F.col("l_linenumber") % 2 == 0,
+            F.col("l_quantity").cast("long").cast("string"),
+        )
+        .otherwise(F.col("l_returnflag"))
+        .try_cast("int")
+        .alias("mixed_as_int"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -159,3 +159,39 @@ def udtf_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("k_decile")
     )
+
+
+_ARROW_SQL = """
+SELECT doc_id,
+       length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+       CASE WHEN length(text) % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("udf_arrow", oracle=_ARROW_SQL, tags=("L2b", "M100"))
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (L2b, Spark 3.5+/4 ``useArrow=True``):
+    the scalar-UDF API with Arrow batch transfer underneath — the
+    middle rung between L1 (row pickling) and L2 (pandas vectorized).
+    The function body is still per-row Python, but serialization cost
+    drops to Arrow columnar batches, typically several-fold over L1.
+    Integer/string outputs only, so no float parity question. Use when
+    porting row-wise logic that resists vectorization; prefer L2 for
+    numeric kernels."""
+
+    @udf("long", useArrow=True)
+    def token_count(text: str) -> int:
+        return len(text.split(" "))
+
+    @udf("string", useArrow=True)
+    def parity(text: str) -> str:
+        return "even" if len(text) % 2 == 0 else "odd"
+
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        parity("text").alias("parity"),
+    ).orderBy("doc_id")
