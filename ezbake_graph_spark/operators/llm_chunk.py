@@ -22,7 +22,7 @@ bit-identical in both engines (SURVEY.md §5.3 rule 2 — no round()).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ezbake_graph_spark import tables
@@ -194,3 +194,59 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("repetition_ratio").desc(), "doc_id")
         .limit(50)
     )
+
+
+_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, length(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), f AS (
+  SELECT * FROM t WHERE n_tokens <= 512
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM f
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(cum_before / 512) AS BIGINT) AS bin_id,
+       CAST(cum_before % 512 AS BIGINT) AS offset_tokens
+FROM c
+ORDER BY lang, doc_id
+"""
+
+
+@register("text_pack_sequences", oracle=_PACK_SQL, tags=("ext", "M104"))
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: lay documents (capped
+    at the 512-token context) end-to-end per language in stable doc_id
+    order and assign each its bin (context window) and token offset —
+    the pack-then-chunk scheme that lifts pretraining token utilization
+    vs one-doc-per-row padding. Downstream, a groupBy(lang, bin_id)
+    collect_list materializes the packed windows; documents straddling
+    a boundary belong to the bin of their start offset (the chunker
+    M26 handles intra-document splitting).
+
+    Exactness: token counts and the running sum are integers; bin and
+    offset are integer floor/mod — nothing can drift. Plan: one
+    lang-keyed window (cumulative sum), map-side arithmetic after; at
+    100 TB the pack key becomes (lang, shard) so each shard packs
+    independently — packing quality is unaffected because bins never
+    cross the partition key by construction."""
+    d = tables.load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    ).filter(F.col("n_tokens") <= 512)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("cum_before") / 512).cast("long").alias("bin_id"),
+        (F.col("cum_before") % 512).cast("long").alias("offset_tokens"),
+    ).orderBy("lang", "doc_id")

@@ -521,3 +521,66 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", F.round("value", 6).alias("value"))
         .orderBy("event_id")
     )
+
+
+_SEASONAL_SQL = """
+WITH m AS (
+  SELECT event_id, event_type, CAST(hour(ts) AS INTEGER) AS hod,
+         CAST(round(value * 1000000) AS BIGINT) AS x
+  FROM events
+), base AS (
+  SELECT event_type AS t, hod AS h, count(*) AS n, sum(x) AS s
+  FROM m GROUP BY event_type, hod
+)
+SELECT event_id, event_type, hod,
+       (CAST(s AS DOUBLE) / n) / 1000000 AS seasonal_mean,
+       (CAST(x * n - s AS DOUBLE) / n) / 1000000 AS residual
+FROM m JOIN base ON event_type = t AND hod = h
+ORDER BY event_id
+LIMIT 2000
+"""
+
+
+@register("ts_seasonal_baseline", oracle=_SEASONAL_SQL, tags=("ext", "timeseries", "M105"))
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal baseline + residual: per (event_type, hour-of-day) mean
+    as the daily-seasonality profile, and each event's deviation from
+    its profile cell — the detrending step before any time-series
+    anomaly or forecast model (the residual, not the raw value, is
+    what downstream detectors consume; compare ts_anomaly_mad which
+    gates on the undetrended distribution).
+
+    Exactness: the residual is computed as (x*n - s)/n in exact integer
+    micro-units BEFORE any division — x - s/n would subtract two
+    doubles of different provenance and inherit the division's
+    representation error; x*n - s is a single exact integer, and the
+    two final IEEE divisions are deterministic in both engines.
+    Plan: one tiny grouped aggregate (|types| x 24 cells) broadcast
+    back onto the stream — map-side join, no event shuffle."""
+    ev = tables.load(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("x"),
+    )
+    base = m.groupBy(
+        F.col("event_type").alias("t"), F.col("hod").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    return (
+        m.join(F.broadcast(base), (m.event_type == base.t) & (m.hod == base.h))
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            ((F.col("s").cast("double") / F.col("n")) / 1_000_000).alias(
+                "seasonal_mean"
+            ),
+            (
+                ((F.col("x") * F.col("n") - F.col("s")).cast("double") / F.col("n"))
+                / 1_000_000
+            ).alias("residual"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )

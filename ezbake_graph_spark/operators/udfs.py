@@ -195,3 +195,45 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tokens"),
         parity("text").alias("parity"),
     ).orderBy("doc_id")
+
+
+_MAPARROW_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(string_split(text, ' ')) AS n_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("udf_map_in_arrow", oracle=_MAPARROW_SQL, tags=("L5", "M106"))
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (L5): the zero-copy end of the UDF ladder — the
+    function receives pyarrow RecordBatches and returns RecordBatches,
+    skipping even the pandas conversion of L2/L3. This is the right
+    rung for columnar-native Python kernels (tokenizers that accept
+    Arrow buffers, feature extractors emitting fixed-width arrays):
+    per-batch overhead is one FFI hop. Here the kernel computes chars
+    + whitespace token counts with pyarrow.compute (C++ vectorized,
+    no per-row Python); the oracle recomputes both in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.utf8_length(text).cast(pa.int64()),
+                    pc.list_value_length(pc.split_pattern(text, " ")).cast(
+                        pa.int64()
+                    ),
+                ],
+                ["doc_id", "n_chars", "n_tokens"],
+            )
+
+    out = d.mapInArrow(kernel, "doc_id long, n_chars long, n_tokens long")
+    return out.orderBy("doc_id")
