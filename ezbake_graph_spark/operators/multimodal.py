@@ -146,3 +146,115 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("frame_bytes")
         .orderBy("doc_id", "frame_offset")
     )
+
+
+def _fake_resize(payload: bytes, stride: int = 4) -> bytes:
+    """STUB resize — deterministic decimation standing in for an image
+    resampler (no codec libs in this container): keep every stride-th
+    byte. Real implementation swaps this body for PIL/cv2; the Spark
+    plumbing (binary in, binary out, Arrow batches) is unchanged."""
+    if not payload:
+        raise ValueError("empty payload: cannot resize")
+    return payload[::stride]
+
+
+_RESIZE_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         list_transform(str_split(text, ''), c -> ord(c)) AS px
+  FROM documents
+), s AS (
+  SELECT doc_id, n,
+         [px[i] FOR i IN range(1, n + 1, 4)] AS kept
+  FROM r
+)
+SELECT doc_id,
+       CAST(length(kept) AS INTEGER) AS resized_len,
+       CAST(list_aggregate(kept, 'sum') AS BIGINT) AS resized_sum
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_resize_stub", oracle=_RESIZE_SQL, tags=("K-extra", "M107"))
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize / downsample plumbing: binary payload in → smaller binary
+    payload out through an Arrow-batched mapInPandas kernel — the
+    thumbnail/re-encode stage of an image pipeline. The resample body
+    is the stub above (stride-4 byte decimation); everything around it
+    is the real 100 TB shape: binary columns in Arrow batches, a
+    binary-to-binary kernel, downstream metadata computed from the
+    RESIZED payload (length + byte sum, both exact integers — the
+    oracle recomputes them from every 4th character's ord). No shuffle:
+    kernel + metadata are one map-side pass."""
+    import pandas as pd
+
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            resized = [_fake_resize(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "resized_len": [len(r) for r in resized],
+                    "resized_sum": [sum(r) for r in resized],
+                }
+            )
+
+    schema = "doc_id bigint, resized_len int, resized_sum bigint"
+    return d.mapInPandas(resize_batches, schema).orderBy("doc_id")
+
+
+_AUDIO_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, octet_length(encode(text)), 256)) AS win_offset
+  FROM documents WHERE doc_id < 30
+)
+SELECT doc_id, win_offset,
+       CAST(list_aggregate(list_transform(
+              str_split(substr(text, win_offset + 1, 256), ''),
+              c -> (ord(c) - 128) * (ord(c) - 128)), 'sum') AS BIGINT)
+         AS energy
+FROM f
+ORDER BY doc_id, win_offset
+"""
+
+
+@register("multimodal_audio_features_stub", oracle=_AUDIO_SQL, tags=("K-extra", "M108"))
+def multimodal_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing: one binary payload → one row
+    per 256-byte analysis window with its signal energy (treating bytes
+    as centered 8-bit PCM) — the framing + per-frame-feature shape an
+    MFCC/spectrogram extractor uses, with the DSP body reduced to a
+    deterministic stand-in (sum of squared centered samples; a real
+    pipeline swaps in an FFT over the identical one-to-many batch
+    plumbing). The kernel emits MULTIPLE rows per input row from
+    mapInPandas — the expansion direction decode_stub (1:1) and
+    frame_sample (explode, no Python) don't cover. Energies are exact
+    integers; the oracle recomputes them per character."""
+    import pandas as pd
+
+    d = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, offs, energies = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for off in range(0, len(payload), 256):
+                    win = payload[off : off + 256]
+                    ids.append(doc_id)
+                    offs.append(off)
+                    energies.append(sum((b - 128) * (b - 128) for b in win))
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_offset": offs, "energy": energies}
+            )
+
+    schema = "doc_id bigint, win_offset bigint, energy bigint"
+    return d.mapInPandas(frames, schema).orderBy("doc_id", "win_offset")
