@@ -600,3 +600,41 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_WAVG_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       (CAST(sum(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE)
+        / sum(CAST(l_quantity AS BIGINT))) / 1000000 AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_weighted_avg", oracle=_WAVG_SQL, tags=("D-extra", "M110"))
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (D-extra): quantity-weighted mean price per
+    return flag — Σ(w·x)/Σw with integer weights times micro-unit
+    values, so both sums are exact and the final two IEEE divisions are
+    bit-identical (a raw DOUBLE Σ(w·x) drifts with summation order at
+    data scale, same failure mode as plain money sums). Headroom note:
+    w·x_micro ≈ 5e12/row caps the exact window around ~1e6 rows/group
+    in one BIGINT; beyond that, pre-aggregate per partition or drop one
+    scale digit (SCALE=1e5) — same plan, one keyed shuffle with
+    map-side partials."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("long")
+    xm = F.round(F.col("l_extendedprice") * 1_000_000).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(w).alias("total_qty"),
+            ((F.sum(w * xm).cast("double") / F.sum(w)) / 1_000_000).alias(
+                "wavg_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -561,3 +561,66 @@ def events_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+_RFM_SQL = """
+WITH u AS (
+  SELECT user_id,
+         epoch_us(max(ts)) AS last_us,
+         count(*) AS freq,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS monetary_micro
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id,
+       ntile(5) OVER (ORDER BY last_us DESC, user_id) AS r_score,
+       ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+       ntile(5) OVER (ORDER BY monetary_micro DESC, user_id) AS m_score,
+       freq,
+       CAST(monetary_micro AS DOUBLE) / 1000000 AS monetary
+FROM u
+ORDER BY user_id
+"""
+
+
+@register("events_rfm_scores", oracle=_RFM_SQL, tags=("ext", "analytics", "M112"))
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring: per purchasing user, quintile ranks
+    (ntile 5) of Recency (last purchase instant), Frequency (purchase
+    count), and Monetary (exact micro-sum of purchase value) — the
+    classic segmentation every growth pipeline computes, with score 1 =
+    best (most recent / most frequent / highest spend).
+
+    Determinism: each ntile orders by an exact integer metric with a
+    user_id tie-break, and ntile's bucket arithmetic (floor
+    distribution of n rows into 5) is identical in both engines.
+    Scale note: ntile over the full user set is a single-partition sort
+    here (fine for the aggregated per-user table, which is ~1e8 rows
+    even at 100 TB of events — it's the EVENTS that are big, not the
+    users); if the user table itself outgrows one partition, swap
+    ntile for a percent_rank threshold on a range-partitioned sort,
+    which distributes."""
+    ev = tables.load(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.unix_micros(F.max("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "monetary_micro"
+            ),
+        )
+    )
+    wr = Window.orderBy(F.col("last_us").desc(), "user_id")
+    wf = Window.orderBy(F.col("freq").desc(), "user_id")
+    wm = Window.orderBy(F.col("monetary_micro").desc(), "user_id")
+    return u.select(
+        "user_id",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+        "freq",
+        (F.col("monetary_micro").cast("double") / 1_000_000).alias("monetary"),
+    ).orderBy("user_id")

@@ -1216,3 +1216,106 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "supp_id", "part_id")
         .limit(50)
     )
+
+
+_MODULARITY_SQL = """
+WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+cos AS (
+  SELECT DISTINCT a.s AS a, b.s AS b
+  FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+), nat AS (
+  SELECT s_suppkey, s_nationkey FROM supplier
+), labeled AS (
+  SELECT cos.a, cos.b, na.s_nationkey AS ca, nb.s_nationkey AS cb
+  FROM cos JOIN nat na ON cos.a = na.s_suppkey
+           JOIN nat nb ON cos.b = nb.s_suppkey
+), m AS (
+  SELECT count(*) AS m, count(*) FILTER (WHERE ca = cb) AS e_within
+FROM labeled
+), deg AS (
+  SELECT c, CAST(sum(d) AS BIGINT) AS d_c
+  FROM (
+    SELECT ca AS c, count(*) AS d FROM (
+      SELECT a AS v, ca FROM labeled UNION ALL SELECT b AS v, cb FROM labeled
+    ) t JOIN nat ON v = s_suppkey AND ca = s_nationkey
+    GROUP BY ca
+  ) GROUP BY c
+), parts AS (
+  SELECT CAST(sum(d_c * d_c) AS BIGINT) AS sum_dc2 FROM deg
+)
+SELECT m.m AS n_edges,
+       CAST(4 * m.m * m.e_within - parts.sum_dc2 AS DOUBLE)
+         / (4 * m.m * m.m) AS modularity
+FROM m, parts
+"""
+
+
+@register("graph_modularity", oracle=_MODULARITY_SQL, tags=("J-extra", "M109"))
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-quality metric: Newman modularity of the nation
+    partition over the co-supplier projection — Q = Σ_c (e_c/m −
+    (d_c/2m)²), the score every community-detection pipeline reports
+    (labelprop J8 finds communities; this measures them).
+
+    Exactness: edges, within-community edges, and degree sums are all
+    integers, so Q is computed as ONE integer expression (4·m·e_within
+    − Σd_c²) over one integer denominator (4m²) — a single IEEE
+    division, bit-identical in both engines; no per-community float
+    summation ever happens. Plan: the wedge self-join builds the
+    projection (the M32/M76 cost shape), then two broadcast-sized
+    aggregates; nation labels broadcast onto both endpoints."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    sup = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    e2 = e.select(F.col("p").alias("p2"), F.col("s").alias("s2"))
+    cos = (
+        e.join(e2, (e.p == e2.p2) & (e.s < e2.s2))
+        .select(F.col("s").alias("a"), F.col("s2").alias("b"))
+        .distinct()
+    )
+    na = sup.select(F.col("s_suppkey").alias("a"), F.col("s_nationkey").alias("ca"))
+    nb = sup.select(F.col("s_suppkey").alias("b"), F.col("s_nationkey").alias("cb"))
+    labeled = cos.join(F.broadcast(na), "a").join(F.broadcast(nb), "b").cache()
+    mrow = labeled.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.count_if(F.col("ca") == F.col("cb")).alias("e_within"),
+    )
+    ends = labeled.select(F.col("a").alias("v"), F.col("ca").alias("c")).unionByName(
+        labeled.select(F.col("b").alias("v"), F.col("cb").alias("c"))
+    )
+    deg = ends.groupBy("c").agg(F.count(F.lit(1)).alias("d_c"))
+    parts = deg.agg(F.sum(F.col("d_c") * F.col("d_c")).alias("sum_dc2"))
+    return mrow.crossJoin(parts).select(
+        F.col("m").alias("n_edges"),
+        (
+            (4 * F.col("m") * F.col("e_within") - F.col("sum_dc2")).cast("double")
+            / (4 * F.col("m") * F.col("m"))
+        ).alias("modularity"),
+    )
+
+
+_DEGDIST_SQL = """
+WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+deg AS (SELECT s, count(*) AS degree FROM e GROUP BY s)
+SELECT degree, count(*) AS n_vertices
+FROM deg GROUP BY degree
+ORDER BY degree
+"""
+
+
+@register("graph_degree_distribution", oracle=_DEGDIST_SQL, tags=("J-extra", "M113"))
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution (the power-law / skew diagnostic read before
+    choosing a partitioning strategy: a heavy tail here is what makes
+    salted joins and skew-aware AQE necessary): vertices per exact
+    degree value on the supplier side of the bipartite graph. Two keyed
+    aggregations, both map-side combinable; output is |distinct
+    degrees| rows."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("degree")
+    )

@@ -548,3 +548,57 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_files"),
         F.sum(F.length("content")).alias("total_bytes"),
     )
+
+
+_MALFORMED_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(count(*) FILTER (WHERE doc_id % 10 = 0) AS BIGINT) AS n_bad,
+       CAST(sum(n_chars) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT)
+         AS sum_good_chars
+FROM documents
+"""
+
+
+@register("scan_csv_malformed", oracle=_MALFORMED_SQL, tags=("A2f", "M111"))
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input CSV ingestion (A2f): every 10th line is corrupted
+    (extra column, non-numeric field) before writing; the read uses
+    PERMISSIVE mode with a ``_corrupt_record`` column, so bad lines
+    surface as quarantine rows instead of failing the job — the
+    poison-row containment a 100 TB crawl ingest cannot live without
+    (FAILFAST on petabyte batches means one bad line kills hours of
+    work; DROPMALFORMED silently loses data — PERMISSIVE + quarantine
+    count is the auditable middle). The oracle pins the exact good/bad
+    split and the checksum over good rows, so mis-classification in
+    either direction fails the hash."""
+    path = os.path.join(_ARTIFACTS, "docs_malformed_csv")
+    d = tables.load(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.col("doc_id").cast("string"), F.lit(",not_a_number,extra")),
+    ).otherwise(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(","), F.col("n_chars").cast("string")
+        )
+    )
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("_corrupt_record")).alias("n_bad"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))).alias(
+            "sum_good_chars"
+        ),
+    )

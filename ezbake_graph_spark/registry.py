@@ -103,6 +103,7 @@ _SLOW: frozenset[str] = frozenset(
         "sim_rp_sketch",  # 16x64 literal-array codegen compile, ~2s
         "graph_random_walk",  # 4 chained hop joins, ~3-12s at sf0.01
         "dedup_cluster_canonical",  # pair kernel + Pregel WCC, ~3.3s
+        "graph_modularity",  # wedge-join projection build, ~7s at sf0.01
     }
 )
 
