@@ -638,3 +638,36 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_STRINGAGG_SQL = """
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       string_agg(c_name, ',' ORDER BY c_name) AS names
+FROM customer
+WHERE c_custkey < 300
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("agg_string_agg", oracle=_STRINGAGG_SQL, tags=("D-extra", "M116"))
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (D-extra, Spark 4 ``listagg``):
+    concatenate group members in an explicit WITHIN GROUP order — the
+    report/export shape (and the one aggregate where determinism rule 4
+    is unavoidable: without the ORDER BY, concatenation order is
+    partition-dependent and the hash flakes). DuckDB's string_agg with
+    ORDER BY is the exact equivalent. Map-side partials still apply
+    (Spark buffers per-group elements, sorts at merge)."""
+    c = tables.load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").alias(
+                "names"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )

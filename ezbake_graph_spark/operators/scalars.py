@@ -408,3 +408,34 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("int")
         .alias("mixed_as_int"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+_VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+ORDER BY event_id
+LIMIT 2000
+"""
+
+
+@register("scalar_variant", oracle=_VARIANT_SQL, tags=("H6b", "M115"))
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (H6b, Spark 4): parse the JSON
+    props column once into the binary VARIANT encoding, then extract
+    typed fields with variant_get — the modern replacement for
+    per-access get_json_object string re-parsing (VARIANT parses once
+    and stores a traversable binary; repeated field extraction is
+    pointer chasing, not text parsing — the difference between O(fields)
+    and O(fields × text length) on a 100 TB event lake). The oracle
+    extracts the same field from the same JSON text."""
+    ev = tables.load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "bigint").alias("k_val"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )

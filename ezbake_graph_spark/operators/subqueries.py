@@ -148,3 +148,43 @@ def sql_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice deterministic; round(value, 6) is per-row regime-1."""
     tables.load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_WINDOW_DEDUP_SQL)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+  FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+),
+reach(node, dist) AS (
+  SELECT 0 AS node, 0 AS dist
+  UNION ALL
+  SELECT e.dst, r.dist + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.dist < 3
+)
+SELECT node, min(dist) AS dist
+FROM reach
+GROUP BY node
+ORDER BY node
+"""
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE_SQL, tags=("A4", "M114"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL entry point (Spark 4's WITH
+    RECURSIVE): breadth-first reach with hop counts from nation 0 over
+    the directed trade graph, as the IDENTICAL SQL text in both engines
+    — the declarative twin of the Pregel BFS (J9): the engine, not a
+    driver loop, iterates to the depth bound. The UNION ALL expansion
+    is depth-guarded (dist < 3) and collapsed by the outer min(dist),
+    so path multiplicity can't change the answer. Scale note: each
+    recursive step is one keyed join — the same shuffle-per-superstep
+    cost as graph/pregel.py, but without driver round-trips or manual
+    lineage checkpointing; prefer it once the frontier fits the
+    engine's iteration machinery, and the Pregel loop when you need
+    custom convergence tests or per-step caching policy."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)

@@ -104,6 +104,7 @@ _SLOW: frozenset[str] = frozenset(
         "graph_random_walk",  # 4 chained hop joins, ~3-12s at sf0.01
         "dedup_cluster_canonical",  # pair kernel + Pregel WCC, ~3.3s
         "graph_modularity",  # wedge-join projection build, ~7s at sf0.01
+        "sql_recursive_cte",  # 4-table derivation + engine recursion, ~7-9s
     }
 )
 
