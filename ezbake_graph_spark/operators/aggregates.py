@@ -671,3 +671,131 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+_ENTROPY_SQL = """
+WITH c AS (
+  SELECT source, lang, count(*) AS n
+  FROM documents GROUP BY source, lang
+), t AS (
+  SELECT source, sum(n) AS total FROM c GROUP BY source
+)
+SELECT c.source,
+       CAST(t.total AS BIGINT) AS n_docs,
+       round(log2(CAST(t.total AS DOUBLE))
+             - sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))
+               / CAST(t.total AS DOUBLE), 6) AS lang_entropy_bits
+FROM c JOIN t USING (source)
+GROUP BY c.source, t.total
+ORDER BY c.source
+"""
+
+
+@register("agg_entropy", oracle=_ENTROPY_SQL, tags=("D-extra", "M117"))
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the lang distribution per source (D-extra) —
+    the mixture-diversity diagnostic a pretraining-corpus curator runs
+    before setting sampling weights.
+
+    Determinism: H = log2(N) - sum(n_i*log2(n_i))/N over exact integer
+    counts. Each n*log2(n) term is the identical libm double in both
+    engines; the cross-category sum spans <=6 well-scaled terms, so
+    round6 absorbs association drift (SURVEY 5.3 rule 2). Two keyed
+    aggs over (source, lang) then source — both map-side combinable;
+    at 100 TB the category table is tiny and the join broadcasts."""
+    d = tables.load(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("total"))
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source", "total")
+        .agg(
+            F.round(
+                F.log2(F.col("total").cast("double"))
+                - F.sum(F.col("n").cast("double") * F.log2(F.col("n").cast("double")))
+                / F.col("total").cast("double"),
+                6,
+            ).alias("lang_entropy_bits")
+        )
+        .select(
+            "source",
+            F.col("total").cast("long").alias("n_docs"),
+            "lang_entropy_bits",
+        )
+        .orderBy("source")
+    )
+
+
+_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS HUGEINT) AS q,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS p
+  FROM lineitem
+), s AS (
+  SELECT flag, count(*) AS n,
+         sum(q) AS sx, sum(p) AS sy,
+         sum(q * q) AS sxx, sum(p * p) AS syy, sum(q * p) AS sxy
+  FROM m GROUP BY flag
+)
+SELECT flag, CAST(n AS BIGINT) AS n_rows,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS qty_price_corr,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100.0,
+             6) AS qty_price_covar
+FROM s
+ORDER BY flag
+"""
+
+
+@register("agg_corr_exact", oracle=_CORR_SQL, tags=("D-extra", "M118"))
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance of (quantity, price) per
+    returnflag (D-extra) from EXACT integer moment sums.
+
+    Built-in ``corr``/``covar_samp`` accumulate doubles in partition
+    order — un-hashable across engines (determinism.py regime 2). Here
+    the five moments are summed as DECIMAL(38,0)/HUGEINT over integer-
+    valued inputs (quantity is integral, price is 2dp cents — both
+    measured), so every sum is exact and order-free; sum(p*p) at sf0.1
+    reaches ~6e19, past BIGINT, hence the 128-bit accumulators. The
+    final corr/covar expressions are a handful of identical IEEE ops on
+    identically-rounded doubles. One keyed shuffle of 5 integer
+    partials per flag — the same map-side-combine shape at any scale."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(38,0)")
+    p = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    s = (
+        li.select(F.col("l_returnflag").alias("flag"), q.alias("q"), p.alias("p"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sx"),
+            F.sum("p").alias("sy"),
+            F.sum(F.col("q") * F.col("q")).alias("sxx"),
+            F.sum(F.col("p") * F.col("p")).alias("syy"),
+            F.sum(F.col("q") * F.col("p")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_num = nd * sxy - sx * sy
+    return s.select(
+        "flag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            cov_num / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)), 6
+        ).alias("qty_price_corr"),
+        F.round(cov_num / (nd * (nd - F.lit(1.0))) / F.lit(100.0), 6).alias(
+            "qty_price_covar"
+        ),
+    ).orderBy("flag")

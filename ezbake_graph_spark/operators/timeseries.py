@@ -584,3 +584,78 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(2000)
     )
+
+
+_AUTOCORR_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY event_type, h
+), pairs AS (
+  SELECT a.event_type, a.n AS x, b.n AS y
+  FROM c a JOIN c b
+    ON a.event_type = b.event_type AND b.h = a.h + INTERVAL 1 HOUR
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS lag1_autocorr
+FROM s
+ORDER BY event_type
+"""
+
+
+@register("ts_autocorr", oracle=_AUTOCORR_SQL, tags=("ts", "M120"))
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series per type
+    (ts-extra) — the seasonality screen run before picking a forecast
+    baseline.
+
+    Exact-moment construction as agg_corr_exact: hourly counts are
+    integers, the five moment sums stay in BIGINT (counts are tiny),
+    and the final Pearson expression is identical IEEE double math in
+    both engines, then round6. Plan: one keyed agg events→(type,hour)
+    — the only shuffle that scales with data — then a self-join and
+    corr over the ~720-row-per-type series, negligible at any scale.
+    The lag pairing joins on h = h+1hour rather than a lag() window so
+    missing hours break pairs instead of silently lagging across gaps."""
+    ev = tables.load(spark, sf_dir, "events")
+    c = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.h") == F.col("a.h") + F.expr("INTERVAL 1 HOUR")),
+    ).select(F.col("a.event_type").alias("event_type"), F.col("a.n").alias("x"), F.col("b.n").alias("y"))
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            6,
+        ).alias("lag1_autocorr"),
+    ).orderBy("event_type")

@@ -237,3 +237,58 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = d.mapInArrow(kernel, "doc_id long, n_chars long, n_tokens long")
     return out.orderBy("doc_id")
+
+
+_UDAF_SQL = """
+WITH m AS (
+  SELECT event_type, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micro
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(median(micro) AS DOUBLE) / 1000000 AS median_value
+FROM m
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("udaf_pandas_median", oracle=_UDAF_SQL, tags=("L6", "M119"))
+def udaf_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas GROUPED_AGG UDAF (L6): a custom aggregate used directly
+    inside ``groupBy().agg()`` — the missing rung between L3 (grouped-
+    map, whole-group DataFrame in/out) and built-in aggregates. Spark
+    ships each group's column as one Arrow batch to the Python worker,
+    which reduces it to a scalar; partial aggregation does NOT apply
+    (the full group must co-locate), so at 100 TB this is the shape for
+    moderate-cardinality group keys — for per-key medians over skewed
+    keys, pre-bucket or use approx_percentile instead.
+
+    Kernel determinism: values quantized to micro ints with the same
+    floor(x*1e6+0.5) the oracle uses; even-count median (a+b)/2 is
+    exact in binary (ints < 2^52), matching DuckDB's interpolating
+    median over BIGINT cast to DOUBLE."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def median_micro(v: pd.Series) -> float:
+        a = np.sort(np.floor(v.values * 1_000_000 + 0.5).astype("int64"))
+        n = len(a)
+        return (float(a[(n - 1) // 2]) + float(a[n // 2])) / 2.0 / 1_000_000
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is a second pandas UDAF rather than F.count.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n_rows("value").alias("n_events"),
+            median_micro("value").alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
