@@ -563,3 +563,55 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_MINHASH_SIG_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), seeds AS (
+  SELECT unnest(range(0, 8)) AS seed
+)
+SELECT doc_id, CAST(seed AS INT) AS seed,
+       min(('0x' || substr(md5(token || '#' || CAST(seed AS VARCHAR)), 1, 8))::BIGINT)
+           AS minhash
+FROM tok CROSS JOIN seeds
+GROUP BY doc_id, seed
+ORDER BY doc_id, seed
+"""
+
+
+@register("dedup_minhash_signature", oracle=_MINHASH_SIG_SQL, tags=("K3b", "M121"))
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-exact MinHash signatures (K3b): the same min-over-
+    hashed-tokens kernel as K3's LSH, but built on md5 — computable
+    bit-identically in DuckDB — so the signature STAGE of the near-dup
+    ladder gets a full value-hash oracle (K3 itself hashes with Spark's
+    xxhash64 and is necessarily rows-only, SURVEY §5.3 rule 5; this key
+    pins the algebra: per (doc, seed), min of a keyed token hash).
+
+    Plan: explode distinct tokens, broadcast-free 8x fan-out on a tiny
+    literal seed array, one keyed agg (doc_id, seed) with map-side
+    min combine — one shuffle of (doc, seed, long) rows. At 100 TB the
+    fan-out factor is the signature width, constant, and the agg state
+    is one long per (doc, seed): the textbook linear-pass signature
+    build. md5-per-token is ~3x xxhash64 cost — acceptable here because
+    this key's purpose is cross-engine verifiability; the production
+    path (K3) keeps the cheaper hash."""
+    tok = _doc_tokens(spark, sf_dir)
+    seeds = F.array(*[F.lit(i) for i in range(8)])
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("token"), F.lit("#"), F.col("seed").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        tok.select("doc_id", "token", F.explode(seeds).alias("seed"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(h).alias("minhash"))
+        .orderBy("doc_id", "seed")
+    )

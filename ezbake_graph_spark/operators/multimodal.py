@@ -258,3 +258,121 @@ def multimodal_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFram
 
     schema = "doc_id bigint, win_offset bigint, energy bigint"
     return d.mapInPandas(frames, schema).orderBy("doc_id", "win_offset")
+
+
+_PHASH_SQL = """
+WITH ph AS (
+  SELECT doc_id,
+         substr(md5(text), 1, 2) AS band,
+         ('0x' || substr(md5(text),  1, 4))::BIGINT AS h0,
+         ('0x' || substr(md5(text),  5, 4))::BIGINT AS h1,
+         ('0x' || substr(md5(text),  9, 4))::BIGINT AS h2,
+         ('0x' || substr(md5(text), 13, 4))::BIGINT AS h3
+  FROM documents
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+          + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+          AS INT) AS hamming
+FROM ph a JOIN ph b ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 28
+ORDER BY doc1, doc2
+"""
+
+
+@register("multimodal_phash_near_dup", oracle=_PHASH_SQL, tags=("K-extra", "M122"))
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (K-extra): the pHash dedup shape —
+    64-bit fingerprint per payload, band-bucketed candidate join, exact
+    Hamming distance on candidates only — with the DCT perceptual hash
+    STUBBED as md5 of the payload (no image codecs in-container; a real
+    pHash drops in at the fingerprint expression and nothing else
+    changes).
+
+    Scale shape: identical to SimHash dedup — the join key is an 8-bit
+    band prefix here only so the tiny fixture yields nonempty candidate
+    sets; at 100 TB the band is 16-24 bits and each bucket stays small.
+    Hamming is 4x bit_count(xor) over 16-bit chunks — pure JVM codegen,
+    no Python. Candidates: |bucket|^2/2 per bucket, never all-pairs."""
+    d = tables.load(spark, sf_dir, "documents")
+    sig = F.md5(F.col("text"))
+    chunks = [
+        F.conv(F.substring(sig, 1 + 4 * i, 4), 16, 10).cast("long").alias(f"h{i}")
+        for i in range(4)
+    ]
+    ph = d.select(
+        "doc_id", F.substring(sig, 1, 2).alias("band"), *chunks
+    )
+    a, b = ph.alias("a"), ph.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.h{i}").bitwiseXOR(F.col(f"b.h{i}"))) for i in range(4)
+    )
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 28)
+        .orderBy("doc1", "doc2")
+    )
+
+
+_SHARD_SQL = """
+WITH sized AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         COALESCE(sum(octet_length(encode(text)))
+                  OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS bytes_before
+  FROM documents
+)
+SELECT CAST(bytes_before // 16384 AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM sized
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+@register("multimodal_shard_manifest", oracle=_SHARD_SQL, tags=("K-extra", "M123"))
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest (K-extra): assign payloads to
+    ~16 KiB shards by running byte offset in doc_id order, then emit
+    the per-shard manifest (doc count, bytes, id range) a training
+    dataloader consumes. The byte-budget twin of text_pack_sequences
+    (M104), which packs by token count.
+
+    The running sum is one global-ordered window — at this fixture's
+    scale a single sort. At 100 TB a single total order is the wrong
+    plan; shard within partition-local id ranges instead (the manifest
+    gains a partition column, assignment stays embarrassingly
+    parallel). Documented trade, same downstream contract."""
+    d = tables.load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_bytes = F.length(F.encode(F.col("text"), "UTF-8"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    sized = d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.coalesce(F.sum(n_bytes).over(w), F.lit(0)).alias("bytes_before"),
+    )
+    return (
+        sized.groupBy(
+            (F.col("bytes_before") / F.lit(16384)).cast("long").alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
