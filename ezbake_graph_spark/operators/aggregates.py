@@ -799,3 +799,58 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_price_covar"
         ),
     ).orderBy("flag")
+
+
+_PROFILE_SQL = """
+SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+       count(l_quantity) AS n_notnull,
+       count(DISTINCT l_quantity) AS n_distinct,
+       min(l_quantity) AS min_val, max(l_quantity) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+       count(DISTINCT l_extendedprice),
+       min(l_extendedprice), max(l_extendedprice)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(l_discount),
+       count(DISTINCT l_discount), min(l_discount), max(l_discount)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*), count(l_tax), count(DISTINCT l_tax),
+       min(l_tax), max(l_tax)
+FROM lineitem
+ORDER BY col_name
+"""
+
+
+@register("agg_data_profile", oracle=_PROFILE_SQL, tags=("D-extra", "M125"))
+def agg_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (D-extra): null rate, cardinality, and range
+    per numeric column in ONE scan — the data-quality report every
+    ingest pipeline runs before accepting a drop.
+
+    Spark-first shape: unpivot the four columns with ``stack`` (a
+    map-side generator, so the table is read once, not four times like
+    the oracle's UNION ALL), then one keyed agg over ≤4 groups.
+    min/max of doubles are exact value picks (no accumulation) and the
+    counts are integers — no float-parity question. At 100 TB this is
+    a single pass with 4-way fan-out and constant agg state; contrast
+    the naive per-column loop that rescans the table per column."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    stack_expr = "stack({n}, {args}) AS (col_name, val)".format(
+        n=len(cols), args=", ".join(f"'{c}', {c}" for c in cols)
+    )
+    return (
+        li.select(F.expr(stack_expr))
+        .groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("val").alias("n_notnull"),
+            F.countDistinct("val").alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("col_name")
+    )

@@ -733,3 +733,119 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_ASOF_NEAREST_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+), purch AS (
+  SELECT event_id, user_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+         c.ts AS b_ts, c.click_value AS b_val
+  FROM purch p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+), f AS (
+  SELECT p.event_id, c.ts AS f_ts, c.click_value AS f_val
+  FROM purch p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts < c.ts
+)
+SELECT b.event_id, b.user_id, b.ts, b.purchase_value,
+       CASE WHEN f.f_ts IS NULL THEN b.b_ts
+            WHEN b.b_ts IS NULL THEN f.f_ts
+            WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                 <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN b.b_ts
+            ELSE f.f_ts END AS nearest_click_ts,
+       CASE WHEN f.f_ts IS NULL THEN b.b_val
+            WHEN b.b_ts IS NULL THEN f.f_val
+            WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                 <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN b.b_val
+            ELSE f.f_val END AS nearest_click_value
+FROM b JOIN f USING (event_id)
+ORDER BY b.event_id
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_SQL, tags=("C8c", "M124"))
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (C8c): each purchase ↔ the click closest in
+    time in EITHER direction, per user — sensor-alignment semantics
+    (match each reading to the nearest calibration, not the last one).
+    Completes the as-of family: C8 backward, M84 forward, this nearest.
+
+    One tagged union + ONE sort per user partition computes both
+    directions: a running ``last`` over the preceding frame (backward,
+    equal-ts clicks qualify) and a running ``first`` over the strictly-
+    following frame (forward, equal-ts excluded so the simultaneous
+    click isn't double-counted), then an exact integer µs comparison
+    picks the nearer side, ties to backward. Same linear single-shuffle
+    shape as C8 — never a per-key quadratic join. The oracle derives
+    the identical answer from two DuckDB ASOF joins."""
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            "click_value",
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    order = [F.col("ts"), F.col("kind"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    click_val = F.when(F.col("kind") == 0, F.col("click_value"))
+    both = (
+        clicks.unionByName(purch)
+        .withColumn("b_ts", F.last(click_ts, ignorenulls=True).over(wb))
+        .withColumn("b_val", F.last(click_val, ignorenulls=True).over(wb))
+        .withColumn("f_ts", F.first(click_ts, ignorenulls=True).over(wf))
+        .withColumn("f_val", F.first(click_val, ignorenulls=True).over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    back_wins = (
+        F.col("f_ts").isNull()
+        | (
+            F.col("b_ts").isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros("b_ts")
+                <= F.unix_micros("f_ts") - F.unix_micros("ts")
+            )
+        )
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.when(back_wins, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+            "nearest_click_ts"
+        ),
+        F.when(back_wins, F.col("b_val")).otherwise(F.col("f_val")).alias(
+            "nearest_click_value"
+        ),
+    ).orderBy("event_id")

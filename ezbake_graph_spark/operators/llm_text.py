@@ -629,3 +629,48 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+_VOCAB_SQL = """
+WITH tok AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT lang,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_tokens,
+       count(DISTINCT term) AS vocab_size,
+       round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 6)
+           AS type_token_ratio
+FROM tok
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_vocab_coverage", oracle=_VOCAB_SQL, tags=("K-extra", "M127"))
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical-diversity profile (K-extra): corpus size,
+    vocabulary size, and type-token ratio — the screen a corpus curator
+    reads next to the M117 entropy mix before fixing sampling weights
+    (low TTR at high volume flags boilerplate/templated text).
+
+    One explode + one keyed agg with two count-distincts; Spark plans
+    distinct counts as expand + two-phase aggregation (partial
+    map-side), one shuffle keyed by (lang, grouping-id). The ratio is
+    a single IEEE division of exact integers — bit-identical across
+    engines without rounding; round6 kept for the output contract."""
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select("lang", "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("term").alias("vocab_size"),
+            F.round(
+                F.countDistinct("term").cast("double") / F.count(F.lit(1)), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("lang")
+    )

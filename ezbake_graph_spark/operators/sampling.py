@@ -214,3 +214,45 @@ def sample_negatives_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("anchor_id", "rnk")
     )
+
+
+_WEIGHTED_SQL = """
+WITH pri AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS DOUBLE)
+             / n_chars AS priority
+  FROM documents
+)
+SELECT doc_id, n_chars
+FROM pri
+ORDER BY priority, doc_id
+LIMIT 50
+"""
+
+
+@register("sample_weighted", oracle=_WEIGHTED_SQL, tags=("ext", "sampling", "M126"))
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (size-biased): keep the 50 docs
+    with the smallest priority u/w, where u is the 16-bit md5 uniform
+    and w = n_chars — longer documents draw proportionally smaller
+    priorities, so selection probability rises with weight. The
+    training-mixture primitive behind "sample documents ∝ length".
+
+    Cross-engine exactness: u/w is ONE IEEE division (correctly
+    rounded by the standard, unlike libm pow/ln), so both engines rank
+    identical doubles; doc_id tie-break seals the order. The textbook
+    exponential-clocks scheme (-ln(u)/w, exact ∝w without-replacement
+    semantics) would hang the hash on ln() parity — documented trade.
+    Plan: map-side priority + TakeOrderedAndProject, no shuffle of the
+    full table; repeatable under retries/repartitioning like every
+    hash-keyed sampler here."""
+    d = tables.load(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "double"
+    )
+    return (
+        d.select("doc_id", "n_chars", (u / F.col("n_chars")).alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars")
+    )

@@ -105,6 +105,7 @@ _SLOW: frozenset[str] = frozenset(
         "dedup_cluster_canonical",  # pair kernel + Pregel WCC, ~3.3s
         "graph_modularity",  # wedge-join projection build, ~7s at sf0.01
         "sql_recursive_cte",  # 4-table derivation + engine recursion, ~7-9s
+        "join_asof_nearest",  # 4 running windows over the tagged union, ~3s
     }
 )
 
