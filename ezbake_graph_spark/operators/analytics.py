@@ -624,3 +624,82 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         (F.col("monetary_micro").cast("double") / 1_000_000).alias("monetary"),
     ).orderBy("user_id")
+
+
+_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'
+), isl AS (
+  SELECT user_id, d,
+         date_diff('day', DATE '1970-01-01', d)
+         - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+), runs AS (
+  SELECT user_id, island, count(*) AS streak_len, min(d) AS streak_start
+  FROM isl GROUP BY user_id, island
+), best AS (
+  SELECT user_id, streak_len, streak_start,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY streak_len DESC, streak_start) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n_streaks
+  FROM runs
+)
+SELECT user_id, CAST(streak_len AS BIGINT) AS longest_streak_days,
+       streak_start, CAST(n_streaks AS BIGINT) AS n_streaks
+FROM best WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+@register("events_purchase_streaks", oracle=_STREAKS_SQL, tags=("ext", "M129"))
+def events_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day purchase streak per user (ext): the
+    gaps-and-islands idiom on calendar days — island id = epoch-day
+    minus per-user row_number, constant within each unbroken run. All
+    integers and dates; ties on streak length resolve to the earliest
+    start.
+
+    Plan: distinct (user, day) collapses the event volume first (one
+    keyed shuffle), then two windows and an agg over the per-user day
+    lists — bounded by days-per-user, not events. The same shape at
+    100 TB: everything after the first distinct is proportional to
+    users x active-days, and the user-keyed windows need no further
+    shuffle once partitioned."""
+    ev = tables.load(spark, sf_dir, "events")
+    days = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        (F.datediff("d", F.lit("1970-01-01")) - F.row_number().over(w)).alias(
+            "island"
+        ),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("d").alias("streak_start")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start")
+    )
+    best = runs.select(
+        "user_id",
+        "streak_len",
+        "streak_start",
+        F.row_number().over(wb).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_streaks"),
+    )
+    return (
+        best.filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").cast("long").alias("longest_streak_days"),
+            "streak_start",
+            F.col("n_streaks").cast("long").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )

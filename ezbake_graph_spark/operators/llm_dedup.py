@@ -615,3 +615,107 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(h).alias("minhash"))
         .orderBy("doc_id", "seed")
     )
+
+
+_FUZZY_SQL = """
+WITH c AS (SELECT c_custkey, c_nationkey, c_name FROM customer)
+SELECT a.c_custkey AS cust1, b.c_custkey AS cust2,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY cust1, cust2
+"""
+
+
+@register("dedup_fuzzy_names", oracle=_FUZZY_SQL, tags=("K-extra", "M130"))
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (K-extra): near-duplicate customer
+    names by edit distance — the record-linkage primitive (same person,
+    typo'd name) that complements token-set dedup (K2) with
+    character-level similarity.
+
+    The scale story is the BLOCKING: candidate pairs come from an
+    equi-join on the blocking key (nation here; first-k-chars +
+    length-bucket in production), so levenshtein — O(len^2) per pair,
+    JVM codegen but not cheap — runs on |block|^2/2 pairs, never
+    all-pairs. Identical integer distances in both engines; threshold
+    <=1 keeps names differing by a single typo."""
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust1"),
+            F.col("b.c_custkey").alias("cust2"),
+            dist.cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 1)
+        .orderBy("cust1", "cust2")
+    )
+
+
+_CONTAIN_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id < 200
+), size_ AS (
+  SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc1, i.doc2,
+       CAST(i.n_common AS DOUBLE) / s1.n_tok AS containment
+FROM inter i
+JOIN size_ s1 ON i.doc1 = s1.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / s1.n_tok >= 0.9
+ORDER BY doc1, doc2
+"""
+
+
+@register("dedup_containment", oracle=_CONTAIN_SQL, tags=("K-extra", "M131"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (K-extra): |A∩B| / |A| >= 0.9 —
+    catches SUB-document duplication (doc A embedded in longer doc B)
+    that symmetric Jaccard (K2) under-scores, the quote/boilerplate
+    case in pretraining dedup. Directed: (doc1 ⊂ doc2) and (doc2 ⊂
+    doc1) are separate rows.
+
+    Same inverted-index shape as K2 — token-keyed equi-join produces
+    co-occurrence counts, so the shuffle is keyed and the quadratic
+    blowup is bounded by posting-list lengths (stop-token capping is
+    the production lever). The ratio is ONE IEEE division of exact
+    ints — bit-identical, no rounding needed. Declared on the same
+    bounded slice as K2: the exact kernel is the oracle for the banded
+    approximations (K3/M121), not the 100 TB path itself."""
+    tok = _doc_tokens(spark, sf_dir, max_doc=200)
+    size = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(size.withColumnRenamed("doc_id", "doc1")), "doc1")
+        .select(
+            "doc1",
+            "doc2",
+            (F.col("n_common").cast("double") / F.col("n_tok")).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.9)
+        .orderBy("doc1", "doc2")
+    )

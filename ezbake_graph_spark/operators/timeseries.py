@@ -659,3 +659,83 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lag1_autocorr"),
     ).orderBy("event_type")
+
+
+_CUSUM_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+  FROM events GROUP BY event_type, h
+), s AS (
+  SELECT event_type, h, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS t,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY h) AS run,
+         sum(cnt) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+), d AS (
+  SELECT event_type, h, t,
+         abs(CAST(n AS BIGINT) * CAST(run AS BIGINT)
+             - CAST(t AS BIGINT) * CAST(total AS BIGINT)) AS dstat,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(CAST(n AS BIGINT) * CAST(run AS BIGINT)
+                                         - CAST(t AS BIGINT) * CAST(total AS BIGINT))
+                                     DESC, t) AS rk
+  FROM s
+)
+SELECT event_type, h AS change_hour, CAST(t AS BIGINT) AS hour_index,
+       CAST(dstat AS BIGINT) AS cusum_stat
+FROM d WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+@register("ts_cusum_changepoint", oracle=_CUSUM_SQL, tags=("ts", "M128"))
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint (ts-extra): the hour where each type's event
+    rate shifts most — argmax_t |n*S_t - t*S_n| over the hourly count
+    series (the scaled-integer form of the classic CUSUM statistic, so
+    every value is an exact BIGINT and no mean/variance float enters
+    the hash; ties resolve to the earliest hour).
+
+    Plan: one keyed agg events→(type,hour) — the only data-sized
+    shuffle — then windows over the ~720-point series per type and an
+    argmax rank. At 100 TB the series length is fixed by the time
+    range, not the event volume: the heavy input collapses in the
+    first agg, the changepoint scan is constant work."""
+    ev = tables.load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wt = Window.partitionBy("event_type").orderBy("h")
+    wall = Window.partitionBy("event_type")
+    s = c.select(
+        "event_type",
+        "h",
+        F.row_number().over(wt).alias("t"),
+        F.sum("cnt").over(wt).alias("run"),
+        F.sum("cnt").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    dstat = F.abs(
+        F.col("n").cast("long") * F.col("run").cast("long")
+        - F.col("t").cast("long") * F.col("total").cast("long")
+    )
+    d = s.select(
+        "event_type",
+        "h",
+        "t",
+        dstat.alias("dstat"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(dstat.desc(), "t"))
+        .alias("rk"),
+    )
+    return (
+        d.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            F.col("t").cast("long").alias("hour_index"),
+            F.col("dstat").cast("long").alias("cusum_stat"),
+        )
+        .orderBy("event_type")
+    )
