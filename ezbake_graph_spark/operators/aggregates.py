@@ -854,3 +854,76 @@ def agg_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+_GINI_SQL = """
+WITH spend AS (
+  SELECT c.c_nationkey AS nation,
+         c.c_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, c.c_custkey
+), ranked AS (
+  SELECT nation, cents,
+         row_number() OVER (PARTITION BY nation
+                            ORDER BY cents, c_custkey) AS i,
+         count(*) OVER (PARTITION BY nation) AS n,
+         sum(cents) OVER (PARTITION BY nation) AS total
+  FROM spend
+)
+SELECT nation,
+       CAST(n AS BIGINT) AS n_customers,
+       CAST((2 * sum(i * cents) - (n + 1) * total) AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
+FROM ranked
+GROUP BY nation, n, total
+ORDER BY nation
+"""
+
+
+@register("agg_gini", oracle=_GINI_SQL, tags=("D-extra", "M134"))
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation (D-extra): the
+    inequality/concentration metric — G = (2·Σi·x_(i) − (n+1)·Σx) /
+    (n·Σx) over ascending-sorted spend. Skew diagnosis in one number:
+    G→1 means a few whales dominate a nation's revenue (and that
+    nation's key will hot-spot a revenue shuffle).
+
+    All-integer construction: spend in exact cents, rank i from a
+    deterministic (cents, custkey) order, numerator and denominator
+    exact BIGINTs, ONE closing IEEE division — bit-identical without
+    rounding. Plan: join + keyed agg (per-customer totals), then
+    per-nation windows; the window partitions by nation so no global
+    sort, and nothing exceeds customers-per-nation in state."""
+    from pyspark.sql import Window
+
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    wr = Window.partitionBy("nation").orderBy("cents", "c_custkey")
+    wn = Window.partitionBy("nation")
+    ranked = spend.select(
+        "nation",
+        "cents",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("cents").over(wn).alias("total"),
+    )
+    return (
+        ranked.groupBy("nation", "n", "total")
+        .agg(F.sum(F.col("i") * F.col("cents")).alias("s_ix"))
+        .select(
+            "nation",
+            F.col("n").cast("long").alias("n_customers"),
+            (
+                (2 * F.col("s_ix") - (F.col("n") + 1) * F.col("total")).cast("double")
+                / (F.col("n").cast("double") * F.col("total").cast("double"))
+            ).alias("gini"),
+        )
+        .orderBy("nation")
+    )

@@ -703,3 +703,52 @@ def events_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_ROLLING_ACTIVE_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), days AS (
+  SELECT DISTINCT d FROM ud
+)
+SELECT days.d AS day,
+       count(DISTINCT CASE WHEN ud.d = days.d THEN ud.user_id END) AS dau,
+       count(DISTINCT ud.user_id) AS wau
+FROM days JOIN ud
+  ON ud.d <= days.d AND ud.d > days.d - INTERVAL 7 DAY
+GROUP BY days.d
+ORDER BY day
+"""
+
+
+@register("events_rolling_active_users", oracle=_ROLLING_ACTIVE_SQL, tags=("ext", "M135"))
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day (ext): rolling DISTINCT users —
+    the one rolling metric a plain window frame cannot express (distinct
+    doesn't decompose over sliding frames), hence the day-spine range
+    join.
+
+    Plan: events collapse to distinct (user, day) FIRST — one keyed
+    shuffle proportional to users x active-days, everything after is
+    day-grain. The spine join fans each user-day to <=7 spine days
+    (bounded constant), then one agg with two conditional distincts.
+    At 100 TB the same shape holds: the range join is day-grain x 7,
+    never event-grain, and the distinct state is bounded by users."""
+    ev = tables.load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    days = ud.select("d").distinct().withColumnRenamed("d", "day")
+    return (
+        days.join(
+            ud,
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") > F.date_sub(F.col("day"), 7)),
+        )
+        .groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .orderBy("day")
+    )

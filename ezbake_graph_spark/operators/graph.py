@@ -1319,3 +1319,144 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vertices"))
         .orderBy("degree")
     )
+
+
+_ADAMIC_SQL = """
+WITH edges AS (
+  SELECT DISTINCT l_partkey AS part_id, l_suppkey AS supp_id FROM lineitem
+), deg AS (
+  SELECT supp_id, count(*) AS d FROM edges GROUP BY supp_id
+)
+SELECT a.part_id AS part1, b.part_id AS part2,
+       count(*) AS n_common,
+       round(sum(1.0 / ln(CAST(deg.d AS DOUBLE))), 6) AS adamic_adar
+FROM edges a
+JOIN edges b ON a.supp_id = b.supp_id AND a.part_id < b.part_id
+JOIN deg ON deg.supp_id = a.supp_id
+WHERE a.part_id < 30 AND b.part_id < 30
+GROUP BY a.part_id, b.part_id
+ORDER BY part1, part2
+"""
+
+
+@register("graph_adamic_adar", oracle=_ADAMIC_SQL, tags=("J-extra", "M132"))
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link score (J-extra): common-neighbor count weighted
+    by 1/ln(degree) — rare shared suppliers count more than hubs. The
+    inverse-log refinement of M95's raw common-neighbor recommender,
+    over a seed slice of parts.
+
+    Plan: wedge join on the shared supplier (keyed equi-join, never
+    all-pairs) with the supplier-degree table broadcast in. Every
+    1/ln(d) term is the identical libm double in both engines; the
+    per-pair sum spans at most |common suppliers| well-scaled terms so
+    round6 absorbs association drift. Output is ALL seed pairs (no
+    float-boundary top-k), totally ordered by ids."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("part_id"), F.col("l_suppkey").alias("supp_id")
+    ).distinct()
+    deg = (
+        edges.groupBy("supp_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .withColumnRenamed("supp_id", "deg_supp_id")
+    )
+    seed = edges.filter(F.col("part_id") < 30)
+    a, b = seed.alias("a"), seed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.supp_id") == F.col("b.supp_id"))
+            & (F.col("a.part_id") < F.col("b.part_id")),
+        )
+        .join(F.broadcast(deg), F.col("a.supp_id") == F.col("deg_supp_id"))
+        .groupBy(
+            F.col("a.part_id").alias("part1"), F.col("b.part_id").alias("part2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))), 6).alias(
+                "adamic_adar"
+            ),
+        )
+        .orderBy("part1", "part2")
+    )
+
+
+_ASSORT_SQL = """
+WITH edges AS (
+  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), deg AS (
+  SELECT src AS id, count(*) AS d FROM sym GROUP BY src
+), pairs AS (
+  SELECT CAST(da.d AS HUGEINT) AS x, CAST(db.d AS HUGEINT) AS y
+  FROM sym JOIN deg da ON sym.src = da.id JOIN deg db ON sym.dst = db.id
+), s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS degree_assortativity
+FROM s
+"""
+
+
+@register("graph_assortativity", oracle=_ASSORT_SQL, tags=("J-extra", "M133"))
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (J-extra): Pearson correlation of endpoint
+    degrees over the symmetrized edge list — negative means hubs attach
+    to leaves (the usual bipartite projection signature). The one-number
+    topology screen run before choosing a partitioning strategy (strong
+    disassortativity predicts skewed shuffle keys).
+
+    Exact-moment regime (as agg_corr_exact): degrees are integers, the
+    five moment sums accumulate in DECIMAL(38)/HUGEINT (sum of d^2 * y
+    over edges passes BIGINT range at sf>=0.1), and the closing Pearson
+    expression is a handful of identical IEEE ops. Plan: two keyed
+    joins decorate each directed edge with endpoint degrees (degree
+    table broadcast), one global agg — map-side combinable, single
+    reduce to one row."""
+    edges = bipartite_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("src").alias("id"), F.col("d").alias("dx"))
+    db = deg.select(F.col("src").alias("id"), F.col("d").alias("dy"))
+    pairs = (
+        sym.join(F.broadcast(da), sym.src == da.id)
+        .join(F.broadcast(db), sym.dst == db.id)
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("x"),
+            F.col("dy").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            6,
+        ).alias("degree_assortativity"),
+    )

@@ -674,3 +674,41 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_HASHTF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(term), 1, 4))::BIGINT % 64 AS BIGINT) AS bucket,
+       count(*) AS tf
+FROM tok
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""
+
+
+@register("text_hashing_tf", oracle=_HASHTF_SQL, tags=("K-extra", "M136"))
+def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (K-extra): the HashingTF primitive — token →
+    md5-hash bucket (64 here), per-doc bucket counts — the fixed-width,
+    vocabulary-free featurization that feeds linear classifiers and
+    quality filters at corpus scale (no global vocab build, no OOV).
+
+    MLlib's HashingTF uses murmur3 (Spark-private); this uses the md5
+    16-bit prefix so the whole transform is value-hash-oracled
+    cross-engine — same trade as M121. Plan: explode + one keyed agg
+    on (doc, bucket), map-side combinable; at 100 TB it's a single
+    linear pass, state bounded by docs x 64 buckets."""
+    d = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long") % 64
+    ).alias("bucket")
+    return (
+        tok.groupBy("doc_id", bucket)
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy("doc_id", "bucket")
+    )
