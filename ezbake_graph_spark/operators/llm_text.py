@@ -712,3 +712,59 @@ def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .orderBy("doc_id", "bucket")
     )
+
+
+_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), vocab AS (
+  SELECT term, count(*) AS cnt FROM tok GROUP BY term
+), n AS (
+  SELECT count(*) AS total FROM tok
+)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       round(sum(ln(CAST(vocab.cnt AS DOUBLE))) / count(*)
+             - ln((SELECT CAST(total AS DOUBLE) FROM n)), 6) AS avg_logprob
+FROM tok JOIN vocab USING (term)
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
+@register("text_unigram_logprob", oracle=_LOGPROB_SQL, tags=("K-extra", "M137"))
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM score per document (K-extra): mean log-probability
+    under the corpus's own unigram distribution — the cheap stand-in
+    for perplexity filtering (docs of improbable tokens score low and
+    get culled/downweighted in pretraining pipelines).
+
+    avg_logprob = Σ ln(cnt(term))/n_tok − ln(N): the algebra keeps one
+    global constant ln(N) OUT of the per-token sum, so every summed
+    term is ln of an exact integer — identical libm doubles — and the
+    per-doc sum spans only that doc's tokens (round6 absorbs order
+    drift). Plan: explode → term-keyed count (one shuffle) →
+    broadcast-join counts back → doc-keyed agg (second shuffle).
+    Both shuffles are keyed and map-side combined; the vocab table is
+    the only broadcast and is Zipf-bounded at any corpus size."""
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.count()
+    return (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("cnt").cast("double"))) / F.count(F.lit(1))
+                # JVM-side log of the exact integer total: Math.log has
+                # matched DuckDB's ln bit-for-bit across this suite
+                # (text_tfidf et al.); Python math.log is a third libm
+                # and stays out of the hash.
+                - F.log(F.lit(float(total))),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

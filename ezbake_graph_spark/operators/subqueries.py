@@ -188,3 +188,41 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     custom convergence tests or per-step caching policy."""
     tables.register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+_PARAM_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100 AS total_price
+FROM orders
+WHERE o_totalprice > 200000.0 AND o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("sql_parameterized", oracle=_PARAM_SQL, tags=("SQL-extra", "M139"))
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (SQL-extra, Spark 4 ``spark.sql(sql, args=
+    {...})``): the injection-safe templated-query entry point —
+    parameter markers (:name) bind server-side as literals, so repeated
+    dashboard/report queries reuse one text. Binding happens at parse
+    time: Catalyst sees constants, so pushdown/pruning work exactly as
+    with inline literals (the pushed filter appears in the scan).
+    The oracle inlines the same values."""
+    o = tables.load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS total_price
+        FROM orders_param_v
+        WHERE o_totalprice > :min_price AND o_orderdate >= CAST(:since AS TIMESTAMP)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        args={"min_price": 200000.0, "since": "1995-01-01"},
+    )

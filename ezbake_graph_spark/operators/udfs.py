@@ -292,3 +292,52 @@ def udaf_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ITER_UDF_SQL = """
+SELECT doc_id,
+       CASE WHEN n_chars < 150 THEN 'short'
+            WHEN n_chars < 400 THEN 'medium'
+            ELSE 'long' END AS length_class,
+       n_chars * 4 // 3 AS est_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("udf_pandas_iter", oracle=_ITER_UDF_SQL, tags=("L2c", "M138"))
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator pandas UDF (L2c): ``Iterator[pd.Series] →
+    Iterator[pd.Series]`` — the rung whose point is AMORTIZED
+    PER-PARTITION INIT: the body runs once per worker task, builds its
+    expensive state (a model, a tokenizer — here a deterministic
+    threshold table standing in for one), then streams every Arrow
+    batch through it. The per-batch math is identical to L2; what
+    changes is where setup cost lands. This is the shape for "score
+    every document with a loaded model" at 100 TB: load once per task,
+    not once per batch (L2) or once per row (L1).
+
+    Kernel outputs are strings/ints bucketed from exact ints — no
+    float parity surface. est_tokens uses floor division (n*4)//3,
+    matching the oracle's integer // exactly."""
+    @pandas_udf("string")
+    def length_class(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time "model load" per task — deliberately outside the loop
+        thresholds = [(150, "short"), (400, "medium")]
+        for v in batches:
+            out = pd.Series(["long"] * len(v), index=v.index)
+            for cut, label in reversed(thresholds):
+                out[v < cut] = label
+            yield out
+
+    @pandas_udf("long")
+    def est_tokens(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for v in batches:
+            yield (v * 4) // 3
+
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        length_class("n_chars").alias("length_class"),
+        est_tokens("n_chars").alias("est_tokens"),
+    ).orderBy("doc_id")
