@@ -27,10 +27,28 @@ AVG drift is ~eps*sqrt(n)*avg ≈ 1e-10 at our scales, so plain
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000  # micro-units
+
+
+def bounded_sort(df: DataFrame, *cols: str) -> DataFrame:
+    """Total-order a GROUP-COUNT-BOUNDED result without the
+    RangePartitioning exchange a plain ``orderBy`` plans.
+
+    ``orderBy`` samples the input in a separate job to compute range
+    bounds — a sequential ~0.1 s driver round-trip that dominates when
+    the result is a handful of group rows (measured at sf0.1:
+    agg_pricing_q1 0.39 s → 0.31 s, join_star_q5 0.39 s → 0.29 s warm
+    min). ``coalesce(1)`` + ``sortWithinPartitions`` is an identical
+    total order with no exchange at all.
+
+    ONLY for dimension/group-bounded outputs (nations, flags, buckets,
+    hour spines): a single partition of data-proportional rows would
+    serialize the whole result through one task at 100 TB.
+    """
+    return df.coalesce(1).sortWithinPartitions(*cols)
 
 
 def round6(col: Column | str) -> Column:

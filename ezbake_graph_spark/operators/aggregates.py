@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ezbake_graph_spark import tables
 from ezbake_graph_spark.determinism import (
     SCALE,
+    bounded_sort,
     money_avg_expr,
     money_sum_expr,
     sql_money_avg,
@@ -65,7 +66,7 @@ def agg_pricing_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_avg_expr(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(bounded_sort, "l_returnflag", "l_linestatus")
     )
 
 
@@ -89,7 +90,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -133,7 +134,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             money_sum_expr(F.col("c_acctbal")).alias("sum_acctbal"),
         )
-        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+        .coalesce(1)
+        .sortWithinPartitions(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
     )
 
 
@@ -741,14 +745,14 @@ WITH m AS (
 SELECT flag, CAST(n AS BIGINT) AS n_rows,
        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0),
              6) AS qty_price_corr,
        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100.0,
+             / NULLIF(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE), 0) / 100.0,
              6) AS qty_price_covar
 FROM s
 ORDER BY flag
@@ -789,13 +793,20 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
     cov_num = nd * sxy - sx * sy
+    # Zero-variance guard: a constant series makes the Pearson
+    # denominator 0 — Spark under ANSI (4.x default) raises
+    # DIVIDE_BY_ZERO while DuckDB's IEEE division yields NaN/inf.
+    # Both sides agree on NULL instead (when() here, NULLIF in the
+    # oracle). Same for covar's n*(n-1) at n==1.
+    corr_den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    cov_den = nd * (nd - F.lit(1.0))
     return s.select(
         "flag",
         F.col("n").cast("long").alias("n_rows"),
         F.round(
-            cov_num / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)), 6
+            F.when(corr_den != 0, cov_num / corr_den), 6
         ).alias("qty_price_corr"),
-        F.round(cov_num / (nd * (nd - F.lit(1.0))) / F.lit(100.0), 6).alias(
+        F.round(F.when(cov_den != 0, cov_num / cov_den) / F.lit(100.0), 6).alias(
             "qty_price_covar"
         ),
     ).orderBy("flag")

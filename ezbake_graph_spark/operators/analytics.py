@@ -730,19 +730,28 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: events collapse to distinct (user, day) FIRST — one keyed
     shuffle proportional to users x active-days, everything after is
-    day-grain. The spine join fans each user-day to <=7 spine days
-    (bounded constant), then one agg with two conditional distincts.
-    At 100 TB the same shape holds: the range join is day-grain x 7,
-    never event-grain, and the distinct state is bounded by users."""
+    day-grain. Each user-day then EXPLODES to the exactly-7 spine days
+    it covers (sequence(d, d+6)) and equi-joins the broadcast day
+    spine — a genuinely keyed shuffle with bounded 7x fan-out, not a
+    range predicate (which Spark would plan as a broadcast
+    nested-loop join, O(|days| x |user-days|) comparisons). At 100 TB
+    the same shape holds: fan-out is a constant 7, the spine is
+    day-grain (broadcast-tiny at any data scale), and the distinct
+    state is bounded by users."""
     ev = tables.load(spark, sf_dir, "events")
     ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
-    days = ud.select("d").distinct().withColumnRenamed("d", "day")
+    days = ud.select(F.col("d").alias("day")).distinct()
+    cover = ud.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+    )
     return (
-        days.join(
-            ud,
-            (F.col("d") <= F.col("day"))
-            & (F.col("d") > F.date_sub(F.col("day"), 7)),
-        )
+        # inner equi-join vs the observed-day spine: drops synthetic
+        # cover days with no events (the oracle's spine join semantics)
+        cover.join(F.broadcast(days), "day")
         .groupBy("day")
         .agg(
             F.countDistinct(

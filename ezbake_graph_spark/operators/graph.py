@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ezbake_graph_spark import tables
-from ezbake_graph_spark.determinism import sql_money_avg, money_avg_expr
+from ezbake_graph_spark.determinism import (
+    bounded_sort,
+    money_avg_expr,
+    sql_money_avg,
+)
 from ezbake_graph_spark.graph import (
     bfs,
     connected_components,
@@ -91,6 +95,9 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy(F.col("l_suppkey").alias("supp_id"))
         .agg(F.countDistinct("l_partkey").alias("degree"))
+        # plain orderBy, NOT bounded_sort: output is one row per
+        # supplier — data-proportional, so the single-partition closing
+        # sort would serialize it at scale
         .orderBy("supp_id")
     )
 
@@ -1401,10 +1408,10 @@ WITH edges AS (
 SELECT CAST(n AS BIGINT) AS n_directed_edges,
        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0),
              6) AS degree_assortativity
 FROM s
 """
@@ -1452,11 +1459,14 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
+    # Zero-variance guard (degree-regular graph): NULL in both engines
+    # — Spark ANSI raises DIVIDE_BY_ZERO, DuckDB emits NaN/inf;
+    # when()/NULLIF make them agree.
+    den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
     return s.select(
         F.col("n").cast("long").alias("n_directed_edges"),
         F.round(
-            (nd * sxy - sx * sy)
-            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            F.when(den != 0, (nd * sxy - sx * sy) / den),
             6,
         ).alias("degree_assortativity"),
     )

@@ -327,12 +327,25 @@ def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style 6-table star join (C10).
 
     Star-join shape: the fact table (lineitem) is NEVER shuffled or
-    broadcast — the date-filtered customer⨝orders side collapses to a
-    small keyed relation that broadcasts, and lineitem streams through
-    a single WholeStageCodegen pipeline of fused broadcast hash joins
-    straight into the partial aggregate. At 100 TB the same plan holds
-    as long as the filtered dim side fits the broadcast budget;
-    otherwise AQE demotes just that one join to SMJ.
+    broadcast — every dimension side broadcasts and lineitem streams
+    through a single WholeStageCodegen pipeline of fused broadcast hash
+    joins straight into the partial aggregate. Two latency levers
+    (measured at sf0.1, min-of-9 warm: 0.43 s → 0.29 s):
+
+    - orders and customer broadcast INDEPENDENTLY (depth-1 chain, the
+      driver builds all five broadcasts concurrently) instead of
+      pre-joining them into one `co` relation, whose build was a
+      2-deep SEQUENTIAL broadcast chain (customer bcast → join →
+      collect → re-broadcast) on the latency path.
+    - the closing sort is `coalesce(1).sortWithinPartitions` — the
+      result is dimension-bounded (≤25 nations), and a plain orderBy
+      would plan a RangePartitioning exchange whose sampling pass is
+      an extra sequential job.
+
+    At 100 TB the same plan holds as long as the filtered dim sides
+    fit the broadcast budget; otherwise AQE demotes just that one join
+    to SMJ (and the 1-partition closing sort still holds — it sorts
+    group-count rows, not data rows).
     """
     c = tables.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = tables.load(spark, sf_dir, "orders")
@@ -344,12 +357,12 @@ def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
-    co = c.join(o, c.c_custkey == o.o_custkey).select("o_orderkey", "c_nationkey")
     return (
-        li.join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (co.c_nationkey == s.s_nationkey),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -359,7 +372,8 @@ def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
-        .orderBy("n_name")
+        .coalesce(1)
+        .sortWithinPartitions("n_name")
     )
 
 

@@ -177,6 +177,64 @@ def _pair_group_sims(pdf, n_blocks: int):
     return v1, v2, sims[qi, ci]
 
 
+def _pair_group_topk(pdf, n_blocks: int, k: int):
+    """Local top-k of one grid pair-group WITHOUT materializing the
+    pair list: the dense cosine matrix is masked in place (-inf on the
+    diagonal-block lower triangle so each unordered pair counts once),
+    then a single O(cells) argpartition finds the k-th value and only
+    the ~k surviving cells are decoded to (vid1, vid2). The previous
+    kernel's ``np.nonzero`` over the full comparison grid built three
+    |pairs|-sized index arrays (2M+ entries at 2k vectors) — ~0.15 s of
+    pure allocation/gather that this path skips entirely.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    # normalize rows ONCE (n x dim) so the matmul emits cosines
+    # directly — replaces an outer-product + elementwise divide over
+    # the full n^2 cell grid
+    mat /= np.sqrt((mat * mat).sum(axis=1))[:, None]
+    blocks = pdf["b"].to_numpy()
+    bi, bj = divmod(int(pdf["pk"].iat[0]), n_blocks)
+    if bi == bj:
+        # id-sort the block so "q_id < c_id" IS the strict upper
+        # triangle; masking is then n contiguous row-slice writes, not
+        # an n^2 broadcast-compare bool matrix
+        srt = np.argsort(ids, kind="stable")
+        q_ids = c_ids = ids[srt]
+        sims = mat[srt] @ mat[srt].T
+        for i in range(sims.shape[0]):
+            sims[i, : i + 1] = -np.inf
+        valid = len(ids) * (len(ids) - 1) // 2
+    else:
+        qsel, csel = blocks == bi, blocks == bj
+        if not qsel.any() or not csel.any():
+            return None
+        q_ids, c_ids = ids[qsel], ids[csel]
+        sims = mat[qsel] @ mat[csel].T
+        valid = sims.size
+    kk = min(k, valid)
+    if kk == 0:
+        return None
+    flat = sims.ravel()
+    # Top-k on RAW cosines, with a 1e-6 slack so the subsequent
+    # ROUNDED-order cut (the oracle sorts round6 values) stays exact:
+    # any cell in the true rounded top-k — including every boundary
+    # tie — has raw >= raw_kth - 1e-6 (|round6(x) - x| <= 5e-7), so
+    # the candidate set is a provable superset and only ~k cells ever
+    # get rounded/sorted.
+    kth = np.partition(flat, flat.size - kk)[flat.size - kk]
+    cand = np.flatnonzero(flat >= kth - 1e-6)
+    qi, ci = np.unravel_index(cand, sims.shape)
+    v1 = np.minimum(q_ids[qi], c_ids[ci])
+    v2 = np.maximum(q_ids[qi], c_ids[ci])
+    s = np.round(flat[cand], 6)
+    order = np.lexsort((v2, v1, -s))[:kk]
+    return pd.DataFrame({"vid1": v1[order], "vid2": v2[order], "cosine": s[order]})
+
+
 @register("sim_cosine_topk", oracle=_COSINE_TOPK_SQL, tags=("K4", "bench"))
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-20 over all vector pairs (K4).
@@ -185,9 +243,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, each of the B(B+1)/2 block *pairs* becomes one task that
     computes a dense vectorized matmul over its two blocks and keeps a
     local top-20 (a superset bound: the global top-20 pairs each live in
-    exactly one block pair, and that task's local top-20 retains them).
-    The global ``orderBy().limit(20)`` then merges ~20 rows per task
-    (TakeOrderedAndProject — no full sort).
+    exactly one block pair, and that task's local top-20 retains them —
+    via ``_pair_group_topk``'s masked argpartition, never a
+    materialized pair list). The global ``orderBy().limit(20)`` then
+    merges ~20 rows per task (TakeOrderedAndProject — no full sort).
 
     This is the 100 TB shape: no driver-side matrix build, no broadcast
     of the corpus — shuffle volume is B x corpus (linear, chosen via
@@ -197,28 +256,17 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (B == 1) the planner takes a shuffle-free narrow path instead
     (``_apply_pair_kernel``).
     """
-    import numpy as np
     import pandas as pd
 
     n_blocks = _grid_blocks(spark, sf_dir)
 
     def pair_topk(pdf):
-        out = _pair_group_sims(pdf, n_blocks)
+        out = _pair_group_topk(pdf, n_blocks, 20)
         if out is None:
             return pd.DataFrame({"vid1": [], "vid2": [], "cosine": []}).astype(
                 {"vid1": "int64", "vid2": "int64", "cosine": "float64"}
             )
-        v1, v2, s = out
-        k = min(20, len(s))
-        # keep EVERY cell tied with the k-th value, then cut by the full
-        # (cosine desc, vid1, vid2) order — an argpartition-only cut
-        # would resolve boundary ties arbitrarily and could drop a pair
-        # the global composite order needs
-        kth = np.partition(s, len(s) - k)[len(s) - k]
-        cand = np.flatnonzero(s >= kth)
-        order = np.lexsort((v2[cand], v1[cand], -s[cand]))[:k]
-        sel = cand[order]
-        return pd.DataFrame({"vid1": v1[sel], "vid2": v2[sel], "cosine": s[sel]})
+        return out
 
     local = _apply_pair_kernel(spark, sf_dir, pair_topk)
     return local.orderBy(F.col("cosine").desc(), "vid1", "vid2").limit(20)
@@ -464,8 +512,9 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUANT_SQL = """
 SELECT vec_id,
-       list_transform(embedding,
-         x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER)) AS q,
+       array_to_string(list_transform(embedding,
+         x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER)
+                   AS VARCHAR)), '|') AS q,
        CAST(list_aggregate(list_transform(embedding,
          x -> abs(CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER))),
          'sum') AS BIGINT) AS l1_norm
@@ -480,7 +529,12 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform, no shuffle. Determinism: float32→double widening is
     exact, and half-up is spelled floor(x*127 + 0.5) — floor is
     bit-identical in both engines, whereas round() diverges on exact
-    halves (Spark BigDecimal vs DuckDB binary; SURVEY §5.3)."""
+    halves (Spark BigDecimal vs DuckDB binary; SURVEY §5.3).
+
+    Output contract: the quantized vector is emitted as a '|'-joined
+    string (agg_collect convention, SURVEY §5.3) — the driver's pandas
+    canonicalizer cannot sort/hash raw array cells (CORRECTNESS_r03
+    fail); exact int components survive stringification losslessly."""
     e = tables.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     q = F.transform(
         "embedding",
@@ -488,7 +542,7 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "vec_id",
-        q.alias("q"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), "|").alias("q"),
         F.aggregate(
             q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
         ).alias("l1_norm"),
@@ -531,7 +585,9 @@ WITH n AS (
   FROM embeddings
 )
 SELECT vec_id, l2_norm,
-       list_transform(embedding, x -> CAST(x AS DOUBLE) / l2_norm) AS unit
+       array_to_string(list_transform(embedding,
+         x -> CAST(CAST(floor(CAST(x AS DOUBLE) / l2_norm * 1000000 + 0.5)
+                        AS BIGINT) AS VARCHAR)), '|') AS unit_q6
 FROM n
 ORDER BY vec_id
 """
@@ -549,6 +605,12 @@ def embed_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — bit-exact with NO rounding. Map-side only: no shuffle,
     no UDF; the transform/aggregate lambdas run as JVM codegen'd
     higher-order functions, linear at any corpus size.
+
+    Output contract: the unit vector is emitted as '|'-joined
+    micro-int components (floor(x*1e6 + 0.5) — half-up via floor,
+    bit-identical in both engines on the identical doubles above;
+    agg_collect convention) because the driver's pandas canonicalizer
+    cannot sort/hash raw array cells (CORRECTNESS_r03 fail).
     """
     e = tables.load(spark, sf_dir, "embeddings")
     micro = lambda x: F.round(x.cast("double") * F.lit(1_000_000)).cast(  # noqa: E731
@@ -565,9 +627,18 @@ def embed_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return withn.select(
         "vec_id",
         "l2_norm",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / F.col("l2_norm")
-        ).alias("unit"),
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") / F.col("l2_norm") * F.lit(1_000_000)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .cast("string"),
+            ),
+            "|",
+        ).alias("unit_q6"),
     ).orderBy("vec_id")
 
 

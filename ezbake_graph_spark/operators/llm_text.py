@@ -70,16 +70,22 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf and df are exact ints; ln() is per-row libm (round6); the rank
     window tie-breaks on term."""
     d = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    n_docs = d.count()
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # n_docs stays IN the plan (broadcast 1-row agg, not a driver-side
+    # d.count() that would scan the table eagerly a second time).
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -421,12 +427,17 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term")
     )
     tok = d.select(F.explode(F.split("text", " ")).alias("term"))
-    total = tok.count()
+    # The φ-threshold's N is derived in-plan (broadcast 1-row agg), not
+    # via a driver-side tok.count() that would scan+explode the corpus
+    # eagerly at plan-build time.
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
     return (
         tok.join(F.broadcast(candidates), "term", "left_semi")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .filter(F.col("n_occurrences") >= HH_PHI * total)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") >= HH_PHI * F.col("total"))
+        .select("term", "n_occurrences")
         .orderBy(F.col("n_occurrences").desc(), "term")
     )
 
@@ -750,21 +761,29 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    total = tok.count()
+    # ln(N) stays IN the plan: N = sum of vocab counts (a broadcast
+    # 1-row agg over the already-computed vocab table), not a
+    # driver-side tok.count() that would scan+explode the corpus a
+    # second time eagerly at plan-build time. JVM-side log of the
+    # exact integer total: Math.log has matched DuckDB's ln
+    # bit-for-bit across this suite (text_tfidf et al.).
+    total = vocab.agg(F.log(F.sum("cnt").cast("double")).alias("ln_total"))
     return (
         tok.join(F.broadcast(vocab), "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
+            (
                 F.sum(F.log(F.col("cnt").cast("double"))) / F.count(F.lit(1))
-                # JVM-side log of the exact integer total: Math.log has
-                # matched DuckDB's ln bit-for-bit across this suite
-                # (text_tfidf et al.); Python math.log is a third libm
-                # and stays out of the hash.
-                - F.log(F.lit(float(total))),
-                6,
-            ).alias("avg_logprob"),
+            ).alias("mean_ln_cnt"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("mean_ln_cnt") - F.col("ln_total"), 6).alias(
+                "avg_logprob"
+            ),
         )
         .orderBy("doc_id")
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ezbake_graph_spark import tables
+from ezbake_graph_spark.determinism import bounded_sort
 from ezbake_graph_spark.registry import register
 
 _STRING_SQL = """
@@ -225,7 +226,7 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
             F.max("k").alias("max_k"),
         )
-        .orderBy("event_type")
+        .transform(bounded_sort, "event_type")
     )
 
 

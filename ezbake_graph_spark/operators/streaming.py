@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ezbake_graph_spark import tables
-from ezbake_graph_spark.determinism import SCALE, money_sum_expr, sql_money_sum
+from ezbake_graph_spark.determinism import (
+    SCALE,
+    bounded_sort,
+    money_sum_expr,
+    sql_money_sum,
+)
 from ezbake_graph_spark.registry import register
 
 _STREAM_TMP = "/tmp/ezgs_stream"
@@ -56,7 +61,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        .orderBy("window_start", "event_type")
+        .transform(bounded_sort, "window_start", "event_type")
     )
 
 

@@ -603,10 +603,10 @@ WITH c AS (
 SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0),
              6) AS lag1_autocorr
 FROM s
 ORDER BY event_type
@@ -650,12 +650,15 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
+    # Zero-variance guard (constant hourly series): NULL in both
+    # engines — Spark ANSI would raise DIVIDE_BY_ZERO, DuckDB would
+    # emit NaN/inf; when()/NULLIF make them agree.
+    den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
     return s.select(
         "event_type",
         F.col("n").cast("long").alias("n_pairs"),
         F.round(
-            (nd * sxy - sx * sy)
-            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            F.when(den != 0, (nd * sxy - sx * sy) / den),
             6,
         ).alias("lag1_autocorr"),
     ).orderBy("event_type")

@@ -110,6 +110,56 @@ _SLOW: frozenset[str] = frozenset(
 )
 
 
+# Driver correctness slots per round (measured: exactly 50 keys in each
+# of CORRECTNESS_r01-r03). Used to place the Pregel promotion below at
+# the TAIL of the window rather than its head.
+_WINDOW = 50
+
+# SQL-oracled Pregel fixpoints with no driver row (VERDICT r3 item 4):
+# registry classing put all never-green Pregel keys strictly last, so a
+# 50-slot window never reached them even after they gained full oracles
+# in round 3. Promote them into the window tail (~10s each at sf0.01 —
+# an affordable slice); once green they leave this list automatically.
+_PROMOTE_PREGEL = ("graph_labelprop", "graph_kcore", "graph_sssp")
+
+# Flagship iterative keys whose only green row is round 1 (stale for two
+# rounds): rotate them in right behind the promoted trio, but only when
+# their row is not already fresh from the immediately preceding round.
+_ROTATE_PREGEL = ("graph_wcc", "graph_bfs")
+
+
+def _latest_green() -> frozenset[str]:
+    """Keys green in the HIGHEST-numbered CORRECTNESS_r*.json only —
+    used to skip re-rotating a key whose row is already fresh."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    if not paths:
+        return frozenset()
+
+    def rnum(p: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    try:
+        with open(max(paths, key=rnum)) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return frozenset()
+    return frozenset(
+        k
+        for k, row in data.items()
+        if isinstance(row, dict)
+        and row.get("err") is None
+        and row.get("rows_match")
+        and row.get("hash_match") is not False
+    )
+
+
 def _ordered_specs() -> list[QuerySpec]:
     """Emission order for the driver's budget-capped correctness run
     (~50 slots per round; it walks ``queries()`` in dict order).
@@ -121,12 +171,17 @@ def _ordered_specs() -> list[QuerySpec]:
     0. never-green, SQL-oracled, non-Pregel  — full value-hash, cheap
     1. never-green, rows-only, non-Pregel    — weaker check, but no
        DuckDB cost and these have no driver record at all yet
-    2. green Pregel (graph_wcc / graph_bfs)  — keep the two flagship
-       iterative algorithms with a current row, budget permitting
+    2. green Pregel                          — keep flagship iterative
+       algorithms with a current row, budget permitting
     3. green, everything else                — cheap re-verification
-    4. never-green Pregel fixpoints          — tens of seconds each
-       (several now carry SQL oracles — labelprop/kcore/sssp — but
-       their cost still argues for the tail): strictly last
+    4. never-green Pregel fixpoints without an oracle — tens of
+       seconds each for a rows-only check: strictly last
+
+    plus one surgical override: the ``_PROMOTE_PREGEL`` trio (and, when
+    stale, the ``_ROTATE_PREGEL`` pair) are spliced into positions
+    ``_WINDOW - len(picked) .. _WINDOW - 1`` — the tail of the driver
+    window — so the flagship fixpoints finally get a driver row without
+    displacing more than ~5 cheap first-time slots (VERDICT r3 item 4).
     """
     green = _driver_green()
 
@@ -143,7 +198,24 @@ def _ordered_specs() -> list[QuerySpec]:
             cls = 2 if pregel else 3
         return (cls, 1 if spec.name in _SLOW else 0)
 
-    return sorted(REGISTRY.values(), key=key)  # stable within class
+    specs = sorted(REGISTRY.values(), key=key)  # stable within class
+
+    fresh = _latest_green()
+    tail = [
+        k
+        for k in _PROMOTE_PREGEL
+        if k in REGISTRY and k not in green and REGISTRY[k].oracle is not None
+    ] + [k for k in _ROTATE_PREGEL if k in REGISTRY and k not in fresh]
+    if not tail:
+        return specs
+    tailset = set(tail)
+    picked = sorted(
+        (s for s in specs if s.name in tailset),
+        key=lambda s: tail.index(s.name),
+    )
+    rest = [s for s in specs if s.name not in tailset]
+    at = max(0, _WINDOW - len(picked))
+    return rest[:at] + picked + rest[at:]
 
 
 def queries() -> dict[str, QueryFn]:

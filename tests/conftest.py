@@ -40,6 +40,20 @@ def assert_query_matches_oracle(spark, duck, key: str, sf_dir: str = SF_SMOKE):
     scols, srows = list(df.columns), [tuple(r) for r in df.collect()]
     if key not in oracles:
         return srows  # rows-only op: caller asserts on content
+    # Driver-canonicalizer contract: the driver sorts a pandas frame of
+    # the result before hashing, and list/dict cells raise
+    # `TypeError: unhashable type` there (CORRECTNESS_r03:
+    # embed_quantize/embed_l2_normalize). Oracled outputs must
+    # stringify nested values (agg_collect's array_join convention).
+    nested = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.dataType.simpleString().startswith(("array<", "map<", "struct<"))
+    ]
+    assert not nested, (
+        f"{key}: array/map/struct output cols break the driver "
+        f"canonicalizer — serialize them (array_join/to_json): {nested}"
+    )
     cur = duck.execute(oracles[key])
     dcols = [d[0] for d in cur.description]
     drows = cur.fetchall()

@@ -114,7 +114,10 @@ def duck_collect(con, sql: str) -> tuple[list[str], list[tuple], list[str]]:
     return cols, rows, dirty
 
 
-_SPARK_DIRTY = ("decimal", "float")  # DecimalType / FloatType in simpleString
+# DecimalType / FloatType stringify differently across engines; nested
+# types (array/map/struct) are unhashable in the driver's pandas
+# canonicalizer (CORRECTNESS_r03: embed_quantize / embed_l2_normalize).
+_SPARK_DIRTY = ("decimal", "float", "array<", "map<", "struct<")
 
 
 def spark_dirty_cols(df) -> list[str]:
