@@ -199,3 +199,76 @@ def test_zorder_spark_expr_matches_python(spark):
     )
     for r in df.collect():
         assert r["z"] == z_py(r["x"], r["y"]), (r["x"], r["y"])
+
+
+# small integer components force heavy cosine ties (duplicate vectors,
+# scaled copies) — exactly the boundary cases the top-k kernel's
+# raw-partition + rounded-order cut must survive
+_vec = st.lists(
+    st.integers(min_value=-3, max_value=3), min_size=4, max_size=4
+).filter(lambda v: any(v))
+
+
+@given(
+    vecs=st.lists(_vec, min_size=2, max_size=16),
+    n_blocks=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=100, deadline=None)
+def test_pair_group_topk_matches_bruteforce(vecs, n_blocks):
+    """_pair_group_topk (sim_cosine_topk's per-task kernel), unioned
+    over every grid pair-group and globally merged, must equal the
+    brute-force top-k under the oracle's exact composite order
+    (round6(cosine) desc, vid1, vid2) — including every tie at the
+    k-th boundary, which the kernel handles via a 1e-6 slack on the
+    raw-value argpartition before the rounded-order cut."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ezbake_graph_spark.operators.llm_similarity import _pair_group_topk
+
+    k = 5
+    n = len(vecs)
+
+    # brute force over all unordered pairs, rounded composite order
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))),
+            6,
+        )
+
+    expect = sorted(
+        ((cos(vecs[i], vecs[j]), i, j) for i in range(n) for j in range(i + 1, n)),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:k]
+
+    # kernel, run per grid pair-group exactly as _grid_pairs lays it out
+    frames = []
+    for bi in range(n_blocks):
+        for bj in range(bi, n_blocks):
+            members = [
+                (i, v) for i, v in enumerate(vecs) if i % n_blocks in (bi, bj)
+            ]
+            if not members:
+                continue
+            pdf = pd.DataFrame(
+                {
+                    "vec_id": [i for i, _ in members],
+                    "embedding": [np.array(v, dtype=np.float64) for _, v in members],
+                    "b": [i % n_blocks for i, _ in members],
+                    "pk": bi * n_blocks + bj,
+                }
+            )
+            out = _pair_group_topk(pdf, n_blocks, k)
+            if out is not None:
+                frames.append(out)
+    got_df = pd.concat(frames, ignore_index=True)
+    got = sorted(
+        zip(got_df["cosine"], got_df["vid1"], got_df["vid2"]),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:k]
+    assert [(int(a), int(b)) for _, a, b in got] == [(a, b) for _, a, b in expect]
+    for (gc, _, _), (ec, _, _) in zip(got, expect):
+        assert abs(gc - ec) < 1e-9
