@@ -241,7 +241,7 @@ SELECT c.c_mktsegment AS segment, count(*) AS n_users,
        CAST(count_if(first_purchase_after IS NOT NULL
                      AND first_purchase_after <= first_view + INTERVAL 1 HOUR)
             AS DOUBLE)
-         / count_if(first_view IS NOT NULL) AS conversion_1h
+         / NULLIF(count_if(first_view IS NOT NULL), 0) AS conversion_1h
 FROM conv JOIN customer c ON user_id = c.c_custkey
 GROUP BY 1 ORDER BY 1
 """
@@ -287,9 +287,13 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_users"),
             F.count_if(F.col("first_view").isNotNull()).alias("n_viewed"),
             F.count_if(converted).alias("n_converted_1h"),
-            (
+            # zero-viewer guard: a segment with no 'view' events makes
+            # the rate 0/0 — Spark ANSI raises, DuckDB yields NaN;
+            # when()/NULLIF agree on NULL (ADVICE r3 division class)
+            F.when(
+                F.count_if(F.col("first_view").isNotNull()) != 0,
                 F.count_if(converted).cast("double")
-                / F.count_if(F.col("first_view").isNotNull())
+                / F.count_if(F.col("first_view").isNotNull()),
             ).alias("conversion_1h"),
         )
         .orderBy("segment")

@@ -595,7 +595,8 @@ WITH terms AS (
 )
 SELECT count(*) AS n_points,
        round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
-             / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 6) AS zipf_slope
+             / NULLIF(count(*) * sum(lx * lx) - sum(lx) * sum(lx), 0),
+             6) AS zipf_slope
 FROM pts
 """
 
@@ -632,11 +633,18 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("n").cast("double")).alias("ly"),
     )
     cnt = F.count(F.lit(1))
+    # degenerate-corpus guard: <2 distinct terms make the regression
+    # denominator (the log-rank variance) 0 — Spark ANSI raises,
+    # DuckDB yields NaN; when()/NULLIF agree on NULL
+    den = cnt * F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx")
     return pts.agg(
         cnt.alias("n_points"),
         F.round(
-            (cnt * F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly"))
-            / (cnt * F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx")),
+            F.when(
+                den != 0,
+                (cnt * F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly"))
+                / den,
+            ),
             6,
         ).alias("zipf_slope"),
     )

@@ -222,6 +222,7 @@ WITH pri AS (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS DOUBLE)
              / n_chars AS priority
   FROM documents
+  WHERE n_chars > 0
 )
 SELECT doc_id, n_chars
 FROM pri
@@ -251,7 +252,11 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     return (
-        d.select("doc_id", "n_chars", (u / F.col("n_chars")).alias("priority"))
+        # zero-weight docs are excluded (both sides): priority u/0
+        # would raise under Spark ANSI and sort as inf in DuckDB —
+        # a weightless item has no place in a size-biased sample anyway
+        d.filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", (u / F.col("n_chars")).alias("priority"))
         .orderBy("priority", "doc_id")
         .limit(50)
         .select("doc_id", "n_chars")
