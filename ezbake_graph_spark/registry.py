@@ -76,36 +76,28 @@ def _driver_green() -> frozenset[str]:
 
 
 # Keys measured slow at sf0.01 in the local verify harness (≥1.3s
-# Spark-side, round-3 measurement over all 101 never-verified keys);
-# pushed to the back of their class so a time-budgeted correctness run
-# checks more keys first.
+# Spark-side, WARM-session full-registry run, round-4 refresh — the
+# round-3 cold measurements overstated several by 3-5x); pushed to the
+# back of their class so a time-budgeted correctness run checks more
+# keys first.
 _SLOW: frozenset[str] = frozenset(
     {
-        "dedup_prefix_filter",
-        "text_langid",
-        "agg_heavy_hitters",
-        "text_winnowing",
-        "stream_dedup",
-        "dedup_minhash",
-        "embed_kmeans",
-        "dedup_simhash",
-        "stream_source_smoke",
-        # streaming keys pay query startup + checkpoint I/O (1.3-9.5s
-        # at sf0.01 measured after their round-3 oracle upgrade)
-        "stream_sink_smoke",
-        "stream_watermark",
-        "stream_stateful",
-        "stream_stream_join",
-        "stream_incremental_mv",
-        "graph_scc",  # iterative closure loop, ~11s at sf0.01
-        "graph_pagerank_exact",  # 10 integer supersteps, ~10s at sf0.01
-        "graph_ppr_exact",  # same shape, ~10s at sf0.01
-        "sim_rp_sketch",  # 16x64 literal-array codegen compile, ~2s
-        "graph_random_walk",  # 4 chained hop joins, ~3-12s at sf0.01
-        "dedup_cluster_canonical",  # pair kernel + Pregel WCC, ~3.3s
-        "graph_modularity",  # wedge-join projection build, ~7s at sf0.01
-        "sql_recursive_cte",  # 4-table derivation + engine recursion, ~7-9s
-        "join_asof_nearest",  # 4 running windows over the tagged union, ~3s
+        "dedup_prefix_filter",  # 1.7s
+        "agg_heavy_hitters",  # 2.4s
+        "stream_dedup",  # 2.7s
+        "dedup_minhash",  # 4.7s
+        "embed_kmeans",  # 6.4s (MLlib fit at plan build)
+        "dedup_simhash",  # 2.2s
+        # streaming keys pay query startup + checkpoint I/O
+        "stream_watermark",  # 1.4s
+        "stream_stateful",  # 2.6s
+        "stream_stream_join",  # 5.6s
+        "graph_pagerank_exact",  # 10 integer supersteps, 2.2s warm
+        "graph_ppr_exact",  # same shape, 3.0s warm
+        "sim_rp_sketch",  # 16x64 literal-array codegen compile, 2.9s
+        "graph_random_walk",  # 4 chained hop joins, 3.7s warm
+        "dedup_cluster_canonical",  # pair kernel + Pregel WCC, 3.6s
+        "sql_recursive_cte",  # 4-table derivation + engine recursion, 2.1s
     }
 )
 
