@@ -248,19 +248,28 @@ LIMIT 10
 def topk_revenue_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style top-k by revenue (F3). Revenue is the exact
     micro-unit sum, so the top-10 cut is identical in both engines;
-    o_orderkey breaks ties deterministically."""
+    o_orderkey breaks ties deterministically.
+
+    Fact-never-shuffled with a DEPTH-1 broadcast chain: orders and the
+    segment-filtered customer keys broadcast independently (built
+    concurrently by the driver) and lineitem streams through one fused
+    BHJ + semi-join pipeline into the partial agg, closing with
+    TakeOrderedAndProject. The previous customer⨝orders pre-join was a
+    2-deep sequential broadcast build (bcast → join → collect →
+    re-broadcast) on the latency path — same fix as join_star_q5
+    (measured at sf0.1: 0.41 s → 0.34 s warm min). At 100 TB the
+    date-filtered orders side is the broadcast-budget gate; AQE demotes
+    that one join to SMJ when it outgrows it."""
     c = tables.load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
-    )
+    ).select("c_custkey")
     o = tables.load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
-    )
+    ).select("o_orderkey", "o_orderdate", "o_custkey")
     li = tables.load(spark, sf_dir, "lineitem")
-    # fact-never-shuffled: the filtered customer⨝orders side collapses
-    # small and broadcasts; lineitem streams through one fused pipeline
-    co = c.join(o, c.c_custkey == o.o_custkey).select("o_orderkey", "o_orderdate")
     return (
-        li.join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey, "left_semi")
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             money_sum_expr(
