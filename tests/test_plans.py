@@ -237,3 +237,30 @@ def test_dpp_join_prunes_fact_partitions_at_runtime(spark, no_cache):
     scan = plan.split("events_dpp")[1]
     pf = scan.split("PartitionFilters: ")[1].split("PushedFilters")[0]
     assert "dynamicpruningexpression" in pf
+
+
+def test_topk_q3_broadcasts_and_never_shuffles_fact(spark, no_cache):
+    """Q3's depth-1 broadcast chain: lineitem streams through a BHJ +
+    broadcast semi-join straight into TakeOrderedAndProject; the fact
+    table never exchanges and no sort-merge join appears."""
+    plan = _plan(spark, "topk_revenue_q3")
+    assert plan.count("BroadcastHashJoin") >= 2  # orders BHJ + customer semi
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning(l_" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_shard_manifest_has_no_global_sort(spark, no_cache):
+    """The distributed prefix sum must plan as a RANGE repartition +
+    per-partition sorts, never a single global Sort: every Sort node is
+    partition-local (global=false) and the only P-row total-order
+    window runs over the tiny offsets table."""
+    plan = _plan(spark, "multimodal_shard_manifest")
+    import re
+
+    global_sorts = re.findall(r"Sort \[(\w+)[^\]]*\], true", plan)
+    # the only permitted total order is the closing orderBy on the
+    # AGGREGATED manifest (shard_id) — never on the document stream
+    assert set(global_sorts) <= {"shard_id"}, f"global sort on data: {global_sorts}"
+    assert re.search(r"Sort \[doc_id[^\]]*\], false", plan), "partition-local doc sort missing"
+    assert "rangepartitioning" in plan
