@@ -353,57 +353,63 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-order window (round 3 shipped the one-sort form with the
     production shape only documented; this is that shape):
 
-    1. range-partition by doc_id + sort within partitions — P parallel
-       sorts, never a global one (RangePartitioning assigns ascending
-       id ranges to ascending partition ids);
-    2. per-partition Arrow cumsum over the sorted stream
-       (``mapInPandas``, carry across batches) emits each doc's
-       partition-LOCAL byte offset plus its partition id;
-    3. per-partition byte totals (P tiny rows) get a P-row window for
+    1. every doc gets a DETERMINISTIC range-bucket id — a pure column
+       expression over in-plan min/max(doc_id) bounds, NOT
+       ``repartitionByRange`` (whose SAMPLED boundaries re-draw on
+       every execution of the exchange: this subtree executes twice —
+       totals + final join — and mismatched draws produced overlapping
+       shard ranges at sf0.1; a physical-partition-id prefix sum is
+       only sound if the split is a function of the DATA, not of the
+       run);
+    2. per-bucket Arrow cumsum over the id-sorted group
+       (``applyInPandas``) emits each doc's bucket-LOCAL byte offset —
+       P parallel sorts, never a global one;
+    3. per-bucket byte totals (P tiny rows) get a P-row window for
        cumulative offsets and broadcast-join back — global offset =
-       local offset + sum of all earlier partitions' bytes.
+       local offset + sum of all earlier buckets' bytes.
 
     Identical integers to the single-window form (exact BIGINT
     arithmetic, same value hash); the only non-parallel step touches P
-    rows. This is the textbook scan/prefix-sum decomposition every
-    shard assigner at 100 TB needs."""
-    from collections.abc import Iterator
-
+    rows. Bucket balance assumes roughly uniform ids (true for ingest
+    sequence numbers); with skewed ids, compute the boundaries once
+    from a MATERIALIZED sample instead — the prefix-sum algebra is
+    unchanged."""
     import pandas as pd
-    from pyspark import TaskContext
     from pyspark.sql import Window
 
     d = tables.load(spark, sf_dir, "documents")
     n_bytes = F.length(F.encode(F.col("text"), "UTF-8"))
     n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
-    parts = (
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"), (F.max("doc_id") + 1).alias("hi")
+    )
+    sized_in = (
         d.select("doc_id", n_bytes.alias("n_bytes"))
-        .repartitionByRange(n_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "n_bytes",
+            (
+                (F.col("doc_id") - F.col("lo"))
+                * n_parts
+                / (F.col("hi") - F.col("lo"))
+            )
+            .cast("int")
+            .alias("pid"),
+        )
     )
 
-    def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        run = 0
-        for pdf in batches:
-            before = pdf["n_bytes"].cumsum() - pdf["n_bytes"] + run
-            run += int(pdf["n_bytes"].sum())
-            yield pd.DataFrame(
-                {
-                    "pid": pid,
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["n_bytes"],
-                    "local_before": before,
-                }
-            )
+    def local_cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        pdf["local_before"] = pdf["n_bytes"].cumsum() - pdf["n_bytes"]
+        return pdf[["pid", "doc_id", "n_bytes", "local_before"]]
 
-    local = parts.mapInPandas(
+    local = sized_in.groupBy("pid").applyInPandas(
         local_cumsum, "pid int, doc_id long, n_bytes long, local_before long"
     )
-    # `local` feeds both the totals agg and the final join: the second
-    # pass re-reads the range-shuffle output (exchange reuse), it does
-    # NOT re-shuffle; at cluster scale persist `local` if the cumsum
-    # kernel ever grows beyond this cheap arithmetic.
+    # `local` feeds both the totals agg and the final join; because the
+    # bucket id is a pure function of the data, recomputation yields
+    # byte-identical groups (the repartitionByRange form did NOT).
     totals = local.groupBy("pid").agg(
         F.max(F.col("local_before") + F.col("n_bytes")).alias("part_bytes")
     )

@@ -251,16 +251,18 @@ def test_topk_q3_broadcasts_and_never_shuffles_fact(spark, no_cache):
 
 
 def test_shard_manifest_has_no_global_sort(spark, no_cache):
-    """The distributed prefix sum must plan as a RANGE repartition +
-    per-partition sorts, never a single global Sort: every Sort node is
-    partition-local (global=false) and the only P-row total-order
-    window runs over the tiny offsets table."""
+    """The distributed prefix sum must never plan a single global Sort
+    over the document stream: docs shuffle by the deterministic bucket
+    column into per-bucket Arrow cumsum groups (FlatMapGroupsInPandas),
+    and the only total-order nodes touch the P-row offsets table and
+    the aggregated manifest."""
     plan = _plan(spark, "multimodal_shard_manifest")
     import re
 
     global_sorts = re.findall(r"Sort \[(\w+)[^\]]*\], true", plan)
-    # the only permitted total order is the closing orderBy on the
-    # AGGREGATED manifest (shard_id) — never on the document stream
-    assert set(global_sorts) <= {"shard_id"}, f"global sort on data: {global_sorts}"
-    assert re.search(r"Sort \[doc_id[^\]]*\], false", plan), "partition-local doc sort missing"
-    assert "rangepartitioning" in plan
+    # permitted total orders: the closing orderBy on the AGGREGATED
+    # manifest (shard_id) and the P-row offsets window (pid) — never
+    # the document stream (doc_id)
+    assert set(global_sorts) <= {"shard_id", "pid"}, f"global sort on data: {global_sorts}"
+    assert "FlatMapGroupsInPandas" in plan, "per-bucket cumsum kernel missing"
+    assert "hashpartitioning(pid" in plan, "keyed bucket shuffle missing"
