@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000  # micro-units
 
 
-def bounded_sort(df: DataFrame, *cols: str) -> DataFrame:
+def bounded_sort(df: DataFrame, *cols: Column | str) -> DataFrame:
     """Total-order a GROUP-COUNT-BOUNDED result without the
     RangePartitioning exchange a plain ``orderBy`` plans.
 

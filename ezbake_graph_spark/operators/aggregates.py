@@ -134,9 +134,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             money_sum_expr(F.col("c_acctbal")).alias("sum_acctbal"),
         )
-        .coalesce(1)
-        .sortWithinPartitions(
-            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        .transform(
+            bounded_sort,
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
         )
     )
 

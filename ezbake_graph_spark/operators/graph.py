@@ -18,11 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ezbake_graph_spark import tables
-from ezbake_graph_spark.determinism import (
-    bounded_sort,
-    money_avg_expr,
-    sql_money_avg,
-)
+from ezbake_graph_spark.determinism import money_avg_expr, sql_money_avg
 from ezbake_graph_spark.graph import (
     bfs,
     connected_components,

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ezbake_graph_spark import tables
-from ezbake_graph_spark.determinism import money_sum_expr, sql_money_sum
+from ezbake_graph_spark.determinism import (
+    bounded_sort,
+    money_sum_expr,
+    sql_money_sum,
+)
 from ezbake_graph_spark.registry import register
 
 _BROADCAST_SQL = f"""
@@ -372,8 +376,7 @@ def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
-        .coalesce(1)
-        .sortWithinPartitions("n_name")
+        .transform(bounded_sort, "n_name")
     )
 
 

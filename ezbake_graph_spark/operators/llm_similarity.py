@@ -219,14 +219,15 @@ def _pair_group_topk(pdf, n_blocks: int, k: int):
     if kk == 0:
         return None
     flat = sims.ravel()
-    # Top-k on RAW cosines, with a 1e-6 slack so the subsequent
-    # ROUNDED-order cut (the oracle sorts round6 values) stays exact:
-    # any cell in the true rounded top-k — including every boundary
-    # tie — has raw >= raw_kth - 1e-6 (|round6(x) - x| <= 5e-7), so
-    # the candidate set is a provable superset and only ~k cells ever
-    # get rounded/sorted.
+    # Top-k on RAW cosines, with slack so the subsequent ROUNDED-order
+    # cut (the oracle sorts round6 values) stays exact: any cell in
+    # the true rounded top-k — including every boundary tie — has
+    # raw >= raw_kth - (1e-6 + 2 ulp) (|round6(x) - x| <= 5e-7 plus
+    # one ulp of x*1e6 per rounding at the half boundary), so the
+    # candidate set is a provable superset and only ~k cells ever get
+    # rounded/sorted. 1.01e-6 over-covers the ulp terms by ~40x.
     kth = np.partition(flat, flat.size - kk)[flat.size - kk]
-    cand = np.flatnonzero(flat >= kth - 1e-6)
+    cand = np.flatnonzero(flat >= kth - 1.01e-6)
     qi, ci = np.unravel_index(cand, sims.shape)
     v1 = np.minimum(q_ids[qi], c_ids[ci])
     v2 = np.maximum(q_ids[qi], c_ids[ci])

@@ -50,28 +50,50 @@ def _load_all_operators() -> None:
     import ezbake_graph_spark.operators  # noqa: F401
 
 
+def _correctness_files() -> list[str]:
+    """Committed driver correctness records, sorted by round number."""
+    import glob
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def rnum(p: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    return sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")), key=rnum)
+
+
+def _green_keys(path: str) -> frozenset[str]:
+    """Keys with a green row in ONE correctness file — the single
+    definition of 'green' (no error, rows match, hash not a recorded
+    mismatch) shared by the cumulative and latest-round readers."""
+    import json
+
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return frozenset()
+    return frozenset(
+        key
+        for key, row in data.items()
+        if isinstance(row, dict)
+        and row.get("err") is None
+        and row.get("rows_match")
+        and row.get("hash_match") is not False
+    )
+
+
 def _driver_green() -> frozenset[str]:
-    """Keys with a green row in any prior round's CORRECTNESS_r*.json
+    """Keys with a green row in ANY prior round's CORRECTNESS_r*.json
     (committed at the repo root by the driver each round). Reading them
     at emission time makes the rotation self-updating: next round, the
     keys verified this round automatically drop to the back."""
-    import glob
-    import json
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
-            continue
-        for key, row in data.items():
-            if not isinstance(row, dict) or row.get("err") is not None:
-                continue
-            if row.get("rows_match") and row.get("hash_match") is not False:
-                green.add(key)
+    for path in _correctness_files():
+        green |= _green_keys(path)
     return frozenset(green)
 
 
@@ -107,49 +129,35 @@ _SLOW: frozenset[str] = frozenset(
 # the TAIL of the window rather than its head.
 _WINDOW = 50
 
-# SQL-oracled Pregel fixpoints with no driver row (VERDICT r3 item 4):
-# registry classing put all never-green Pregel keys strictly last, so a
-# 50-slot window never reached them even after they gained full oracles
-# in round 3. Promote them into the window tail (~10s each at sf0.01 —
-# an affordable slice); once green they leave this list automatically.
-_PROMOTE_PREGEL = ("graph_labelprop", "graph_kcore", "graph_sssp")
-
-# Flagship iterative keys whose only green row is round 1 (stale for two
-# rounds): rotate them in right behind the promoted trio, but only when
-# their row is not already fresh from the immediately preceding round.
+# Flagship iterative keys whose green row tends to go stale (VERDICT r3
+# item 4): rotate them in right behind any promoted fixpoints, but only
+# when their row is not already fresh from the immediately preceding
+# round.
 _ROTATE_PREGEL = ("graph_wcc", "graph_bfs")
+
+
+def _promoted_pregel() -> list[str]:
+    """SQL-oracled Pregel fixpoints with no driver row anywhere —
+    DERIVED from the registry, not a hardcoded list (VERDICT r3 item 4
+    root cause: the classifier put every never-green Pregel key
+    strictly last, so a 50-slot window never reached labelprop/kcore/
+    sssp even after they gained full oracles; any future key that
+    gains an oracle is promoted the same way automatically). Spliced
+    into the driver-window tail by ``_ordered_specs``; once green they
+    leave this set on the next emission."""
+    green = _driver_green()
+    return sorted(
+        name
+        for name, spec in REGISTRY.items()
+        if "pregel" in spec.tags and spec.oracle is not None and name not in green
+    )
 
 
 def _latest_green() -> frozenset[str]:
     """Keys green in the HIGHEST-numbered CORRECTNESS_r*.json only —
     used to skip re-rotating a key whose row is already fresh."""
-    import glob
-    import json
-    import os
-    import re
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    paths = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-    if not paths:
-        return frozenset()
-
-    def rnum(p: str) -> int:
-        m = re.search(r"_r(\d+)\.json$", p)
-        return int(m.group(1)) if m else -1
-
-    try:
-        with open(max(paths, key=rnum)) as f:
-            data = json.load(f)
-    except (OSError, ValueError):
-        return frozenset()
-    return frozenset(
-        k
-        for k, row in data.items()
-        if isinstance(row, dict)
-        and row.get("err") is None
-        and row.get("rows_match")
-        and row.get("hash_match") is not False
-    )
+    files = _correctness_files()
+    return _green_keys(files[-1]) if files else frozenset()
 
 
 def _ordered_specs() -> list[QuerySpec]:
@@ -169,11 +177,13 @@ def _ordered_specs() -> list[QuerySpec]:
     4. never-green Pregel fixpoints without an oracle — tens of
        seconds each for a rows-only check: strictly last
 
-    plus one surgical override: the ``_PROMOTE_PREGEL`` trio (and, when
-    stale, the ``_ROTATE_PREGEL`` pair) are spliced into positions
+    plus one surgical override: the never-green ORACLED Pregel
+    fixpoints (``_promoted_pregel``, derived from the registry) and,
+    when stale, the ``_ROTATE_PREGEL`` pair are spliced into positions
     ``_WINDOW - len(picked) .. _WINDOW - 1`` — the tail of the driver
-    window — so the flagship fixpoints finally get a driver row without
-    displacing more than ~5 cheap first-time slots (VERDICT r3 item 4).
+    window — so the flagship fixpoints get a driver row without
+    displacing more than a handful of cheap first-time slots
+    (VERDICT r3 item 4).
     """
     green = _driver_green()
 
@@ -193,11 +203,9 @@ def _ordered_specs() -> list[QuerySpec]:
     specs = sorted(REGISTRY.values(), key=key)  # stable within class
 
     fresh = _latest_green()
-    tail = [
-        k
-        for k in _PROMOTE_PREGEL
-        if k in REGISTRY and k not in green and REGISTRY[k].oracle is not None
-    ] + [k for k in _ROTATE_PREGEL if k in REGISTRY and k not in fresh]
+    tail = _promoted_pregel() + [
+        k for k in _ROTATE_PREGEL if k in REGISTRY and k not in fresh
+    ]
     if not tail:
         return specs
     tailset = set(tail)

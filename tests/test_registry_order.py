@@ -36,9 +36,9 @@ def _classes() -> list[tuple[str, int]]:
 
 def _tail_override() -> set[str]:
     """Keys the window-tail promotion may splice out of class order
-    (VERDICT r3 item 4): the oracled Pregel trio + the stale-rotation
-    pair."""
-    return set(registry._PROMOTE_PREGEL) | set(registry._ROTATE_PREGEL)
+    (VERDICT r3 item 4): the never-green oracled Pregel fixpoints
+    (registry-derived) + the stale-rotation pair."""
+    return set(registry._promoted_pregel()) | set(registry._ROTATE_PREGEL)
 
 
 def test_never_verified_keys_emit_first():
@@ -58,21 +58,19 @@ def test_all_never_green_oracled_precede_all_green():
 
 
 def test_pregel_promotion_lands_in_driver_window():
-    """The oracled-but-never-green Pregel fixpoints must appear inside
-    the driver's ~50-slot window (they classed strictly last before
-    round 4 and never got a driver row), at the TAIL so they displace
-    as few cheap first-time slots as possible."""
+    """EVERY oracled-but-never-green Pregel fixpoint must appear inside
+    the driver's ~50-slot window (the plain classifier puts never-green
+    Pregel strictly last, so without the splice a window never reaches
+    them — the VERDICT r3 defect), at the TAIL so they displace as few
+    cheap first-time slots as possible. Registry-derived: a Pregel key
+    that gains an oracle in a future round is covered automatically."""
     keys = list(registry.queries())
-    green = registry._driver_green()
-    expected = [
-        k
-        for k in registry._PROMOTE_PREGEL
-        if k not in green and registry.REGISTRY[k].oracle is not None
-    ]
+    expected = registry._promoted_pregel()
+    tail_len = len(expected) + len(registry._ROTATE_PREGEL)
     for k in expected:
         pos = keys.index(k)
         assert pos < registry._WINDOW, f"{k} at {pos} — outside driver window"
-        assert pos >= registry._WINDOW - 5, f"{k} at {pos} — should sit at window tail"
+        assert pos >= registry._WINDOW - tail_len, f"{k} at {pos} — should sit at window tail"
 
 
 def test_green_set_reads_correctness_files():
