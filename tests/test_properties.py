@@ -272,3 +272,78 @@ def test_pair_group_topk_matches_bruteforce(vecs, n_blocks):
     assert [(int(a), int(b)) for _, a, b in got] == [(a, b) for _, a, b in expect]
     for (gc, _, _), (ec, _, _) in zip(got, expect):
         assert abs(gc - ec) < 1e-9
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=40_000), min_size=1, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_shard_manifest_prefix_sum_matches_serial(spark, sizes):
+    """The distributed prefix sum inside multimodal_shard_manifest must
+    reproduce the serial running-byte shard assignment on arbitrary
+    document sizes — including zero-byte docs and docs larger than the
+    16 KiB shard budget. Regression for the round-4 determinism bug:
+    the repartitionByRange form re-sampled its boundaries on each of
+    the subtree's two executions and produced overlapping shards."""
+    import pandas as pd
+
+    from ezbake_graph_spark.operators import multimodal as mm
+
+    docs = [(i, "x" * n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # serial oracle in plain python
+    shards: dict[int, list[int]] = {}
+    before = 0
+    for i, n in enumerate(sizes):
+        shards.setdefault(before // 16384, []).append(i)
+        before += n
+    expect = {
+        sid: (
+            len(ids),
+            sum(sizes[i] for i in ids),
+            min(ids),
+            max(ids),
+        )
+        for sid, ids in shards.items()
+    }
+
+    # run the operator's plan on the synthetic table by monkey-loading
+    saved = mm.tables.load
+    mm.tables.load = lambda s, sf, name: df  # noqa: E731
+    try:
+        got = {
+            r["shard_id"]: (r["n_docs"], r["shard_bytes"], r["first_doc"], r["last_doc"])
+            for r in mm.multimodal_shard_manifest(spark, "unused").collect()
+        }
+    finally:
+        mm.tables.load = saved
+    assert got == expect
+
+
+def test_bounded_sort_queries_return_totally_ordered_rows(spark):
+    """bounded_sort replaces orderBy with coalesce(1)+
+    sortWithinPartitions; the driver's value-hash is order-insensitive
+    so a broken total order would go unnoticed there — assert the
+    presentational ordering contract directly."""
+    from ezbake_graph_spark import registry
+
+    cases = {
+        "agg_pricing_q1": lambda r: (r["l_returnflag"], r["l_linestatus"]),
+        "agg_count_distinct": lambda r: r["event_type"],
+        "scalar_json": lambda r: r["event_type"],
+        "stream_tumbling": lambda r: (r["window_start"], r["event_type"]),
+        "join_star_q5": lambda r: r["n_name"],
+    }
+    qs = registry.queries()
+    for key, sort_key in cases.items():
+        rows = qs[key](spark, "/root/testdata/sf0.001").collect()
+        keys = [sort_key(r) for r in rows]
+        assert keys == sorted(keys), f"{key}: rows not totally ordered"
+    # rollup: NULLS FIRST on both levels
+    rows = qs["agg_rollup"](spark, "/root/testdata/sf0.001").collect()
+    keys = [
+        ((r["r_name"] is not None, r["r_name"]), (r["n_name"] is not None, r["n_name"]))
+        for r in rows
+    ]
+    assert keys == sorted(keys), "agg_rollup: rows not nulls-first ordered"
