@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ezbake_graph_spark import registry
 from ezbake_graph_spark.session import DEFAULT_SF_DIR, get_session
 
-RUNS = int(os.environ.get("BENCH_RUNS", "7"))
+# min-of-9: run-to-run spread on this machine is ~±15% per query (GC
+# bursts, JIT state); 7 runs left the min itself noisy by ~5-8% on the
+# borderline queries (join_star_q5 0.275-0.352 across bench invocations)
+RUNS = int(os.environ.get("BENCH_RUNS", "9"))
 
 
 def bench_keys() -> list[str]:
