@@ -21,6 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+# Python WORKERS must also resolve ezbake_graph_spark: cloudpickle
+# serializes module-level kernel helpers (e.g. the multimodal stubs,
+# the similarity pair kernels) BY REFERENCE, so a worker spawned by a
+# driver that wasn't launched from the repo root raises
+# ModuleNotFoundError at first UDF execution. Workers inherit
+# PYTHONPATH when the worker daemon starts (lazily, at the first
+# Python-UDF task — after this import), so exporting it here covers
+# sessions created before OR after this module loads.
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO_ROOT
+    )
 
 from ezbake_graph_spark import registry  # noqa: E402
 
