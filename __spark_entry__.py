@@ -25,10 +25,11 @@ if _REPO_ROOT not in sys.path:
 # serializes module-level kernel helpers (e.g. the multimodal stubs,
 # the similarity pair kernels) BY REFERENCE, so a worker spawned by a
 # driver that wasn't launched from the repo root raises
-# ModuleNotFoundError at first UDF execution. Workers inherit
-# PYTHONPATH when the worker daemon starts (lazily, at the first
-# Python-UDF task — after this import), so exporting it here covers
-# sessions created before OR after this module loads.
+# ModuleNotFoundError at first UDF execution. This export covers
+# sessions whose JVM launches AFTER this import (the JVM snapshots the
+# driver env); for sessions created BEFORE it, tables._read patches
+# sc.environment at the load seam, which every registered query
+# passes through before any UDF is wrapped.
 if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
     os.environ["PYTHONPATH"] = (
         _REPO_ROOT + os.pathsep + os.environ["PYTHONPATH"]

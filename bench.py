@@ -54,9 +54,9 @@ def main() -> None:
     # instruction-cache locality reset on each switch — bench total
     # 5.55s interleaved vs 3.98s back-to-back, reproducibly). Run
     # back-to-back, the switch cost lands on run 1 only and min-of-N
-    # discards it. RUNS=7 default so one GC burst can't swallow the
-    # whole sample (seen once: agg_pricing_q1 0.77s across 5 runs vs
-    # 0.41s isolated).
+    # discards it. The RUNS default (see top of file) keeps one GC
+    # burst from swallowing the whole sample (seen once:
+    # agg_pricing_q1 0.77s across 5 runs vs 0.41s isolated).
     for key in bench_keys():
         fn = qs[key]
         best = float("inf")

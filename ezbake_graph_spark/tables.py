@@ -48,6 +48,22 @@ def _cache_enabled() -> bool:
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Python WORKERS must resolve ezbake_graph_spark: cloudpickle
+    # serializes module-level kernel helpers (multimodal stubs,
+    # similarity pair kernels) BY REFERENCE, and a caller-provided
+    # session launched outside the repo root spawns workers without it
+    # on sys.path (ModuleNotFoundError at the first Python-UDF task).
+    # sc.environment is snapshotted into each PythonFunction at UDF
+    # WRAP time — which in every registered query happens after this
+    # load seam — so mutating it here covers sessions created before
+    # the package was importable.
+    import ezbake_graph_spark
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(ezbake_graph_spark.__file__)))
+    env = spark.sparkContext.environment
+    cur = env.get("PYTHONPATH", "")
+    if repo not in cur.split(os.pathsep):
+        env["PYTHONPATH"] = repo + (os.pathsep + cur if cur else "")
     # Determinism rule 1 (SURVEY §5.3): timestamps must serialize in
     # UTC to hash-match the DuckDB oracle. Set here (idempotent runtime
     # conf) so caller-provided sessions — the driver builds its own,
