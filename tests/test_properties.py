@@ -347,3 +347,60 @@ def test_bounded_sort_queries_return_totally_ordered_rows(spark):
         for r in rows
     ]
     assert keys == sorted(keys), "agg_rollup: rows not nulls-first ordered"
+
+
+@given(
+    vecs=st.lists(_vec, min_size=2, max_size=14),
+    n_blocks=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=100, deadline=None)
+def test_pair_group_sims_covers_every_pair_exactly_once(vecs, n_blocks):
+    """_pair_group_sims (the threshold kernel behind dedup_embedding)
+    must emit every unordered vector pair exactly once across all grid
+    pair-groups, with round6 cosines matching serial math — duplicate
+    or dropped pairs would silently corrupt any threshold dedup built
+    on it."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ezbake_graph_spark.operators.llm_similarity import _pair_group_sims
+
+    n = len(vecs)
+    got: dict[tuple[int, int], float] = {}
+    for bi in range(n_blocks):
+        for bj in range(bi, n_blocks):
+            members = [
+                (i, v) for i, v in enumerate(vecs) if i % n_blocks in (bi, bj)
+            ]
+            if not members:
+                continue
+            pdf = pd.DataFrame(
+                {
+                    "vec_id": [i for i, _ in members],
+                    "embedding": [np.array(v, dtype=np.float64) for _, v in members],
+                    "b": [i % n_blocks for i, _ in members],
+                    "pk": bi * n_blocks + bj,
+                }
+            )
+            out = _pair_group_sims(pdf, n_blocks)
+            if out is None:
+                continue
+            v1, v2, s = out
+            for a, b, c in zip(v1, v2, s):
+                key = (int(a), int(b))
+                assert key not in got, f"pair {key} emitted twice"
+                got[key] = float(c)
+    assert len(got) == n * (n - 1) // 2, "missing pairs"
+    for (i, j), c in got.items():
+        num = sum(x * y for x, y in zip(vecs[i], vecs[j]))
+        exp = round(
+            num
+            / (
+                math.sqrt(sum(x * x for x in vecs[i]))
+                * math.sqrt(sum(y * y for y in vecs[j]))
+            ),
+            6,
+        )
+        assert abs(c - exp) < 1e-9, f"pair {(i, j)}: {c} != {exp}"
