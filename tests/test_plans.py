@@ -266,3 +266,13 @@ def test_shard_manifest_has_no_global_sort(spark, no_cache):
     assert set(global_sorts) <= {"shard_id", "pid"}, f"global sort on data: {global_sorts}"
     assert "FlatMapGroupsInPandas" in plan, "per-bucket cumsum kernel missing"
     assert "hashpartitioning(pid" in plan, "keyed bucket shuffle missing"
+
+
+def test_rolling_active_users_plans_keyed_join(spark, no_cache):
+    """DAU/WAU must join the exploded 7-day cover to the day spine as a
+    keyed (hash) join — the pure range-predicate formulation planned a
+    BroadcastNestedLoopJoin, O(|days| x |user-days|) comparisons
+    (ADVICE r3)."""
+    plan = _plan(spark, "events_rolling_active_users")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
