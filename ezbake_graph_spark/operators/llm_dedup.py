@@ -120,6 +120,35 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Broadcast budget for the MinHash verify stage's per-doc token-set
+# table, mirroring Spark's default autoBroadcastJoinThreshold (10 MB).
+# The raw documents parquet bytes upper-bound the exploded distinct
+# token sets; x4 covers decompression + JVM row overhead.
+_TOKSET_BROADCAST_BUDGET = 10 * 1024 * 1024
+_TOKSET_EXPANSION = 4
+
+
+def _toksets_broadcastable(sf_dir: str, budget: int = _TOKSET_BROADCAST_BUDGET) -> bool:
+    """Size-pick for the verify-stage join strategy: True only when the
+    on-disk documents table (a job-free upper bound on the token-set
+    table) fits the broadcast budget with expansion headroom."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return False
+    return nbytes * _TOKSET_EXPANSION <= budget
+
+
 @register("dedup_minhash", oracle=None, tags=("K3", "rows-only"))
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup (K3) over ALL documents — the 100 TB
@@ -128,6 +157,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification of candidates. With 16 bands x 4 rows the collision
     probability at j=0.8 is ~0.9986, so recall vs K2 is ~1 (checked in
     tests/test_llm.py)."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _minhash_pairs(
+    spark: SparkSession, sf_dir: str, broadcast_ok: bool | None = None
+) -> DataFrame:
+    """K3 kernel with an explicit join-strategy override for tests:
+    ``broadcast_ok=None`` size-picks via ``_toksets_broadcastable``."""
     tok = _doc_tokens(spark, sf_dir).cache()
     sig_cols = [
         F.min(F.xxhash64(F.concat(F.col("token"), F.lit(f"#perm{i}")))).alias(f"h{i}")
@@ -164,18 +201,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verify ONLY the candidate pairs: pull each side's token set, then
     # array_intersect computes exact Jaccard per pair. Work is linear
     # in |candidates|, never quadratic in the corpus — the whole point
-    # of banding at 100 TB. The per-doc token-set table is tiny next to
-    # the pair set, so both lookups broadcast (map-side verify, the
-    # candidate pairs never shuffle again); at 100 TB the token sets
-    # outgrow the broadcast budget and these become keyed joins.
+    # of banding at 100 TB. The join strategy is SIZE-PICKED, same
+    # policy as the cosine pair kernel (_apply_pair_kernel): when the
+    # on-disk documents bytes bound the token-set table under the
+    # broadcast budget, both lookups broadcast (map-side verify, the
+    # candidate pairs never shuffle again); past the budget they become
+    # keyed shuffled joins on doc1/doc2 — never an unconditional
+    # broadcast of a table that grows with the corpus.
     toksets = tok.groupBy("doc_id").agg(F.collect_set("token").alias("toks"))
     t1 = toksets.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
     t2 = toksets.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
+    if broadcast_ok is None:
+        broadcast_ok = _toksets_broadcastable(sf_dir)
+    if broadcast_ok:
+        t1, t2 = F.broadcast(t1), F.broadcast(t2)
+    else:
+        t1, t2 = t1.hint("shuffle_hash"), t2.hint("shuffle_hash")
     common = F.size(F.array_intersect("toks1", "toks2")).cast("double")
     union = (F.size("toks1") + F.size("toks2")).cast("double") - common
     return (
-        candidates.join(F.broadcast(t1), "doc1")
-        .join(F.broadcast(t2), "doc2")
+        candidates.join(t1, "doc1")
+        .join(t2, "doc2")
         .withColumn("jaccard_raw", common / union)
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", F.col("jaccard_raw").alias("jaccard"))

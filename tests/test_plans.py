@@ -276,3 +276,26 @@ def test_rolling_active_users_plans_keyed_join(spark, no_cache):
     plan = _plan(spark, "events_rolling_active_users")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_minhash_verify_is_size_picked(spark, no_cache):
+    """K3's candidate-verify joins must size-pick: broadcast the per-doc
+    token sets only under budget; past it (forced here) the plan keys
+    BOTH verify joins — no broadcast of a corpus-sized table survives
+    (VERDICT r4 item 3)."""
+    from ezbake_graph_spark.operators import llm_dedup
+
+    keyed = llm_dedup._minhash_pairs(spark, SF_SMOKE, broadcast_ok=False)
+    keyed.collect()
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    # both verify joins (on doc1 / doc2) are keyed hash joins ...
+    assert plan.count("ShuffledHashJoin [doc") >= 2
+    # ... and no broadcast join keys on a doc id (the band-bucket
+    # candidate join on band_id/band_hash may still broadcast via AQE
+    # at tiny SF — that side is bounded, not corpus-sized)
+    assert "BroadcastHashJoin [doc" not in plan
+
+    # and the size-pick itself: sf0.001 docs fit the budget, a forced
+    # zero budget does not
+    assert llm_dedup._toksets_broadcastable(SF_SMOKE)
+    assert not llm_dedup._toksets_broadcastable(SF_SMOKE, budget=0)
