@@ -433,16 +433,24 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NPROBE = 4
+# nprobe picked off the measured recall curve on the fixture (64-d
+# near-random vectors — the adversarial worst case for ANY coarse
+# quantizer, where recall grows ~linearly with the probed fraction):
+# nprobe 4→0.60, 5→0.68, 6→0.84, 7→0.88, 8→0.94, 10→1.0. 8 clears the
+# ≥0.9 certification bar (tests/test_llm.py); real corpora with
+# cluster structure reach the same recall at nprobe << cells — see
+# SCALE.md §8.
+_NPROBE = 8
 
 
 @register("sim_ivf", oracle=None, tags=("K-extra", "rows-only"))
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (scale path for K4/K5): coarse-quantize every
     vector to its nearest label-centroid cell, then answer queries
-    0..9 by probing only the nearest 4 of 10 cells. Recall vs exact kNN is
-    checked in tests. At 100 TB the cell id becomes the partition key,
-    so a probe touches 2 partitions instead of the full corpus."""
+    0..9 by probing only the nearest ``_NPROBE`` of 10 cells. Recall vs
+    exact kNN is checked in tests (>= 0.9). At 100 TB the cell id
+    becomes the partition key, so a probe touches nprobe partitions
+    instead of the full corpus."""
     vecs = _vectors(spark, sf_dir).cache()
     # centroids: element-wise mean per label, assembled back into arrays
     exploded = vecs.select("label", F.posexplode("v").alias("pos", "val"))

@@ -73,15 +73,16 @@ def test_simhash_pairs_within_hamming_budget(spark):
 
 
 def test_ivf_recall_vs_exact_knn(spark):
-    """Probing 4 of the 10 label cells must recover most exact
-    neighbors. The fixture embeddings are near-random in 64-d — the
-    adversarial worst case for ANY coarse quantizer (k-means nprobe=3
-    measures ~0.68 here) — so this is a plumbing floor, not an ANN
-    quality ceiling."""
+    """Probing nprobe=8 of the 10 label cells must recover >= 0.9 of
+    exact neighbors (measured 0.94 on the fixture). The fixture
+    embeddings are near-random in 64-d — the adversarial worst case
+    for ANY coarse quantizer, where recall ~= probed fraction (full
+    curve in SCALE.md §8) — so certifying 0.9 costs a high nprobe
+    here; clustered real corpora hit it at nprobe << cells."""
     exact = {(r["query_id"], r["neighbor_id"]) for r in _rows(spark, "sim_knn")}
     approx = {(r["query_id"], r["neighbor_id"]) for r in _rows(spark, "sim_ivf")}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"IVF recall {recall:.3f} < 0.5"
+    assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9"
 
 
 def test_embed_centroid_counts(spark):
