@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -180,8 +181,58 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str
     return path
 
 
+# Size-picked streaming state partitioning. Each shuffle partition of a
+# stateful streaming query owns a state store that pays per-batch task
+# + commit overhead regardless of data volume; at the batch default
+# (32) a ~1 MB source spends 5+ s on empty state stores (measured:
+# stream_stream_join 7.6 s @ 32 parts -> 2.8 s @ 4). Target ~32 MB of
+# source per state partition, clamped to [4, defaultParallelism] — at
+# 100 TB/day the clamp lands on cluster parallelism, at test scale on
+# 4. The streaming shuffle-partition count is FROZEN into the
+# checkpoint on first start, which is why this must be right before
+# .start(), and why fresh-checkpoint-per-call keeps it safe to vary.
+_STREAM_STATE_BYTES_PER_PART = 32 * 1024 * 1024
+
+# Bytes of the file-stream sources opened since the last query start —
+# the seam every file stream passes through (_read_events_stream)
+# records here; the query runners consume-and-reset. Registry queries
+# run sequentially per session, so the handoff is race-free.
+_PENDING_SRC_BYTES: list[int] = [0]
+
+
+def _dir_bytes(path: str) -> int:
+    try:
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    except OSError:
+        return 0
+
+
+def _take_stream_partitions(spark: SparkSession) -> int:
+    nbytes, _PENDING_SRC_BYTES[0] = _PENDING_SRC_BYTES[0], 0
+    need = -(-nbytes // _STREAM_STATE_BYTES_PER_PART)
+    return max(4, min(spark.sparkContext.defaultParallelism, need))
+
+
+@contextmanager
+def _stream_shuffle_conf(spark: SparkSession):
+    """Scope the size-picked streaming partition count to one query
+    start; the session's batch shuffle setting is restored after."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(_take_stream_partitions(spark)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     path = _events_stream_dir(spark, sf_dir, copies)
+    _PENDING_SRC_BYTES[0] += _dir_bytes(path)
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(path)
 
@@ -189,15 +240,16 @@ def _read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> Da
 def _run_to_memory(spark, sdf, name: str, output_mode: str) -> DataFrame:
     qname = f"ezgs_{name}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(_STREAM_TMP, "ckpt", qname)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle_conf(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(qname)
 
 
@@ -241,13 +293,14 @@ def stream_sink_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        sdf.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle_conf(spark):
+        q = (
+            sdf.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     back = spark.read.parquet(out_dir)
     return back.agg(
         F.count(F.lit(1)).alias("n_purchases"),
@@ -368,14 +421,15 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        tracked.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle_conf(spark):
+        q = (
+            tracked.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     back = spark.read.parquet(out_dir)
     # keep the final state per user (max n_events)
     from pyspark.sql import Window
@@ -508,13 +562,14 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(mv_dir)
         os.rename(tmp, mv_dir)
 
-    q = (
-        sdf.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle_conf(spark):
+        q = (
+            sdf.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.read.parquet(mv_dir)
         .select(
