@@ -1119,12 +1119,16 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(p_node.alias("src"), s_node.alias("dst"))
     )
     w = Window.partitionBy("src").orderBy("dst")
+    # cache: the ranked adjacency is consumed by all _WALK_STEPS hop
+    # joins AND their replay under the closing union — without it the
+    # distinct + double window recomputes once per hop (measured 5.5s
+    # -> ~2s at sf0.01)
     ranked = edges.select(
         "src",
         "dst",
         F.row_number().over(w).alias("rnk"),
         F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
-    )
+    ).cache()
     starts = (
         li.select("l_suppkey")
         .distinct()
@@ -1155,6 +1159,10 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.join(ranked, state.node == ranked.src)
             .filter(F.col("rnk") == 1 + (h % F.col("deg")))
             .select("walk_id", F.col("dst").alias("node"))
+            # truncate: hop t's frontier is consumed by hop t+1 AND the
+            # closing union; without the checkpoint the union replays a
+            # t-join-deep lineage per step (frontier is #walks rows)
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(nxt.withColumn("step", F.lit(t)))
         state = nxt
