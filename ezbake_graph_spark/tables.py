@@ -176,6 +176,36 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
+def supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalized supplier→nation→region dimension — the snowflake
+    flattened ONCE per session (cached), the standard warehouse move:
+    materialize the dimension join at ingest so every star query
+    broadcasts one flat dim instead of re-building a 3-table broadcast
+    chain per query (each extra broadcast build is a whole scheduled
+    job on the latency path). Columns: s_suppkey, s_nationkey, n_name,
+    r_name. Unfiltered (all 5 regions) so one cache serves any region
+    predicate — the filter stays a pushable column predicate on the
+    flat dim."""
+    from pyspark.sql import functions as F
+
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    flat = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name", "r_name")
+    )
+    if not _cache_enabled():
+        return flat
+    key = (spark.sparkContext.applicationId, sf_dir, "__supplier_geo__")
+    df = _CACHE.get(key)
+    if df is None:
+        df = flat.cache()
+        _CACHE[key] = df
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (operator A4)."""
     for t in TABLES:
