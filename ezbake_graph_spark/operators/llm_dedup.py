@@ -163,9 +163,31 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_pairs(
     spark: SparkSession, sf_dir: str, broadcast_ok: bool | None = None
 ) -> DataFrame:
-    """K3 kernel with an explicit join-strategy override for tests:
-    ``broadcast_ok=None`` size-picks via ``_toksets_broadcastable``."""
-    tok = _doc_tokens(spark, sf_dir).cache()
+    """Fixture-bound K3 wrapper: tokens from the documents table, join
+    strategy size-picked via ``_toksets_broadcastable`` (tests override
+    with an explicit ``broadcast_ok``)."""
+    if broadcast_ok is None:
+        broadcast_ok = _toksets_broadcastable(sf_dir)
+    return minhash_pairs(_doc_tokens(spark, sf_dir), broadcast_ok=broadcast_ok)
+
+
+def minhash_pairs(
+    tok: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    broadcast_ok: bool = False,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over any (doc_id, token) table —
+    the reusable parameterized entry (see ``ezbake_graph_spark.api``).
+
+    ``tok`` must hold DISTINCT (doc_id, token) rows. Returns
+    (doc1, doc2, jaccard) with doc1 < doc2 and exact token-set Jaccard
+    >= ``threshold``, candidates generated by 16-band/4-row LSH over 64
+    min-hashes. ``broadcast_ok`` opts the verify-stage token-set lookups
+    into broadcast joins — leave False (keyed joins) unless the per-doc
+    token-set table provably fits the broadcast budget.
+    """
+    spark = tok.sparkSession
+    tok = tok.cache()
     sig_cols = [
         F.min(F.xxhash64(F.concat(F.col("token"), F.lit(f"#perm{i}")))).alias(f"h{i}")
         for i in range(N_MINHASH)
@@ -211,8 +233,6 @@ def _minhash_pairs(
     toksets = tok.groupBy("doc_id").agg(F.collect_set("token").alias("toks"))
     t1 = toksets.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
     t2 = toksets.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
-    if broadcast_ok is None:
-        broadcast_ok = _toksets_broadcastable(sf_dir)
     if broadcast_ok:
         t1, t2 = F.broadcast(t1), F.broadcast(t2)
     else:
@@ -223,7 +243,7 @@ def _minhash_pairs(
         candidates.join(t1, "doc1")
         .join(t2, "doc2")
         .withColumn("jaccard_raw", common / union)
-        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard_raw") >= threshold)
         .select("doc1", "doc2", F.col("jaccard_raw").alias("jaccard"))
         .orderBy("doc1", "doc2")
     )

@@ -110,18 +110,29 @@ def _grid_pairs(emb: DataFrame, n_blocks: int) -> DataFrame:
 
 
 def _apply_pair_kernel(spark: SparkSession, sf_dir: str, per_group) -> DataFrame:
-    """Run a pair-group kernel (``pdf -> pdf`` over ``_PAIR_SCHEMA``)
-    across the embedding corpus with a size-picked physical strategy:
+    """Fixture-bound wrapper over ``apply_pair_kernel`` — loads the
+    embeddings table and size-picks the block count."""
+    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return apply_pair_kernel(emb, per_group, _grid_blocks(spark, sf_dir))
 
-    - B == 1 (corpus fits one block): narrow ``coalesce(1)`` +
-      ``mapInPandas`` — ZERO shuffle; the one task sees every vector.
-    - B > 1: grid block-pair replication + ``groupBy(pk).applyInPandas``
-      — one linear B x corpus shuffle, B(B+1)/2 bounded pair-tasks.
+
+def apply_pair_kernel(emb: DataFrame, per_group, n_blocks: int) -> DataFrame:
+    """Run a pair-group kernel (``pdf -> pdf`` over ``_PAIR_SCHEMA``)
+    across a vector corpus with a size-picked physical strategy:
+
+    - ``n_blocks == 1`` (corpus fits one block): narrow ``coalesce(1)``
+      + ``mapInPandas`` — ZERO shuffle; the one task sees every vector.
+    - ``n_blocks > 1``: grid block-pair replication +
+      ``groupBy(pk).applyInPandas`` — one linear B x corpus shuffle,
+      B(B+1)/2 bounded pair-tasks.
+
+    ``emb`` must have integer ``vec_id`` and ``array`` ``embedding``
+    columns. This is the reusable parameterized entry (see
+    ``ezbake_graph_spark.api``); the fixture queries call it through
+    ``_apply_pair_kernel``.
     """
     import pandas as pd
 
-    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_blocks = _grid_blocks(spark, sf_dir)
     if n_blocks > 1:
         return _grid_pairs(emb, n_blocks).groupBy("pk").applyInPandas(
             per_group, _PAIR_SCHEMA

@@ -1,0 +1,76 @@
+"""Parameterized API (ezbake_graph_spark.api): the doctest on every
+public function runs against a live session, and each kernel-backed
+entry is cross-checked against the fixture-bound registry query that
+shares its kernel."""
+
+from __future__ import annotations
+
+import doctest
+
+import pytest
+
+from ezbake_graph_spark import api, registry, tables
+from tests.conftest import SF_SMOKE
+
+
+def test_every_api_doctest_passes(spark):
+    finder = doctest.DocTestFinder()
+    runner = doctest.DocTestRunner(optionflags=doctest.NORMALIZE_WHITESPACE)
+    ran = 0
+    for dt in finder.find(api, extraglobs={"spark": spark}):
+        if not dt.examples:
+            continue
+        runner.run(dt)
+        ran += 1
+    assert runner.failures == 0, f"{runner.failures} doctest failures"
+    # every non-re-exported public function carries a runnable example
+    assert ran >= 4
+
+
+def test_cosine_topk_matches_registry_kernel(spark):
+    emb = tables.load(spark, SF_SMOKE, "embeddings")
+    got = api.cosine_topk(emb, k=20).collect()
+    want = registry.queries()["sim_cosine_topk"](spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_minhash_near_dups_matches_registry_kernel(spark):
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    got = {
+        (r["doc1"], r["doc2"]) for r in api.minhash_near_dups(docs).collect()
+    }
+    want = {
+        (r["doc1"], r["doc2"])
+        for r in registry.queries()["dedup_minhash"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+
+
+def test_sessionize_matches_session_stats(spark):
+    from pyspark.sql import functions as F
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    sess = api.sessionize(ev, "user_id", "ts", 1800)
+    got = sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions")
+    )
+    want = registry.queries()["events_session_stats"](spark, SF_SMOKE).select(
+        "user_id", "n_sessions"
+    )
+    g = {r["user_id"]: r["n_sessions"] for r in got.collect()}
+    w = {r["user_id"]: r["n_sessions"] for r in want.collect()}
+    assert g == w
+
+
+def test_connected_components_parameterized(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11)], "id long")
+    comp = {
+        r["id"]: r["component"]
+        for r in api.connected_components(vertices, edges).collect()
+    }
+    assert comp[1] == comp[2] == comp[3]
+    assert comp[10] == comp[11]
+    assert comp[1] != comp[10]
