@@ -13,6 +13,7 @@ joins, partial aggregation, and keyed (never cross) shuffles.
 
 from ezbake_graph_spark.session import get_session
 from ezbake_graph_spark.registry import REGISTRY, register, queries, oracle_sql
+from ezbake_graph_spark import api
 
-__all__ = ["get_session", "REGISTRY", "register", "queries", "oracle_sql"]
+__all__ = ["get_session", "REGISTRY", "register", "queries", "oracle_sql", "api"]
 __version__ = "0.1.0"
