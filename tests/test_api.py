@@ -62,6 +62,59 @@ def test_sessionize_matches_session_stats(spark):
     assert g == w
 
 
+def test_find_motif_reproduces_fixed_wedge_query(spark):
+    """The parser-built (p1)->(s)<-(p2) wedge must reproduce the
+    registered graph_motif query's per-supplier wedge counts."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"  # sf0.001 has no parts over the
+    # registered query's retail-price predicate (empty = vacuous test)
+    li = tables.load(spark, sf, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).distinct()
+    good = (
+        tables.load(spark, sf, "part")
+        .filter(F.col("p_retailprice") > 990)
+        .select(F.col("p_partkey").alias("src"))
+    )
+    e = e.join(F.broadcast(good), "src", "left_semi")
+    v = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    m = api.find_motif(v, e, "(p1)-[]->(s); (p2)-[]->(s)")
+    got = {
+        (r["supp_id"], r["n_wedges"])
+        for r in m.filter(F.col("p1")["id"] < F.col("p2")["id"])
+        .groupBy(F.col("s")["id"].alias("supp_id"))
+        .agg(F.count(F.lit(1)).alias("n_wedges"))
+        .collect()
+    }
+    want = {
+        (r["supp_id"], r["n_wedges"])
+        for r in registry.queries()["graph_motif"](spark, sf).collect()
+    }
+    assert got == want and got
+
+
+def test_find_motif_negation_and_edge_binding(spark):
+    from pyspark.sql import functions as F
+
+    v = spark.createDataFrame([(i, f"n{i}") for i in range(3)], "id long, name string")
+    e = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 0, 6.0), (1, 2, 7.0)], "src long, dst long, w double"
+    )
+    # mutual edges, with the edge row bound
+    mutual = api.find_motif(v, e, "(a)-[ab]->(b); (b)-[]->(a)")
+    rows = {(r["a"]["id"], r["b"]["id"], r["ab"]["w"]) for r in mutual.collect()}
+    assert rows == {(0, 1, 5.0), (1, 0, 6.0)}
+    # one-way edges only
+    oneway = api.find_motif(v, e, "(a)-[]->(b); !(b)-[]->(a)")
+    assert {(r["a"]["id"], r["b"]["id"]) for r in oneway.collect()} == {(1, 2)}
+    with pytest.raises(ValueError):
+        api.find_motif(v, e, "(a)-[]->(b); !(c)-[]->(a)")
+    with pytest.raises(ValueError):
+        api.find_motif(v, e, "(a)<-[]-(b)")
+
+
 def test_connected_components_parameterized(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "src long, dst long"
