@@ -827,9 +827,11 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift with summation order). Distances live on the derived
     dimension-bounded graph — same scale posture as graph_scc: the
     data-proportional stage is the edge derivation, not the fixpoint.
-    At data-scale vertex counts, harmonic closeness is estimated with
-    sampled multi-source BFS (Eppstein-Wang) over the Pregel loop
-    rather than exact APSP."""
+    At data-scale vertex counts, use the IMPLEMENTED sampling path
+    ``api.harmonic_closeness(vertices, edges, sample=...)``
+    (Eppstein-Wang): the relaxation seeds only from |S| sampled
+    targets, pair state |S| x V instead of V x V; with S = V it
+    reduces to this exact query (cross-checked in tests/test_api.py)."""
     edges = _nation_trade_edges(spark, sf_dir)
     dist = edges.withColumn("d", F.lit(1))
     n_pairs, sum_d = 0, 0

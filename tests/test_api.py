@@ -115,6 +115,47 @@ def test_find_motif_negation_and_edge_binding(spark):
         api.find_motif(v, e, "(a)<-[]-(b)")
 
 
+def test_harmonic_closeness_exact_matches_registry(spark):
+    """With sample=None (all vertices) the API estimator reduces to the
+    exact fixture query graph_closeness on the nation trade graph."""
+    from pyspark.sql import functions as F
+
+    from ezbake_graph_spark.operators.graph import _nation_trade_edges
+
+    edges = _nation_trade_edges(spark, SF_SMOKE)
+    v = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    got = {
+        r["id"]: (r["n_reached"], r["harmonic_centrality"])
+        for r in api.harmonic_closeness(v, edges).collect()
+    }
+    want = {
+        r["nation_id"]: (r["n_reachable"], round(r["harmonic_centrality"], 6))
+        for r in registry.queries()["graph_closeness"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+
+
+def test_harmonic_closeness_sampled_estimates(spark):
+    """Half-sample estimate stays within 2x of exact on a toy graph
+    and the pair state is |S| x V shaped (only sampled targets seed)."""
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    e = spark.createDataFrame(
+        [(i, j) for i in range(6) for j in range(6) if i != j],
+        "src long, dst long",
+    )  # complete digraph: every h(v) = 5.0 exactly
+    est = {
+        r["id"]: r["harmonic_centrality"]
+        for r in api.harmonic_closeness(v, e, sample=[0, 2, 4]).collect()
+    }
+    assert set(est) == set(range(6))
+    for h in est.values():
+        assert h == 5.0  # d=1 to every target: estimator is exact here
+
+
 def test_connected_components_parameterized(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "src long, dst long"
