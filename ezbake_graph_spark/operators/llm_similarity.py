@@ -722,21 +722,36 @@ def sim_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     every dot product is exact integer arithmetic and the sign can
     never flip between engines. The plan is pure map-side JVM
     (zip_with + aggregate lambdas fused into codegen, no Python, no
-    explode, no shuffle until the final orderBy)."""
+    explode, no shuffle until the final orderBy).
+
+    The 16 x 64 weight matrix rides in as DATA — one broadcast row
+    cross-joined onto the scan — not as 1024 literals: the literal
+    form compiled a ~3 s whole-stage-codegen unit PER EXECUTION
+    (measured at sf0.01; the dominant cost of the query), while the
+    nested-lambda form over an array column compiles in tens of ms
+    and runs the identical integer arithmetic."""
     emb = tables.load(spark, sf_dir, "embeddings")
+    wdf = spark.createDataFrame([(_rp_weights(),)], "w: array<array<bigint>>")
     micro = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * SCALE).cast("long")
     )
-    df = emb.withColumn("m", micro)
-    sig = F.lit(0).cast("long")
-    for b, wts in enumerate(_rp_weights()):
-        warr = F.array(*[F.lit(w).cast("long") for w in wts])
-        dot = F.aggregate(
-            F.zip_with("m", warr, lambda x, w: x * w),
+    df = emb.withColumn("m", micro).crossJoin(F.broadcast(wdf))
+
+    def dot(b):
+        return F.aggregate(
+            F.zip_with("m", F.element_at("w", (b + 1).cast("int")), lambda x, w: x * w),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
-        sig = sig + F.when(dot >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+
+    sig = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_RP_BITS - 1)),
+        F.lit(0).cast("long"),
+        # 2^b via pow (exact in double for b <= 15); shiftleft needs a
+        # literal bit count and can't take the lambda variable
+        lambda acc, b: acc
+        + F.when(
+            dot(b) >= 0, F.pow(F.lit(2.0), b.cast("double")).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
     return df.select("vec_id", sig.alias("sig")).orderBy("vec_id")
