@@ -97,8 +97,8 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return both.repartition(n_part, "src")
 
 
-def _truncate(df: DataFrame, step: int) -> DataFrame:
-    """Materialize the new vertex state EVERY superstep.
+def _truncate(df: DataFrame, step: int, eager: bool = True) -> DataFrame:
+    """Checkpoint the new vertex state EVERY superstep.
 
     This does two jobs at once: truncates lineage (otherwise the plan
     doubles per superstep — the GraphX-on-DataFrames hazard) and breaks
@@ -108,10 +108,19 @@ def _truncate(df: DataFrame, step: int) -> DataFrame:
     state is orders of magnitude smaller than the edge set, so the
     materialization is cheap relative to the superstep's edge shuffle.
     On a multi-node cluster, swap localCheckpoint for reliable
-    ``checkpoint()`` every ~5 supersteps (executor loss safety); the
-    per-step eager materialization stays.
+    ``checkpoint()`` every ~5 supersteps (executor loss safety).
+
+    ``eager``: algorithms with a per-superstep convergence probe
+    materialize every step anyway (the probe is an action). FIXED-
+    iteration algorithms (pagerank/ppr/labelprop) pass ``eager=False``
+    for intermediate steps — lineage still truncates and the persisted
+    RDD still computes exactly once (both in-superstep consumers share
+    it), but the whole chain executes as ONE job at the final eager
+    step, saving a scheduled materialization job per superstep. The
+    final step must stay eager so execution happens inside
+    ``_superstep_env``'s pinned settings.
     """
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
 
 
 def connected_components(
@@ -225,7 +234,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
-            state = _truncate(state, step)
+            state = _truncate(state, step, eager=(step == iterations - 1))
     return state.select("id", "rank")
 
 
@@ -297,7 +306,7 @@ def label_propagation(
             state = state.join(winners, "id", "left").select(
                 "id", F.coalesce(F.col("new_label"), F.col("label")).alias("label")
             )
-            state = _truncate(state, step)
+            state = _truncate(state, step, eager=(step == iterations - 1))
     return state
 
 
@@ -344,7 +353,7 @@ def personalized_pagerank(
                 ).alias("rank"),
                 "teleport",
             )
-            state = _truncate(state, step)
+            state = _truncate(state, step, eager=(step == iterations - 1))
     return state.select("id", "rank")
 
 
