@@ -1,0 +1,130 @@
+"""Measured scaling curve: run the headline bench at 1x / 2x / 4x of
+sf0.1 and report per-query wall time vs data volume.
+
+The 100 TB claim everywhere in SCALE.md is a *shape* argument (keyed
+shuffles, broadcast spines, linear kernels). This tool adds the
+measurement: materialize key-offset copies of the sf0.1 tables (so
+join cardinality RATIOS are preserved — naive row duplication would
+multiply matches per key and quadratically distort joins), then run
+the unmodified bench harness against each scale in a fresh process.
+A linear-or-better curve per query is the evidence that no hidden
+superlinear stage (cartesian, global sort, driver materialization)
+exists in the headline set.
+
+Key-offset scheme per copy i (stride 10^7 > any sf0.1 key):
+  customer.c_custkey / orders.o_custkey        += i * STRIDE
+  orders.o_orderkey / lineitem.l_orderkey      += i * STRIDE
+  supplier.s_suppkey / lineitem.l_suppkey      += i * STRIDE
+  part.p_partkey / lineitem.l_partkey          += i * STRIDE
+  events.event_id, events.user_id              += i * STRIDE
+  documents.doc_id, embeddings.vec_id          += i * STRIDE
+  nation / region                              unchanged (constant dims)
+
+Usage: python tools/scale_curve.py [--scales 1,2,4] [--runs 5]
+Writes /tmp/ezgs_scale/x{N}/ and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OUT_BASE = "/tmp/ezgs_scale"
+STRIDE = 10_000_000
+
+# table -> columns to offset per copy
+OFFSETS: dict[str, list[str]] = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def materialize(scale: int) -> str:
+    out_dir = os.path.join(OUT_BASE, f"x{scale}")
+    done = os.path.join(out_dir, "_EZGS_SCALE_READY")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for table, off_cols in OFFSETS.items():
+        src = os.path.join(SRC, f"{table}.parquet")
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
+        if not off_cols or scale == 1:
+            selects = [f"SELECT * FROM '{src}'"]
+            if off_cols and scale > 1:
+                raise AssertionError  # unreachable; keeps logic obvious
+        else:
+            selects = []
+            for i in range(scale):
+                exprs = ", ".join(
+                    f"{c} + {i * STRIDE} AS {c}" if c in off_cols else c
+                    for c in cols
+                )
+                selects.append(f"SELECT {exprs} FROM '{src}'")
+        # constant dims are NOT replicated — only fact/entity tables grow
+        q = " UNION ALL ".join(selects if off_cols else selects[:1])
+        con.sql(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
+    open(done, "w").close()
+    return out_dir
+
+
+def run_bench(sf_dir: str, runs: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, BENCH_RUNS=str(runs))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,2,4")
+    ap.add_argument("--runs", type=int, default=5)
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+    results: dict[int, dict] = {}
+    for s in scales:
+        sf_dir = SRC if s == 1 else materialize(s)
+        print(f"# benching x{s} at {sf_dir} ...", file=sys.stderr)
+        results[s] = run_bench(sf_dir, args.runs)
+    base = results[scales[0]]["queries"]
+    keys = sorted(base)
+    hdr = "| query | " + " | ".join(f"x{s} (s)" for s in scales) + " | x{max}/x1 |"
+    print(hdr.replace("{max}", str(scales[-1])))
+    print("|" + "---|" * (len(scales) + 2))
+    for k in keys:
+        row = [results[s]["queries"].get(k, float("nan")) for s in scales]
+        ratio = row[-1] / row[0] if row[0] else float("nan")
+        cells = " | ".join(f"{v:.3f}" for v in row)
+        print(f"| {k} | {cells} | {ratio:.2f}x |")
+    tot = [results[s]["value"] for s in scales]
+    print(
+        f"| **total** | "
+        + " | ".join(f"{v:.3f}" for v in tot)
+        + f" | {tot[-1] / tot[0]:.2f}x |"
+    )
+
+
+if __name__ == "__main__":
+    main()
