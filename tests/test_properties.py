@@ -404,3 +404,101 @@ def test_pair_group_sims_covers_every_pair_exactly_once(vecs, n_blocks):
             6,
         )
         assert abs(c - exp) < 1e-9, f"pair {(i, j)}: {c} != {exp}"
+
+
+# ---------------------------------------------------------------- api kernels
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # key
+        st.integers(min_value=0, max_value=50),    # t
+        st.integers(min_value=0, max_value=999),   # payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(lrows=_asof_rows, rrows=_asof_rows)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    """api.asof_join (union-tag + keyed running last) must agree with
+    pandas.merge_asof on random keyed series, both directions. Pandas
+    is an independent implementation of the same semantic, so this
+    pins inclusive matching, per-key isolation, and no-match NULLs.
+    Right rows are deduped per (key, t) with max(payload) — the same
+    deterministic tie rule the API documents."""
+    import pandas as pd
+
+    from ezbake_graph_spark import api
+
+    left = spark.createDataFrame(
+        [(k, t, i, p) for i, (k, t, p) in enumerate(lrows)],
+        "k long, t long, lid long, lval long",
+    )
+    rbest = {}
+    for k, t, p in rrows:
+        rbest[(k, t)] = max(rbest.get((k, t), -1), p)
+    right = spark.createDataFrame(
+        [(k, t, p) for (k, t), p in sorted(rbest.items())], "k long, t long, rval long"
+    )
+    lpd = pd.DataFrame(
+        [(k, t, i, p) for i, (k, t, p) in enumerate(lrows)],
+        columns=["k", "t", "lid", "lval"],
+    ).sort_values(["t", "lid"], kind="stable")
+    rpd = pd.DataFrame(
+        [(k, t, p) for (k, t), p in sorted(rbest.items())],
+        columns=["k", "t", "rval"],
+    ).sort_values("t", kind="stable")
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["rval"]
+            for r in api.asof_join(
+                left, right, on="t", by="k", direction=direction
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lpd, rpd, on="t", by="k", direction=direction, allow_exact_matches=True
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.rval) else int(r.rval))
+            for r in want_df.itertuples()
+        }
+        assert got == want, f"direction={direction}"
+
+
+_motif_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5), st.integers(min_value=0, max_value=5)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=15,
+    unique=True,
+)
+
+
+@given(edges=_motif_edges)
+@settings(**_SETTINGS)
+def test_find_motif_matches_brute_force(spark, edges):
+    """api.find_motif's chained-join plan must enumerate exactly the
+    bindings a brute-force nested loop finds, for a 2-path with a
+    negated closing edge: (a)->(b); (b)->(c); !(c)->(a)."""
+    from ezbake_graph_spark import api
+
+    ids = sorted({v for e in edges for v in e})
+    v = spark.createDataFrame([(i,) for i in ids], "id long")
+    e = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        (r["a"]["id"], r["b"]["id"], r["c"]["id"])
+        for r in api.find_motif(
+            v, e, "(a)-[]->(b); (b)-[]->(c); !(c)-[]->(a)"
+        ).collect()
+    }
+    es = set(edges)
+    want = {
+        (a, b, c)
+        for (a, b) in es
+        for (b2, c) in es
+        if b2 == b and (c, a) not in es
+    }
+    assert got == want
