@@ -31,6 +31,9 @@ Contents:
   with exact-Jaccard verification of band-collision candidates only.
 - ``sessionize(df, ...)`` — gaps-and-islands session ids per key.
 - ``exact_dedup(df, ...)`` — canonical-row dedup grouped on a digest.
+- ``decontaminate(train, test, ...)`` — per-test-doc count of word
+  n-gram shingles occurring anywhere in train (one keyed join).
+- ``tfidf_top_terms(docs, ...)`` — top-k TF-IDF terms per document.
 
 The doctest on each function is executed by tests/test_api.py with a
 live ``spark`` session injected (see ``_DOCTEST_GLOBALS`` there).
@@ -61,11 +64,13 @@ __all__ = [
     "shortest_paths_weighted",
     "asof_join",
     "cosine_topk",
+    "decontaminate",
     "find_motif",
     "harmonic_closeness",
     "minhash_near_dups",
     "sessionize",
     "exact_dedup",
+    "tfidf_top_terms",
 ]
 
 # rows per grid block for the pair kernel — one block pair (2 x 4096
@@ -438,6 +443,110 @@ def minhash_near_dups(
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
     )
     return minhash_pairs(tok, threshold=threshold, broadcast_ok=broadcast_ok)
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+) -> DataFrame:
+    """Benchmark-contamination check: for each test document, count the
+    word ``shingle_n``-gram shingles that also occur ANYWHERE in the
+    training corpus — the ``dedup_decontaminate`` kernel over two
+    user-supplied tables instead of the hash-split fixture.
+
+    Plan: each side explodes its distinct shingles once; the train side
+    reduces to a distinct shingle set; one keyed join on ``shingle``
+    then a per-doc count. Work is linear in total shingles, never
+    pairwise in documents. At 100 TB bucket the train shingle set by
+    shingle hash at ingest so the join is co-located.
+
+    Returns (<id_col>, n_contaminated_shingles) for test docs with at
+    least one hit, most-contaminated first.
+
+    >>> train = spark.createDataFrame(
+    ...     [(1, "the quick brown fox jumps over it")], "doc_id long, text string")
+    >>> test = spark.createDataFrame(
+    ...     [(7, "a quick brown fox jumps over now"), (8, "zebra stripes")],
+    ...     "doc_id long, text string")
+    >>> [tuple(r) for r in decontaminate(train, test).collect()]
+    [(7, 2)]
+    """
+
+    def shingles(df: DataFrame) -> DataFrame:
+        w = F.split(F.col(text_col), " ")
+        idx = F.sequence(F.lit(1), F.size(F.col("w")) - (shingle_n - 1))
+        sh = F.concat_ws(
+            " ", *[F.element_at("w", F.col("i") + k) for k in range(shingle_n)]
+        )
+        return (
+            df.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+            .filter(F.size("w") >= shingle_n)
+            .select("doc_id", F.explode(idx).alias("i"), "w")
+            .select("doc_id", sh.alias("shingle"))
+            .distinct()
+        )
+
+    train_sh = shingles(train).select("shingle").distinct()
+    return (
+        shingles(test)
+        .join(train_sh, "shingle")
+        .groupBy(F.col("doc_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        .orderBy(F.col("n_contaminated_shingles").desc(), id_col)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (the K8 kernel parameterized).
+
+    tf and df are exact integer counts; idf = ln(N/df) with the corpus
+    size N computed IN the plan (a broadcast 1-row aggregate — no
+    driver-side count scanning the table twice). One explode + two
+    keyed aggregations + a per-doc rank window; the document-frequency
+    table broadcasts. Ties break on the term for determinism.
+
+    Returns (<id_col>, term, tfidf, rn) with rn in 1..k.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "apple apple banana"), (2, "banana cherry")],
+    ...     "doc_id long, text string")
+    >>> [(r["doc_id"], r["rn"], r["term"])
+    ...  for r in tfidf_top_terms(d, k=2).collect()]
+    [(1, 1, 'apple'), (1, 2, 'banana'), (2, 1, 'cherry'), (2, 2, 'banana')]
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("doc_id").alias(id_col), "term", "tfidf", "rn")
+        .orderBy(id_col, "rn")
+    )
 
 
 def sessionize(

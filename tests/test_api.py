@@ -185,6 +185,39 @@ def test_harmonic_closeness_sampled_estimates(spark):
         assert h == 5.0  # d=1 to every target: estimator is exact here
 
 
+def test_tfidf_top_terms_matches_registry(spark):
+    """api.tfidf_top_terms on the doc_id<100 slice must reproduce the
+    registered text_tfidf query exactly."""
+    from pyspark.sql import functions as F
+
+    d = tables.load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 100)
+    got = [tuple(r) for r in api.tfidf_top_terms(d, k=3).collect()]
+    want = [
+        tuple(r) for r in registry.queries()["text_tfidf"](spark, SF_SMOKE).collect()
+    ]
+    assert got == want and got
+
+
+def test_decontaminate_matches_registry_split(spark):
+    """api.decontaminate fed the registry's own md5 train/test split
+    must reproduce dedup_decontaminate (modulo its LIMIT 100)."""
+    from pyspark.sql import functions as F
+
+    d = tables.load(spark, SF_SMOKE, "documents")
+    first2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = d.filter(first2 < "cc")
+    test = d.filter(~(first2 < "cc"))
+    got = {
+        (r["doc_id"], r["n_contaminated_shingles"])
+        for r in api.decontaminate(train, test).limit(100).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_contaminated_shingles"])
+        for r in registry.queries()["dedup_decontaminate"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+
+
 def test_connected_components_parameterized(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "src long, dst long"
