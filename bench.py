@@ -26,6 +26,11 @@ from ezbake_graph_spark.session import DEFAULT_SF_DIR, get_session
 # bursts, JIT state); 7 runs left the min itself noisy by ~5-8% on the
 # borderline queries (join_star_q5 0.275-0.352 across bench invocations)
 RUNS = int(os.environ.get("BENCH_RUNS", "9"))
+# Untimed full-suite passes before any timing (see comment in main):
+# 2 was calibrated in round 3; cross-invocation spread measurements in
+# round 5 (±15% on identical code) showed the C2 JIT still deepening
+# after 2 passes on the slower invocations, so the default is 3.
+WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 
 
 def bench_keys() -> list[str]:
@@ -45,7 +50,7 @@ def main() -> None:
     # suite, so queries timed early would pay compilation cost that says
     # nothing about the plan (measured: Q1 0.95s when timed second in the
     # suite vs 0.31s after a full pass).
-    for _ in range(2):
+    for _ in range(WARMUP):
         for key in bench_keys():
             qs[key](spark, sf_dir).toPandas()
     # Back-to-back runs per query, NOT round-robin: measured on this
