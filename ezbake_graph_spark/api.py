@@ -34,6 +34,8 @@ Contents:
 - ``decontaminate(train, test, ...)`` — per-test-doc count of word
   n-gram shingles occurring anywhere in train (one keyed join).
 - ``tfidf_top_terms(docs, ...)`` — top-k TF-IDF terms per document.
+- ``resample(df, ...)`` / ``gapfill(df, ..., fill=zero|null|locf)`` —
+  fixed-window bucketing and dense-spine filling for time series.
 
 The doctest on each function is executed by tests/test_api.py with a
 live ``spark`` session injected (see ``_DOCTEST_GLOBALS`` there).
@@ -70,6 +72,8 @@ __all__ = [
     "minhash_near_dups",
     "sessionize",
     "exact_dedup",
+    "gapfill",
+    "resample",
     "tfidf_top_terms",
 ]
 
@@ -580,6 +584,108 @@ def sessionize(
     gap = F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
     marker = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn("session_id", F.sum(marker).over(run))
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: str | list[str] | None = None,
+    every: str = "1 hour",
+    aggs: dict | None = None,
+) -> DataFrame:
+    """Fixed-window resample: bucket rows into ``every``-sized windows
+    (per ``by`` key) and aggregate — the ``ts_resample`` /
+    ``ts_rollup_hypertable`` bucketing kernel parameterized.
+
+    ``aggs`` maps output column names to aggregate Columns (default:
+    row count as ``n``). Buckets come from ``F.window`` so any
+    duration string works ("15 minutes", "1 day"); the output carries
+    ``bucket_start``. One keyed shuffle (partial aggregation map-side).
+
+    >>> from datetime import datetime as dt
+    >>> ev = spark.createDataFrame(
+    ...     [("a", dt(2024, 1, 1, 10, 5), 2.0),
+    ...      ("a", dt(2024, 1, 1, 10, 50), 4.0),
+    ...      ("a", dt(2024, 1, 1, 12, 0), 8.0)], "k string, ts timestamp, v double")
+    >>> import pyspark.sql.functions as F
+    >>> [(r["bucket_start"].hour, r["s"]) for r in resample(
+    ...     ev, by="k", aggs={"s": F.sum("v")}).orderBy("bucket_start").collect()]
+    [(10, 6.0), (12, 8.0)]
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    agg_cols = [v.alias(k) for k, v in aggs.items()]
+    return (
+        df.groupBy(*keys, F.window(ts_col, every).alias("__w"))
+        .agg(*agg_cols)
+        .select(*keys, F.col("__w.start").alias("bucket_start"), *aggs.keys())
+    )
+
+
+def gapfill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: str | list[str] | None = None,
+    every: str = "1 hour",
+    aggs: dict | None = None,
+    fill: str = "zero",
+) -> DataFrame:
+    """Dense-spine gapfill: resample, then left-join a complete bucket
+    spine (global min..max bounds × distinct keys) so empty buckets
+    appear — the ``ts_gapfill`` / ``ts_locf`` kernel parameterized.
+
+    ``fill``: ``"zero"`` fills empty buckets with 0 (counter
+    semantics), ``"null"`` leaves NULL, ``"locf"`` carries the last
+    observed value forward per key (gauge semantics; leading buckets
+    before any observation stay NULL). The spine is |keys| × |buckets|
+    rows — trivial beside the data scan; the bounds aggregate is one
+    broadcast row, kept in-plan.
+
+    >>> from datetime import datetime as dt
+    >>> ev = spark.createDataFrame(
+    ...     [("a", dt(2024, 1, 1, 10, 5), 2.0),
+    ...      ("a", dt(2024, 1, 1, 13, 0), 8.0)], "k string, ts timestamp, v double")
+    >>> import pyspark.sql.functions as F
+    >>> [(r["bucket_start"].hour, r["s"]) for r in gapfill(
+    ...     ev, by="k", aggs={"s": F.sum("v")}).orderBy("bucket_start").collect()]
+    [(10, 2.0), (11, 0.0), (12, 0.0), (13, 8.0)]
+    >>> [(r["bucket_start"].hour, r["s"]) for r in gapfill(
+    ...     ev, by="k", aggs={"s": F.sum("v")},
+    ...     fill="locf").orderBy("bucket_start").collect()]
+    [(10, 2.0), (11, 2.0), (12, 2.0), (13, 8.0)]
+    """
+    if fill not in ("zero", "null", "locf"):
+        raise ValueError(f"fill must be zero|null|locf, got {fill!r}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    sampled = resample(df, ts_col, keys, every, aggs)
+    bounds = df.agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"))
+    # snap bounds to bucket starts via the same window bucketing
+    iv = F.expr(f"interval {every}")
+    # one F.window per projection — the analyzer rejects two
+    # time-window expressions in a single select
+    snapped = bounds.select(F.window("lo", every).start.alias("lo"), "hi")
+    snapped = snapped.select("lo", F.window("hi", every).start.alias("hi"))
+    spine = snapped.select(
+        F.explode(F.sequence("lo", "hi", iv)).alias("bucket_start")
+    )
+    if keys:
+        spine = spine.crossJoin(df.select(*keys).distinct())
+    out = spine.join(sampled, [*keys, "bucket_start"], "left")
+    for name in aggs:
+        if fill == "zero":
+            filled = F.coalesce(F.col(name), F.lit(0).cast("double"))
+        elif fill == "locf":
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy("bucket_start")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            filled = F.last(F.col(name), ignorenulls=True).over(w)
+        else:
+            filled = F.col(name)
+        out = out.withColumn(name, filled)
+    return out.select(*keys, "bucket_start", *aggs.keys())
 
 
 def exact_dedup(

@@ -218,6 +218,26 @@ def test_decontaminate_matches_registry_split(spark):
     assert got == want and got
 
 
+def test_gapfill_matches_registry_ts_gapfill(spark):
+    """api.gapfill (zero-fill, hourly, keyed by event_type) must agree
+    with the registered ts_gapfill on (type, hour, count) — F.window's
+    epoch-aligned hourly buckets coincide with date_trunc('hour')."""
+    from pyspark.sql import functions as F
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    got = {
+        (r["event_type"], r["bucket_start"], int(r["n_events"]))
+        for r in api.gapfill(
+            ev, by="event_type", aggs={"n_events": F.count(F.lit(1))}
+        ).collect()
+    }
+    want = {
+        (r["event_type"], r["hour_start"], r["n_events"])
+        for r in registry.queries()["ts_gapfill"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+
+
 def test_connected_components_parameterized(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "src long, dst long"
