@@ -36,6 +36,8 @@ Contents:
 - ``tfidf_top_terms(docs, ...)`` — top-k TF-IDF terms per document.
 - ``resample(df, ...)`` / ``gapfill(df, ..., fill=zero|null|locf)`` —
   fixed-window bucketing and dense-spine filling for time series.
+- ``pack_sequences(docs, ..., context)`` — deterministic context-window
+  packing (bin + offset per document) for pretraining batches.
 
 The doctest on each function is executed by tests/test_api.py with a
 live ``spark`` session injected (see ``_DOCTEST_GLOBALS`` there).
@@ -73,6 +75,7 @@ __all__ = [
     "sessionize",
     "exact_dedup",
     "gapfill",
+    "pack_sequences",
     "resample",
     "tfidf_top_terms",
 ]
@@ -686,6 +689,61 @@ def gapfill(
             filled = F.col(name)
         out = out.withColumn(name, filled)
     return out.select(*keys, "bucket_start", *aggs.keys())
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    by: str | list[str] | None = None,
+    n_tokens_col: str | None = None,
+    text_col: str = "text",
+    context: int = 512,
+) -> DataFrame:
+    """Sequence packing for pretraining batches (the M104 kernel
+    parameterized): lay documents end-to-end per ``by`` key in stable
+    ``id_col`` order and assign each its context-window bin and token
+    offset — the pack-then-chunk scheme that lifts token utilization
+    vs one-doc-per-row padding.
+
+    Token counts come from ``n_tokens_col`` if given, else a
+    whitespace split of ``text_col``; documents longer than ``context``
+    are dropped (chunk them first). Everything is integer arithmetic
+    (cumulative sum, floor, mod) so the layout is deterministic. Plan:
+    one keyed window per ``by`` group. At 100 TB make the pack key
+    (lang, shard) so shards pack independently — bins never cross the
+    partition key by construction.
+
+    Returns (<id_col>, *by, n_tokens, bin_id, offset_tokens).
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "a b c"), (2, "d e"), (3, "f g h i")],
+    ...     "doc_id long, text string")
+    >>> [(r["doc_id"], r["bin_id"], r["offset_tokens"])
+    ...  for r in pack_sequences(d, context=4).collect()]
+    [(1, 0, 0), (2, 0, 3), (3, 1, 1)]
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    n_tok = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else F.size(F.split(F.col(text_col), " "))
+    )
+    t = docs.select(
+        F.col(id_col), *keys, n_tok.alias("n_tokens")
+    ).filter(F.col("n_tokens") <= context)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        id_col,
+        *keys,
+        "n_tokens",
+        F.floor(F.col("cum_before") / context).cast("long").alias("bin_id"),
+        (F.col("cum_before") % context).cast("long").alias("offset_tokens"),
+    )
 
 
 def exact_dedup(

@@ -250,3 +250,18 @@ def test_connected_components_parameterized(spark):
     assert comp[1] == comp[2] == comp[3]
     assert comp[10] == comp[11]
     assert comp[1] != comp[10]
+
+
+def test_pack_sequences_matches_registry(spark):
+    """api.pack_sequences keyed by lang must reproduce the registered
+    text_pack_sequences layout exactly."""
+    d = tables.load(spark, SF_SMOKE, "documents")
+    got = {
+        (r["doc_id"], r["lang"], r["n_tokens"], r["bin_id"], r["offset_tokens"])
+        for r in api.pack_sequences(d, by="lang", context=512).collect()
+    }
+    want = {
+        tuple(r)
+        for r in registry.queries()["text_pack_sequences"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
