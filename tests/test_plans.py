@@ -299,3 +299,20 @@ def test_minhash_verify_is_size_picked(spark, no_cache):
     # zero budget does not
     assert llm_dedup._toksets_broadcastable(SF_SMOKE)
     assert not llm_dedup._toksets_broadcastable(SF_SMOKE, budget=0)
+
+
+def test_star_join_runs_five_jobs_cached(spark):
+    """With the session table cache and the flattened supplier_geo dim
+    (round 5), one q5 execution schedules at most 5 Spark jobs: three
+    broadcast builds (orders, customer, supplier_geo) + the two-stage
+    main query. The pre-flattening shape ran 7 (each snowflake arm was
+    its own broadcast-build job)."""
+    from tests.conftest import SF_SMOKE
+
+    fn = registry.queries()["join_star_q5"]
+    fn(spark, SF_SMOKE).collect()  # warm caches incl. supplier_geo
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None))
+    fn(spark, SF_SMOKE).collect()
+    jobs = [j for j in st.getJobIdsForGroup(None) if j not in before]
+    assert len(jobs) <= 5, f"{len(jobs)} jobs: {sorted(jobs)}"
