@@ -502,3 +502,54 @@ def test_find_motif_matches_brute_force(spark, edges):
         if b2 == b and (c, a) not in es
     }
     assert got == want
+
+
+_ts_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),      # key
+        st.integers(min_value=0, max_value=20),     # hour offset
+        st.integers(min_value=1, max_value=9),      # value
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_ts_rows)
+@settings(**_SETTINGS)
+def test_gapfill_matches_serial_oracle(spark, rows):
+    """api.gapfill must produce exactly one row per (key, hour) over
+    the GLOBAL min..max hour span, with zero-fill sums equal to a
+    serial accumulation and locf carrying the last observed sum."""
+    from datetime import datetime, timedelta
+
+    from ezbake_graph_spark import api
+
+    base = datetime(2024, 1, 1)
+    data = [(f"k{k}", base + timedelta(hours=h), float(v)) for k, h, v in rows]
+    df = spark.createDataFrame(data, "k string, ts timestamp, v double")
+
+    lo, hi = min(h for _, h, _ in rows), max(h for _, h, _ in rows)
+    keys = sorted({f"k{k}" for k, _, _ in rows})
+    sums = defaultdict(float)
+    for k, h, v in rows:
+        sums[(f"k{k}", h)] += float(v)
+
+    got = {
+        (r["k"], int((r["bucket_start"] - base).total_seconds() // 3600)): r["s"]
+        for r in api.gapfill(df, by="k", aggs={"s": F.sum("v")}).collect()
+    }
+    assert set(got) == {(k, h) for k in keys for h in range(lo, hi + 1)}
+    for (k, h), v in got.items():
+        assert v == sums.get((k, h), 0.0)
+
+    locf = {
+        (r["k"], int((r["bucket_start"] - base).total_seconds() // 3600)): r["s"]
+        for r in api.gapfill(df, by="k", aggs={"s": F.sum("v")}, fill="locf").collect()
+    }
+    for k in keys:
+        carry = None
+        for h in range(lo, hi + 1):
+            if (k, h) in sums:
+                carry = sums[(k, h)]
+            assert locf[(k, h)] == carry
