@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ezbake_graph_spark.graph.pregel import (  # noqa: F401  (re-exports)
     bfs,
@@ -107,7 +108,11 @@ def asof_join(
     have otherwise disjoint column names; right rows tie-break
     deterministically (latest by value-column order at equal ``on``).
     Returns all left columns plus each right value column (NULL when no
-    match exists on the chosen side).
+    match exists on the chosen side). The nearest right row is taken
+    ATOMICALLY: its value columns are carried through the window as one
+    struct, so a NULL in one right column never splices in that
+    column's value from an older row (pandas ``merge_asof`` / DuckDB
+    ASOF whole-row semantics).
 
     >>> trades = spark.createDataFrame(
     ...     [("A", 10, 100.0), ("A", 20, 101.0)], "sym string, t long, px double")
@@ -129,36 +134,43 @@ def asof_join(
     clash = set(l_cols) & set(r_cols)
     if clash:
         raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
+    if not r_cols:
+        return left.select(*keys, on, *l_cols)
     l_types = dict(zip(left.schema.names, left.schema.fields))
     r_types = dict(zip(right.schema.names, right.schema.fields))
+    # Right values travel as ONE struct column: a struct row is non-NULL
+    # even when every field inside it is NULL, so last(ignorenulls) over
+    # the struct picks the nearest right ROW wholesale — no per-column
+    # stitching across different right rows (ADVICE r5 row-tearing fix).
+    rv_type = T.StructType([r_types[c] for c in r_cols])
     r_tagged = right.select(
         *keys,
         on,
         F.lit(0).alias("__kind"),
         *[F.lit(None).cast(l_types[c].dataType).alias(c) for c in l_cols],
-        *r_cols,
+        F.struct(*[F.col(c) for c in r_cols]).alias("__rv"),
     )
     l_tagged = left.select(
         *keys,
         on,
         F.lit(1).alias("__kind"),
         *l_cols,
-        *[F.lit(None).cast(r_types[c].dataType).alias(c) for c in r_cols],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     asc = direction == "backward"
     order = [F.col(on).asc() if asc else F.col(on).desc(), F.col("__kind").asc()]
-    order += [F.col(c).asc_nulls_first() for c in r_cols]
+    order += [F.col(f"__rv.{c}").asc_nulls_first() for c in r_cols]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = l_tagged.unionByName(r_tagged)
-    for c in r_cols:
-        out = out.withColumn(
-            c, F.last(F.when(F.col("__kind") == 0, F.col(c)), ignorenulls=True).over(w)
-        )
-    return out.filter(F.col("__kind") == 1).select(*keys, on, *l_cols, *r_cols)
+    out = l_tagged.unionByName(r_tagged).withColumn(
+        "__rv", F.last("__rv", ignorenulls=True).over(w)
+    )
+    return out.filter(F.col("__kind") == 1).select(
+        *keys, on, *l_cols, *[F.col(f"__rv.{c}").alias(c) for c in r_cols]
+    )
 
 
 def harmonic_closeness(
@@ -322,19 +334,54 @@ def find_motif(vertices: DataFrame, edges: DataFrame, pattern: str) -> DataFrame
                     "negated terms must reference two already-bound "
                     "vertex names and bind no edge name"
                 )
-            probe = edges.select(
-                F.col("src").alias(vcol(a)), F.col("dst").alias(vcol(b))
-            )
-            bound = bound.join(probe, [vcol(a), vcol(b)], "left_anti")
+            if a == b:
+                # negated self-loop: anti-join on the one bound column
+                # against vertices that loop onto themselves
+                probe = edges.filter(F.col("src") == F.col("dst")).select(
+                    F.col("src").alias(vcol(a))
+                )
+                bound = bound.join(probe, [vcol(a)], "left_anti")
+            else:
+                probe = edges.select(
+                    F.col("src").alias(vcol(a)), F.col("dst").alias(vcol(b))
+                )
+                bound = bound.join(probe, [vcol(a), vcol(b)], "left_anti")
             continue
         if not a:
             a, anon = f"__anon{anon}", anon + 1
         if not b:
             b, anon = f"__anon{anon}", anon + 1
+        if ename:
+            if ename in edge_names:
+                raise ValueError(
+                    f"edge name {ename!r} bound by more than one term — "
+                    "each edge name may appear once"
+                )
+            edge_names.append(ename)
+        if a == b:
+            # self-loop term (a)-[]->(a): GraphFrames accepts these;
+            # restrict to loop edges and bind the single vertex column
+            # once (aliasing src AND dst to the same name would emit a
+            # duplicate column — ADVICE r5)
+            loop = edges.filter(F.col("src") == F.col("dst"))
+            cols = [F.col("src").alias(vcol(a))]
+            if ename:
+                cols.append(F.struct(*edges.columns).alias(ename))
+            step = loop.select(*cols)
+            if bound is None:
+                bound = step
+            elif a in names:
+                bound = bound.join(step, [vcol(a)])
+            else:
+                raise ValueError(
+                    f"motif term ({a})-[{ename}]->({a}) shares no name "
+                    "with earlier terms (disconnected pattern)"
+                )
+            names |= {a}
+            continue
         cols = [F.col("src").alias(vcol(a)), F.col("dst").alias(vcol(b))]
         if ename:
             cols.append(F.struct(*edges.columns).alias(ename))
-            edge_names.append(ename)
         step = edges.select(*cols)
         if bound is None:
             bound = step
@@ -349,6 +396,9 @@ def find_motif(vertices: DataFrame, edges: DataFrame, pattern: str) -> DataFrame
         names |= {a, b}
 
     assert bound is not None  # pattern has >= 1 positive term by here
+    clash = set(edge_names) & names
+    if clash:
+        raise ValueError(f"names used for both an edge and a vertex: {sorted(clash)}")
     out_cols = []
     for n in sorted(n for n in names if not n.startswith("__anon")):
         vs = vertices.select(
@@ -398,9 +448,14 @@ def cosine_topk(
 
     emb = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     if n_blocks is None:
-        sc = emb.sparkSession.sparkContext
+        # ceil(n / _BLOCK_ROWS), uncapped: block size — hence per-task
+        # memory (two dense blocks) — stays constant as the corpus
+        # grows; excess block-pair tasks queue behind the executor
+        # slots instead of inflating each task (ADVICE r5: a
+        # parallelism cap here made block size grow with the corpus,
+        # contradicting the bounded-memory claim above)
         n = emb.count()
-        n_blocks = max(1, min(max(16, sc.defaultParallelism), -(-n // _BLOCK_ROWS)))
+        n_blocks = max(1, -(-n // _BLOCK_ROWS))
 
     def pair_topk(pdf):
         out = _pair_group_topk(pdf, n_blocks, k)
@@ -424,12 +479,21 @@ def minhash_near_dups(
     """MinHash-LSH near-duplicate pairs over any document table.
 
     The ``dedup_minhash`` (K3) scale path: 64 min-hashes per document
-    (one aggregation over distinct whitespace tokens), 16-band/4-row
-    LSH bucketing, candidate pairs ONLY from band collisions, then
-    exact token-set Jaccard verification of just those candidates —
-    work is linear in corpus + candidates, never quadratic. At
-    ``threshold=0.8`` the per-pair collision probability is ~0.9986
-    (recall vs the exact kernel is property-tested).
+    (one aggregation over distinct whitespace tokens), banded LSH
+    bucketing, candidate pairs ONLY from band collisions, then exact
+    token-set Jaccard verification of just those candidates — work is
+    linear in corpus + candidates, never quadratic.
+
+    The band/row split is DERIVED from ``threshold`` (ADVICE r5: a
+    fixed 16x4 split built for j~0.8 silently collapses recall at
+    lower thresholds — per-pair collision probability at j=0.5 is
+    only ~0.64 there). With 64 hashes and b bands of r rows, a pair
+    at Jaccard j collides with probability 1-(1-j^r)^b; the picker
+    chooses the LARGEST r (fewest false-positive candidates) whose
+    collision probability at j=threshold is still >= 0.95:
+    threshold >= 0.8 -> 16x4 (p ~ 0.9986), >= 0.55 -> 32x2,
+    below -> 64x1 (p(0.3) ~ 1.0). Recall at 0.8 AND at 0.5 is
+    property-tested against the exact kernel.
 
     Returns (doc1, doc2, jaccard) with doc1 < doc2 and exact Jaccard
     >= ``threshold``. ``broadcast_ok=True`` opts the verify-stage
@@ -445,11 +509,27 @@ def minhash_near_dups(
     """
     from ezbake_graph_spark.operators.llm_dedup import minhash_pairs
 
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # largest rows-per-band r (b = 64/r) with collision prob >= 0.95 at
+    # j = threshold: max r -> tightest candidate set that still recalls
+    n_bands, rows = 64, 1
+    for r in (4, 2, 1):
+        b = 64 // r
+        if 1.0 - (1.0 - threshold**r) ** b >= 0.95:
+            n_bands, rows = b, r
+            break
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
     )
-    return minhash_pairs(tok, threshold=threshold, broadcast_ok=broadcast_ok)
+    return minhash_pairs(
+        tok,
+        threshold=threshold,
+        broadcast_ok=broadcast_ok,
+        n_bands=n_bands,
+        rows_per_band=rows,
+    )
 
 
 def decontaminate(
@@ -760,14 +840,27 @@ def exact_dedup(
     documents a plain keyed aggregation. Returns
     (dedup_hash, canonical_<keep_min_col>, n_copies).
 
+    NULLs are significant: (NULL, 'x') and ('x', NULL) and ('x', '')
+    are three distinct groups. The digest is md5 over a JSON-encoded
+    struct with null fields kept (``concat_ws`` would silently DROP a
+    NULL argument, separator included, merging those rows — ADVICE r5).
+
     >>> d = spark.createDataFrame(
     ...     [(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string")
     >>> sorted((r["canonical_doc_id"], r["n_copies"])
     ...        for r in exact_dedup(d, ["text"], "doc_id").collect())
     [(1, 2), (3, 1)]
+    >>> n = spark.createDataFrame(
+    ...     [(1, None, "x"), (2, "x", None), (3, "x", "")],
+    ...     "doc_id long, a string, b string")
+    >>> exact_dedup(n, ["a", "b"], "doc_id").count()
+    3
     """
     digest = F.md5(
-        F.concat_ws("\x00", *[F.col(c).cast("string") for c in dedup_cols])
+        F.to_json(
+            F.struct(*[F.col(c).alias(c) for c in dedup_cols]),
+            {"ignoreNullFields": "false"},
+        )
     )
     return df.groupBy(digest.alias("dedup_hash")).agg(
         F.min(keep_min_col).alias(f"canonical_{keep_min_col}"),

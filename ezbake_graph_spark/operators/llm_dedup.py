@@ -175,22 +175,29 @@ def minhash_pairs(
     tok: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     broadcast_ok: bool = False,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs over any (doc_id, token) table —
     the reusable parameterized entry (see ``ezbake_graph_spark.api``).
 
     ``tok`` must hold DISTINCT (doc_id, token) rows. Returns
     (doc1, doc2, jaccard) with doc1 < doc2 and exact token-set Jaccard
-    >= ``threshold``, candidates generated by 16-band/4-row LSH over 64
-    min-hashes. ``broadcast_ok`` opts the verify-stage token-set lookups
-    into broadcast joins — leave False (keyed joins) unless the per-doc
-    token-set table provably fits the broadcast budget.
+    >= ``threshold``, candidates generated by ``n_bands``-band /
+    ``rows_per_band``-row LSH over ``n_bands * rows_per_band``
+    min-hashes (default 16x4 = 64, tuned for threshold~0.8; lower
+    thresholds need fewer rows per band — ``api.minhash_near_dups``
+    derives the banding from the threshold). ``broadcast_ok`` opts the
+    verify-stage token-set lookups into broadcast joins — leave False
+    (keyed joins) unless the per-doc token-set table provably fits the
+    broadcast budget.
     """
     spark = tok.sparkSession
+    n_minhash = n_bands * rows_per_band
     tok = tok.cache()
     sig_cols = [
         F.min(F.xxhash64(F.concat(F.col("token"), F.lit(f"#perm{i}")))).alias(f"h{i}")
-        for i in range(N_MINHASH)
+        for i in range(n_minhash)
     ]
     sigs = tok.groupBy("doc_id").agg(*sig_cols)
     band_structs = F.array(
@@ -198,10 +205,10 @@ def minhash_pairs(
             F.struct(
                 F.lit(b).alias("band_id"),
                 F.xxhash64(
-                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
                 ).alias("band_hash"),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(

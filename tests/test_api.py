@@ -265,3 +265,102 @@ def test_pack_sequences_matches_registry(spark):
         for r in registry.queries()["text_pack_sequences"](spark, SF_SMOKE).collect()
     }
     assert got == want and got
+
+
+def test_asof_join_takes_nearest_right_row_atomically(spark):
+    """ADVICE r5: when right rows have NULLs in some value columns, the
+    output must carry the single nearest right row wholesale — never
+    stitch column values from different right rows (pandas merge_asof /
+    DuckDB ASOF whole-row semantics)."""
+    left = spark.createDataFrame([("A", 30, 1.0)], "sym string, t long, px double")
+    right = spark.createDataFrame(
+        [("A", 10, 99.0, 100.0), ("A", 20, None, 101.0)],
+        "sym string, t long, bid double, ask double",
+    )
+    row = api.asof_join(left, right, on="t", by="sym").collect()[0]
+    # nearest right row is t=20: (bid=None, ask=101.0); a torn result
+    # would show bid=99.0 spliced from the t=10 row
+    assert row["bid"] is None and row["ask"] == 101.0
+    # no match at all -> whole right payload NULL
+    early = spark.createDataFrame([("A", 5, 1.0)], "sym string, t long, px double")
+    r0 = api.asof_join(early, right, on="t", by="sym").collect()[0]
+    assert r0["bid"] is None and r0["ask"] is None
+
+
+def test_exact_dedup_null_distinct_groups(spark):
+    """ADVICE r5: NULL must not canonicalize to '' — (NULL,'x'),
+    ('x',NULL), ('x',''), ('','x') are four distinct groups."""
+    d = spark.createDataFrame(
+        [(1, None, "x"), (2, "x", None), (3, "x", ""), (4, "", "x")],
+        "doc_id long, a string, b string",
+    )
+    out = api.exact_dedup(d, ["a", "b"], "doc_id").collect()
+    assert len(out) == 4
+    assert all(r["n_copies"] == 1 for r in out)
+
+
+def test_minhash_threshold_drives_banding_recall(spark):
+    """ADVICE r5: at threshold=0.5 the fixed 16x4 banding recalls only
+    ~64% per pair; the derived 32x2 banding must recover >= 95% of the
+    exact Jaccard>=0.5 pairs on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    a = tok.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("t1"))
+    b = tok.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("t2"))
+    inter = F.size(F.array_intersect("t1", "t2")).cast("double")
+    union = (F.size("t1") + F.size("t2")).cast("double") - inter
+    exact = {
+        (r["doc1"], r["doc2"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc1") < F.col("doc2"))
+        .filter(inter / union >= 0.5)
+        .collect()
+    }
+    got = {
+        (r["doc1"], r["doc2"])
+        for r in api.minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture must contain Jaccard>=0.5 pairs below id 200"
+    # every returned pair is exact-verified, so no false positives
+    assert got <= exact
+    assert len(got) / len(exact) >= 0.95
+
+
+def test_find_motif_self_loop_terms(spark):
+    """ADVICE r5: GraphFrames accepts self-loop patterns; positive and
+    negated (a)-[]->(a) terms must work, and duplicate edge names must
+    raise."""
+    import pytest
+
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    e = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 2), (3, 3)], "src long, dst long"
+    )
+    loops = api.find_motif(v, e, "(a)-[]->(a)")
+    assert sorted(r["a"]["id"] for r in loops.collect()) == [0, 3]
+    # self-loop joined against another term: vertices with a loop AND
+    # an outgoing edge to someone else
+    both = api.find_motif(v, e, "(a)-[]->(a); (a)-[]->(b)")
+    assert {(r["a"]["id"], r["b"]["id"]) for r in both.collect()} == {
+        (0, 0),
+        (0, 1),
+        (3, 3),
+    }
+    # negated self-loop: edges whose source has no loop
+    noloop = api.find_motif(v, e, "(a)-[]->(b); !(a)-[]->(a)")
+    assert {(r["a"]["id"], r["b"]["id"]) for r in noloop.collect()} == {(1, 2)}
+    with pytest.raises(ValueError, match="more than one term"):
+        api.find_motif(v, e, "(a)-[x]->(b); (b)-[x]->(c)")
+    with pytest.raises(ValueError, match="edge and a vertex"):
+        api.find_motif(v, e, "(a)-[b]->(b)")
+    # self-loop with a bound edge row
+    le = api.find_motif(v, e, "(a)-[lp]->(a)")
+    assert {(r["a"]["id"], r["lp"]["src"], r["lp"]["dst"]) for r in le.collect()} == {
+        (0, 0, 0),
+        (3, 3, 3),
+    }
