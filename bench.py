@@ -7,7 +7,30 @@ Runs the headline queries (registry tag "bench") at
 {key: sec, ...}, "sf": ...}``.
 
 Per BASELINE.md, timing excludes session startup: each query is fully
-fetched (collect) and we report the min of ``RUNS`` warm runs.
+fetched (collect) and we report the min over warm runs.
+
+Protocol hardening (VERDICT r5 item 3): BENCH_r05 regressed +12% on
+all 13 queries with UNCHANGED plans — a uniform environment shift the
+old single-invocation min-of-9 could not detect, making cross-round
+numbers incomparable. This harness therefore:
+
+- runs TWO separated timing passes (a fresh back-to-back min-of-N per
+  query in each pass, ``BENCH_PASS_GAP_SEC`` apart) and reports the
+  per-query MIN across passes — a one-off load spike during either
+  pass no longer contaminates the committed number;
+- records machine state alongside the numbers: 1/5/15-min loadavg
+  before and after, so a reader can tell "plans regressed" from "the
+  machine was busy";
+- records ``floor_sec`` — the smallest whole-query wall time observed
+  across ALL timed queries — so ratio readers can subtract the
+  constant per-query scheduling floor mechanically instead of
+  re-deriving it from BASELINE.md prose (VERDICT r5 item 8).
+
+A second committed table (VERDICT r5 item 4): registry tag "bench2"
+marks the LLM/graph-tier regression set (exact + MinHash dedup, TF-IDF,
+exact PageRank, WCC, IVF ANN). Reported under ``tier2_queries`` /
+``tier2_total_sec`` with fewer runs (they are 5-20x slower per run);
+the driver-graded headline contract keys are unchanged.
 """
 
 from __future__ import annotations
@@ -22,15 +45,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ezbake_graph_spark import registry
 from ezbake_graph_spark.session import DEFAULT_SF_DIR, get_session
 
-# min-of-9: run-to-run spread on this machine is ~±15% per query (GC
-# bursts, JIT state); 7 runs left the min itself noisy by ~5-8% on the
-# borderline queries (join_star_q5 0.275-0.352 across bench invocations)
-RUNS = int(os.environ.get("BENCH_RUNS", "9"))
+# min-of-N per pass; two passes -> up to 2N samples feed each reported
+# min. Run-to-run spread on this machine is ~±15% per query (GC bursts,
+# JIT state); cross-INVOCATION spread is the same magnitude, which is
+# what the second separated pass defends against.
+RUNS = int(os.environ.get("BENCH_RUNS", "5"))
+PASSES = int(os.environ.get("BENCH_PASSES", "2"))
+PASS_GAP_SEC = float(os.environ.get("BENCH_PASS_GAP_SEC", "10"))
 # Untimed full-suite passes before any timing (see comment in main):
 # 2 was calibrated in round 3; cross-invocation spread measurements in
 # round 5 (±15% on identical code) showed the C2 JIT still deepening
 # after 2 passes on the slower invocations, so the default is 3.
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+# tier-2 queries run seconds each; min-of-2, one warm pass, single pass
+RUNS2 = int(os.environ.get("BENCH_RUNS2", "2"))
 
 
 def bench_keys() -> list[str]:
@@ -38,45 +66,92 @@ def bench_keys() -> list[str]:
     return sorted(k for k, s in registry.REGISTRY.items() if "bench" in s.tags)
 
 
+def tier2_keys() -> list[str]:
+    registry.queries()
+    return sorted(k for k, s in registry.REGISTRY.items() if "bench2" in s.tags)
+
+
+def _timed_pass(qs, keys: list[str], sf_dir: str, runs: int) -> dict[str, float]:
+    """One back-to-back min-of-``runs`` sweep over ``keys``.
+
+    Back-to-back runs per query, NOT round-robin: measured on this
+    machine, interleaving the queries makes EVERY timed run pay a
+    ~0.1-0.3s query-switch penalty (JIT inline caches / codegen and
+    instruction-cache locality reset on each switch — bench total
+    5.55s interleaved vs 3.98s back-to-back, reproducibly). Run
+    back-to-back, the switch cost lands on run 1 only and min-of-N
+    discards it.
+    """
+    out: dict[str, float] = {}
+    for key in keys:
+        fn = qs[key]
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark_ref[0], sf_dir).toPandas()  # Arrow fetch; materialized
+            best = min(best, time.perf_counter() - t0)
+        out[key] = best
+    return out
+
+
+spark_ref = [None]  # set in main; avoids threading spark through helpers
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    load_before = os.getloadavg()
     spark = get_session("ezbake-graph-spark-bench")
+    spark_ref[0] = spark
     qs = registry.queries()
-    times: dict[str, float] = {}
-    # Global untimed warmup: two passes over every bench query before any
-    # timing. One pass per-query is not enough — the JVM C2 JIT and
+    keys = bench_keys()
+    t2keys = [k for k in tier2_keys() if k in qs]
+    # Global untimed warmup over every timed query before any timing.
+    # One pass per-query is not enough — the JVM C2 JIT and
     # whole-stage-codegen caches keep improving across the first ~full
     # suite, so queries timed early would pay compilation cost that says
     # nothing about the plan (measured: Q1 0.95s when timed second in the
     # suite vs 0.31s after a full pass).
-    for _ in range(WARMUP):
-        for key in bench_keys():
+    for i in range(WARMUP):
+        for key in keys:
             qs[key](spark, sf_dir).toPandas()
-    # Back-to-back runs per query, NOT round-robin: measured on this
-    # machine, interleaving the 13 queries makes EVERY timed run pay a
-    # ~0.1-0.3s query-switch penalty (JIT inline caches / codegen and
-    # instruction-cache locality reset on each switch — bench total
-    # 5.55s interleaved vs 3.98s back-to-back, reproducibly). Run
-    # back-to-back, the switch cost lands on run 1 only and min-of-N
-    # discards it. The RUNS default (see top of file) keeps one GC
-    # burst from swallowing the whole sample (seen once:
-    # agg_pricing_q1 0.77s across 5 runs vs 0.41s isolated).
-    for key in bench_keys():
-        fn = qs[key]
-        best = float("inf")
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).toPandas()  # Arrow fetch; fully materialized
-            best = min(best, time.perf_counter() - t0)
-        times[key] = round(best, 4)
+        if i == 0:  # tier-2 is slow; one warm pass suffices for its min-of-2
+            for key in t2keys:
+                qs[key](spark, sf_dir).toPandas()
+    # Two separated timing passes; report the per-query min across both.
+    passes = []
+    for p in range(PASSES):
+        if p:
+            time.sleep(PASS_GAP_SEC)
+        passes.append(_timed_pass(qs, keys, sf_dir, RUNS))
+        print(
+            f"# pass {p + 1}: total "
+            f"{sum(passes[-1].values()):.3f}s loadavg {os.getloadavg()[0]:.2f}",
+            file=sys.stderr,
+        )
+    times = {k: round(min(ps[k] for ps in passes), 4) for k in keys}
+    for key in keys:
         print(f"# {key}: {times[key]:.3f}s", file=sys.stderr)
+    t2 = {k: round(v, 4) for k, v in _timed_pass(qs, t2keys, sf_dir, RUNS2).items()}
+    for key in t2keys:
+        print(f"# tier2 {key}: {t2[key]:.3f}s", file=sys.stderr)
+    load_after = os.getloadavg()
     out = {
         "metric": "headline_queries_total_warm",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # machine-state + protocol context (VERDICT r5 items 3 & 8):
+        "floor_sec": round(min(times.values()), 4),
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "passes": PASSES,
+        "runs_per_pass": RUNS,
+        "pass_totals": [round(sum(p.values()), 4) for p in passes],
+        # LLM/graph-tier regression set (VERDICT r5 item 4):
+        "tier2_queries": t2,
+        "tier2_total_sec": round(sum(t2.values()), 4),
     }
     print(json.dumps(out))
 

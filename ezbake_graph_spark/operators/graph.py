@@ -229,7 +229,7 @@ FROM reach GROUP BY node ORDER BY id
 """
 
 
-@register("graph_wcc", oracle=_WCC_SQL, tags=("J6", "pregel"))
+@register("graph_wcc", oracle=_WCC_SQL, tags=("J6", "pregel", "bench2"))
 def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly connected components (J6) via the Pregel min-label loop
     (graph/pregel.py); oracle is a recursive-CTE min propagation."""
@@ -934,7 +934,7 @@ def _pagerank_exact_sql() -> str:
 @register(
     "graph_pagerank_exact",
     oracle=_pagerank_exact_sql(),
-    tags=("J-extra", "iterative", "M77"),
+    tags=("J-extra", "iterative", "M77", "bench2"),
 )
 def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank with a FULL cross-engine value-hash oracle — the

@@ -49,7 +49,7 @@ ORDER BY canonical_doc_id
 """
 
 
-@register("dedup_exact", oracle=_EXACT_SQL, tags=("K1",))
+@register("dedup_exact", oracle=_EXACT_SQL, tags=("K1", "bench2"))
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (K1): canonical doc per identical text, keeping the
     min doc_id. Groups on md5(text) so the shuffle moves digests, not
@@ -149,7 +149,7 @@ def _toksets_broadcastable(sf_dir: str, budget: int = _TOKSET_BROADCAST_BUDGET) 
     return nbytes * _TOKSET_EXPANSION <= budget
 
 
-@register("dedup_minhash", oracle=None, tags=("K3", "rows-only"))
+@register("dedup_minhash", oracle=None, tags=("K3", "rows-only", "bench2"))
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup (K3) over ALL documents — the 100 TB
     path: 64 min-hashes per doc (one aggregation), 16 band buckets,

@@ -454,7 +454,7 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NPROBE = 8
 
 
-@register("sim_ivf", oracle=None, tags=("K-extra", "rows-only"))
+@register("sim_ivf", oracle=None, tags=("K-extra", "rows-only", "bench2"))
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (scale path for K4/K5): coarse-quantize every
     vector to its nearest label-centroid cell, then answer queries

@@ -64,7 +64,7 @@ ORDER BY doc_id, rn
 """
 
 
-@register("text_tfidf", oracle=_TFIDF_SQL, tags=("K8",))
+@register("text_tfidf", oracle=_TFIDF_SQL, tags=("K8", "bench2"))
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document (K8), doc_id<100 slice.
     tf and df are exact ints; ln() is per-row libm (round6); the rank
