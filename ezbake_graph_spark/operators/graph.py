@@ -896,6 +896,80 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed, deterministic Eppstein-Wang target sample for the sampled
+# closeness registry key. 5 of the 25 nations — small enough that the
+# estimator visibly differs from the exact value, fixed so the oracle
+# can enumerate it.
+_CLOSENESS_SAMPLE = (0, 5, 10, 15, 20)
+
+_CLOSENESS_SAMPLED_SQL = f"""
+WITH RECURSIVE trade AS (
+  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+), hop(src, dst, d) AS (
+  SELECT src, dst, 1 FROM trade
+  UNION
+  SELECT h.src, e.dst, h.d + 1
+  FROM hop h JOIN trade e ON h.dst = e.src
+  WHERE h.d < 25
+), dist AS (
+  SELECT src, dst, min(d) AS d FROM hop GROUP BY src, dst
+), nv AS (
+  SELECT count(*) AS n FROM nation
+), per_v AS (
+  SELECT src AS id,
+         count(*) AS n_reached,
+         sum(CAST(round(1000000.0 / d) AS BIGINT)) AS h_micro
+  FROM dist
+  WHERE dst IN {_CLOSENESS_SAMPLE} AND src <> dst
+  GROUP BY src
+)
+SELECT id, n_reached,
+       round(
+         (CAST(nv.n - 1 AS DOUBLE)
+          / CAST(CASE WHEN id IN {_CLOSENESS_SAMPLE}
+                      THEN {len(_CLOSENESS_SAMPLE) - 1}
+                      ELSE {len(_CLOSENESS_SAMPLE)} END AS DOUBLE))
+         * CAST(h_micro AS DOUBLE) / 1000000.0, 6) AS harmonic_centrality
+FROM per_v, nv
+ORDER BY id
+"""
+
+
+@register(
+    "graph_closeness_sampled",
+    oracle=_CLOSENESS_SAMPLED_SQL,
+    tags=("J-extra", "iterative", "M75-scale"),
+)
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eppstein-Wang SAMPLED harmonic closeness — the scale path that
+    ``graph_closeness``'s docstring hands off to, now carrying its own
+    full cross-engine oracle (the sample is a fixed deterministic set,
+    so the estimator is SQL-expressible: same min-hop recursion
+    restricted to the sampled targets, scaled by (N-1)/|S∖{v}|).
+
+    Exercises ``api.harmonic_closeness(vertices, edges, sample=...)``
+    verbatim: pair state is |S|×V instead of V×V — at data-scale vertex
+    counts this is the only affordable posture; with S = V it reduces
+    to the exact query (property-tested in tests/test_api.py).
+    Reciprocals are summed in integer micro-units (order-free); the
+    final scale*sum is a per-row scalar on exact integers, so round6
+    is deterministic cross-engine (determinism.py regime 1)."""
+    from ezbake_graph_spark.api import harmonic_closeness
+
+    vertices = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id")
+    )
+    edges = _nation_trade_edges(spark, sf_dir)
+    return harmonic_closeness(
+        vertices, edges, sample=list(_CLOSENESS_SAMPLE)
+    ).orderBy("id")
+
+
 def _pagerank_exact_sql() -> str:
     """Build the 10-step chained-CTE oracle for integer PageRank.
 
