@@ -23,6 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
+import functools
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -30,7 +31,7 @@ from pyspark.sql import functions as F
 
 
 @contextmanager
-def _superstep_env(edges: DataFrame):
+def _superstep_env(edges: DataFrame, directed: bool = False):
     """Loop-scoped execution settings; yields the symmetrized edge set.
 
     - AQE off: every superstep re-runs the same fixed, small,
@@ -60,7 +61,7 @@ def _superstep_env(edges: DataFrame):
     conf.set("spark.sql.shuffle.partitions", str(provisional))
     sym = None
     try:
-        sym = symmetrize(edges).cache()
+        sym = symmetrize(edges, directed=directed).cache()
         conf.set("spark.sql.shuffle.partitions", str(sym.rdd.getNumPartitions()))
         yield sym
     finally:
@@ -70,9 +71,13 @@ def _superstep_env(edges: DataFrame):
             sym.unpersist()
 
 
-def symmetrize(edges: DataFrame) -> DataFrame:
+def symmetrize(edges: DataFrame, directed: bool = False) -> DataFrame:
     """Undirected view of an edge list: both directions, deduped,
-    hash-partitioned by ``src``.
+    hash-partitioned by ``src``. ``directed=True`` skips the reverse
+    union (messages then flow along edge direction only — what a
+    generic ``pregel_run`` over a directed graph needs) but keeps the
+    dedup + src-partitioning that lets every superstep's message join
+    reuse the cached layout.
 
     The explicit repartition matters for the superstep loop: a cached
     DataFrame advertises its partitioning, so every superstep's
@@ -81,10 +86,13 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     never moves again. This is the in-memory equivalent of bucketing
     the edge table by src at 100 TB.
     """
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    # cache before counting so the sizing count and the repartition
-    # don't each recompute the union+distinct
-    both = edges.select("src", "dst").unionByName(rev).distinct().cache()
+    if directed:
+        both = edges.select("src", "dst").distinct().cache()
+    else:
+        rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # cache before counting so the sizing count and the repartition
+        # don't each recompute the union+distinct
+        both = edges.select("src", "dst").unionByName(rev).distinct().cache()
     # Partition count sized to edge volume (~250k edge rows per task),
     # clamped to the session's shuffle parallelism: a superstep runs
     # dozens of tiny stages, so over-partitioning a small graph buys
@@ -439,3 +447,102 @@ def shortest_paths_weighted(
         if e is not None:
             e.unpersist()
     return state.filter(F.col("dist").isNotNull())
+
+
+def pregel_run(
+    vertices: DataFrame,
+    edges: DataFrame,
+    message,
+    merge,
+    update: dict,
+    max_iter: int = 20,
+    directed: bool = False,
+    check_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generic user-programmable Pregel superstep loop — the
+    message/merge/update hooks GraphX's ``Pregel.apply`` exposes,
+    DataFrame-native (every named algorithm above is an instance of
+    this shape; this entry point lets a user run their OWN).
+
+    - ``vertices``: (id, <state cols>) — the initial vertex state.
+    - ``edges``: (src, dst); symmetrized unless ``directed=True``.
+    - ``message``: a Column evaluated on the edge⨝src-state frame
+      (columns ``src``, ``dst`` and every state column of the SOURCE
+      vertex) — the value sent to ``dst``.
+    - ``merge``: commutative+associative combiner applied to the
+      incoming messages per destination, e.g. ``F.min`` / ``F.sum``
+      (called as ``merge(F.col("msg"))``).
+    - ``update``: dict ``state_col -> Column`` over (id, old state
+      cols, ``msg``) producing the next state; ``msg`` is NULL for
+      vertices that received nothing this superstep (coalesce it).
+      State columns absent from the dict carry over unchanged.
+    - ``check_cols``: converge (stop early) when these state columns
+      are unchanged for every vertex — adds one tiny probe job per
+      superstep; omit for fixed-iteration algorithms (lineage then
+      executes as ONE job at the final superstep, see ``_truncate``).
+
+    Scale posture identical to the named algorithms: edges cached
+    src-partitioned once, only vertex state shuffles per superstep,
+    state eagerly checkpointed, AQE/partitions pinned loop-wide.
+
+    >>> v = spark.createDataFrame(
+    ...     [(i, i) for i in range(4)], "id long, component long")
+    >>> e = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    >>> wcc = pregel_run(
+    ...     v, e,
+    ...     message=F.col("component"),
+    ...     merge=F.min,
+    ...     update={"component": F.least(
+    ...         F.col("component"),
+    ...         F.coalesce(F.col("msg"), F.col("component")))},
+    ...     check_cols=["component"])
+    >>> sorted((r["id"], r["component"]) for r in wcc.collect())
+    [(0, 0), (1, 0), (2, 2), (3, 2)]
+    """
+    state_cols = [c for c in vertices.columns if c != "id"]
+    unknown = set(update) - set(state_cols)
+    if unknown:
+        raise ValueError(f"update targets unknown state columns: {sorted(unknown)}")
+    state = vertices.select("id", *state_cols)
+    with _superstep_env(edges, directed=directed) as sym:
+        for step in range(max_iter):
+            msgs = (
+                sym.join(state, sym.src == state.id)
+                .select(F.col("dst").alias("id"), message.alias("msg"))
+                .groupBy("id")
+                .agg(merge(F.col("msg")).alias("msg"))
+            )
+            new_state = state.join(msgs, "id", "left").select(
+                "id",
+                *[
+                    (update[c] if c in update else F.col(c)).alias(c)
+                    for c in state_cols
+                ],
+            )
+            # convergence probing needs each step materialized; fixed-
+            # iteration loops defer execution to the last eager step
+            new_state = _truncate(
+                new_state,
+                step,
+                eager=bool(check_cols) or step == max_iter - 1,
+            )
+            if check_cols:
+                changed = (
+                    new_state.alias("n")
+                    .join(state.alias("o"), "id")
+                    .filter(
+                        ~functools.reduce(
+                            lambda a, b: a & b,
+                            [
+                                F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
+                                for c in check_cols
+                            ],
+                        )
+                    )
+                )
+                state = new_state
+                if changed.isEmpty():
+                    break
+            else:
+                state = new_state
+    return state

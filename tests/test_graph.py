@@ -321,3 +321,88 @@ def test_random_walk_follows_real_edges(spark):
         assert sorted(steps) == list(range(_WALK_STEPS + 1)), wid
         for t in range(_WALK_STEPS):
             assert (steps[t], steps[t + 1]) in edges, (wid, t)
+
+
+def test_pregel_run_wcc_matches_connected_components(spark):
+    """The generic user-programmable loop, instantiated as WCC with
+    min-propagation hooks, must agree with the named
+    connected_components kernel on the real fixture graph."""
+    import pyspark.sql.functions as F
+
+    from ezbake_graph_spark.graph.pregel import connected_components, pregel_run
+    from ezbake_graph_spark.operators.graph import bipartite_edges
+
+    edges = bipartite_edges(spark, SF_SMOKE)
+    verts = (
+        edges.selectExpr("src AS id")
+        .unionByName(edges.selectExpr("dst AS id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in pregel_run(
+            verts,
+            edges,
+            message=F.col("component"),
+            merge=F.min,
+            update={
+                "component": F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("msg"), F.col("component")),
+                )
+            },
+            max_iter=30,
+            check_cols=["component"],
+        ).collect()
+    }
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            verts.select("id"), edges, max_iter=30
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_pregel_run_directed_sssp(spark):
+    """directed=True: messages flow along edge direction only, so the
+    hop count from node 0 on a directed chain with a decoy back-edge
+    matches the hand answer (and the unreachable node stays INF)."""
+    import pyspark.sql.functions as F
+
+    from ezbake_graph_spark.graph.pregel import pregel_run
+
+    INF = float("inf")
+    verts = spark.createDataFrame(
+        [(i, 0.0 if i == 0 else INF) for i in range(5)], "id long, dist double"
+    )
+    # 0->1->2->3 chain; 4->0 back-edge means 4 is unreachable FROM 0
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 0)], "src long, dst long"
+    )
+    out = pregel_run(
+        verts,
+        edges,
+        message=F.col("dist") + F.lit(1.0),
+        merge=F.min,
+        update={
+            "dist": F.least(F.col("dist"), F.coalesce(F.col("msg"), F.col("dist")))
+        },
+        max_iter=10,
+        directed=True,
+        check_cols=["dist"],
+    )
+    got = {r["id"]: r["dist"] for r in out.collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: INF}
+
+
+def test_pregel_run_rejects_unknown_state_col(spark):
+    import pyspark.sql.functions as F
+
+    from ezbake_graph_spark.graph.pregel import pregel_run
+
+    verts = spark.createDataFrame([(0, 0)], "id long, x long")
+    edges = spark.createDataFrame([(0, 0)], "src long, dst long")
+    with pytest.raises(ValueError, match="unknown state columns"):
+        pregel_run(verts, edges, F.col("x"), F.min, {"nope": F.col("x")})
