@@ -56,6 +56,7 @@ from ezbake_graph_spark.graph.pregel import (  # noqa: F401  (re-exports)
     label_propagation,
     pagerank,
     personalized_pagerank,
+    pregel_run,
     shortest_paths_weighted,
 )
 
@@ -66,6 +67,7 @@ __all__ = [
     "label_propagation",
     "pagerank",
     "personalized_pagerank",
+    "pregel_run",
     "shortest_paths_weighted",
     "asof_join",
     "cosine_topk",
@@ -79,6 +81,10 @@ __all__ = [
     "pack_sequences",
     "resample",
     "tfidf_top_terms",
+    "centroid_per_label",
+    "ivf_search",
+    "watermark_dedup",
+    "incremental_mv",
 ]
 
 # rows per grid block for the pair kernel — one block pair (2 x 4096
@@ -866,3 +872,235 @@ def exact_dedup(
         F.min(keep_min_col).alias(f"canonical_{keep_min_col}"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+def centroid_per_label(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise embedding centroid per label, assembled as an
+    array.
+
+    The ``embed_centroid`` (K13) kernel on any (label, vector) table:
+    one posexplode → keyed aggregate; micro-unit-exact means (the
+    per-dimension mean is an integer micro-sum divided once, so the
+    result is reproducible across partitionings — plain ``avg`` over
+    doubles is not). Returns (<label_col>, centroid array<double>,
+    n_vectors). Shuffle volume is rows x dims scalar cells — the same
+    keyed-agg shape that holds at 100 TB.
+
+    >>> e = spark.createDataFrame(
+    ...     [(0, "a", [1.0, 3.0]), (1, "a", [3.0, 5.0]), (2, "b", [0.0, 1.0])],
+    ...     "vec_id long, label string, embedding array<double>")
+    >>> sorted((r[0], r[1], r[2]) for r in
+    ...        centroid_per_label(e, "label", "embedding").collect())
+    [('a', [2.0, 4.0], 2), ('b', [0.0, 1.0], 1)]
+    """
+    from ezbake_graph_spark.determinism import SCALE
+
+    exploded = emb.select(
+        F.col(label_col), F.posexplode(vec_col).alias("pos", "val_f")
+    ).select(label_col, "pos", F.col("val_f").cast("double").alias("val"))
+    micro = F.round(F.col("val") * SCALE).cast("long")
+    per_dim = exploded.groupBy(label_col, "pos").agg(
+        ((F.sum(micro).cast("double") / F.count(F.lit(1))) / SCALE).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"),
+            F.max("n").alias("n_vectors"),
+        )
+        .select(
+            label_col,
+            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+            "n_vectors",
+        )
+    )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    build_iters: int = 2,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """IVF approximate-nearest-neighbor search: coarse-quantize the
+    corpus into centroid cells, then answer each query by scoring only
+    the vectors in its ``nprobe`` nearest cells.
+
+    The ``sim_ivf`` scale path parameterized for any corpus: probe
+    work is (nprobe / n_cells) of the corpus instead of all of it, and
+    at 100 TB the cell id becomes the corpus table's partition key so
+    a probe touches nprobe partitions. The centroid table (one row per
+    cell) is broadcast everywhere it is joined.
+
+    Cells come from ``cell_col`` when given (supervised cells — e.g. a
+    language or source label; exactly the ``sim_ivf`` registry shape),
+    else from ``build_iters`` Lloyd iterations seeded by hashing ids
+    into ``n_cells`` buckets (deterministic seed, no RNG). Recall
+    rises with ``nprobe``; the fixture's measured curve is in
+    SCALE.md §8 (near-random vectors, the worst case — clustered real
+    corpora need far fewer probes).
+
+    ``queries`` is any (id, vector) table with the same columns;
+    returns (query_id, neighbor_id, cosine, rank), rank <= k, a corpus
+    id equal to the query id excluded (self-match).
+
+    >>> corpus = spark.createDataFrame(
+    ...     [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+    ...      (4, [0.1, 0.9])], "vec_id long, embedding array<double>")
+    >>> q = spark.createDataFrame(
+    ...     [(100, [1.0, 0.05])], "vec_id long, embedding array<double>")
+    >>> ivf_search(corpus, q, k=1, n_cells=2, nprobe=1).collect()
+    [Row(query_id=100, neighbor_id=1, cosine=0.998752, rank=1)]
+    """
+    from ezbake_graph_spark.operators.llm_similarity import (
+        assign_nearest_cell,
+        cell_centroids,
+        ivf_probe_topk,
+    )
+
+    def norm(df: DataFrame, out_id: str) -> DataFrame:
+        dvec = F.transform(vec_col, lambda x: x.cast("double"))
+        sq = F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        keep = [F.col(cell_col)] if cell_col else []
+        return df.select(
+            F.col(id_col).alias(out_id), dvec.alias("v"), F.sqrt(sq).alias("nrm"), *keep
+        )
+
+    vecs = norm(corpus, "vec_id").cache()
+    if cell_col:
+        cent = cell_centroids(vecs, cell_col).cache()
+    else:
+        # deterministic k-means-style build: hash-seeded cells, then
+        # Lloyd rounds of (per-cell mean centroid, nearest reassign)
+        assigned = vecs.withColumn(
+            "cell", F.pmod(F.xxhash64("vec_id"), F.lit(n_cells))
+        )
+        cent = None
+        for _ in range(max(1, build_iters)):
+            cent = cell_centroids(assigned, "cell").cache()
+            assigned = assign_nearest_cell(vecs, cent)
+    assigned = assign_nearest_cell(vecs, cent)
+    qn = norm(queries, "query_id").select(
+        "query_id", F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    return ivf_probe_topk(assigned, cent, qn, k=k, nprobe=nprobe)
+
+
+def watermark_dedup(
+    stream: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication with bounded state: emit the first
+    occurrence of each ``id_cols`` value, dropping re-deliveries that
+    arrive within ``delay`` of the watermark.
+
+    The ``stream_dedup`` (I5) kernel on any stream: state holds one
+    entry per key seen in the trailing ``delay`` window and is evicted
+    as the watermark advances — state size is keys-per-window, not
+    stream length, which is what lets an at-least-once 100 TB/day
+    ingest run exactly-once downstream. On a batch DataFrame (Spark
+    rejects the watermarked variant there) this degrades to a global
+    ``dropDuplicates`` — same answer a bounded input would get.
+
+    >>> b = spark.createDataFrame(
+    ...     [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+    ...      (2, "2024-01-01 00:20:00")], "event_id long, ts string")
+    >>> watermark_dedup(
+    ...     b.select("event_id", F.col("ts").cast("timestamp")),
+    ...     ["event_id"]).count()
+    2
+    """
+    if not stream.isStreaming:
+        return stream.dropDuplicates(id_cols)
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(id_cols)
+
+
+def incremental_mv(
+    stream: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    mv_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Incrementally-maintained materialized aggregate view over a
+    stream: each micro-batch's partial aggregate merges into a parquet
+    state table (read old → union partials → re-aggregate → atomic
+    swap), so the view is correct after every batch without ever
+    re-scanning history.
+
+    The ``stream_incremental_mv`` pattern parameterized: ``measures``
+    maps output column -> (op, col) with op in sum/count/min/max —
+    exactly the ops whose partials merge by re-applying an associative
+    combiner (sum for sum/count, min for min, max for max). State size
+    is group count, not input size; the per-batch merge is one tiny
+    keyed aggregate. Runs the stream with an availableNow trigger
+    (process everything present, then stop) and returns the final
+    view; re-running with the same ``checkpoint_dir`` resumes
+    incrementally from new files only.
+
+    avg is deliberately absent: maintain sum + count and divide in the
+    reader — a merged avg-of-avgs is wrong under uneven batch sizes.
+    """
+    import os
+    import shutil
+
+    _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for name, (op, _c) in measures.items():
+        if op not in _MERGE:
+            raise ValueError(f"measure {name!r}: op must be one of {sorted(_MERGE)}")
+
+    def partial(df: DataFrame) -> DataFrame:
+        aggs = []
+        for name, (op, c) in measures.items():
+            if op == "count":
+                aggs.append(F.count(F.lit(1) if c in ("*", "") else F.col(c)).alias(name))
+            else:
+                aggs.append(getattr(F, op)(c).alias(name))
+        return df.groupBy(*keys).agg(*aggs)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        merged = partial(batch_df)
+        if os.path.exists(mv_dir):
+            old = sess.read.parquet(mv_dir)
+            merged = (
+                old.unionByName(merged)
+                .groupBy(*keys)
+                .agg(
+                    *[
+                        _MERGE[op](name).alias(name)
+                        for name, (op, _c) in measures.items()
+                    ]
+                )
+            )
+        tmp = mv_dir + ".tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(mv_dir):
+            shutil.rmtree(mv_dir)
+        os.rename(tmp, mv_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream.sparkSession.read.parquet(mv_dir)

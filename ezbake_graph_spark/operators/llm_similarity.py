@@ -454,34 +454,34 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NPROBE = 8
 
 
-@register("sim_ivf", oracle=None, tags=("K-extra", "rows-only", "bench2"))
-def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (scale path for K4/K5): coarse-quantize every
-    vector to its nearest label-centroid cell, then answer queries
-    0..9 by probing only the nearest ``_NPROBE`` of 10 cells. Recall vs
-    exact kNN is checked in tests (>= 0.9). At 100 TB the cell id
-    becomes the partition key, so a probe touches nprobe partitions
-    instead of the full corpus."""
-    vecs = _vectors(spark, sf_dir).cache()
-    # centroids: element-wise mean per label, assembled back into arrays
-    exploded = vecs.select("label", F.posexplode("v").alias("pos", "val"))
+def cell_centroids(vecs: DataFrame, cell_col: str) -> DataFrame:
+    """Element-wise mean per cell, assembled back into (cell, cv, cn)
+    centroid rows — the IVF coarse-quantizer table. ``vecs`` must carry
+    (v, nrm, <cell_col>). One posexplode + keyed agg; the centroid
+    table is tiny (one row per cell) so downstream joins broadcast it."""
+    exploded = vecs.select(F.col(cell_col).alias("cell"), F.posexplode("v").alias("pos", "val"))
     cent = (
-        exploded.groupBy("label", "pos")
+        exploded.groupBy("cell", "pos")
         .agg(F.avg("val").alias("c"))
-        .groupBy("label")
+        .groupBy("cell")
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
         )
         .select(
-            F.col("label").alias("cell"),
+            "cell",
             F.transform("pc", lambda s: s.getField("c")).alias("cv"),
         )
     )
     csq = F.aggregate(
         F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )
-    cent = cent.select("cell", "cv", F.sqrt(csq).alias("cn")).cache()
-    # assign vectors to nearest cell
+    return cent.select("cell", "cv", F.sqrt(csq).alias("cn"))
+
+
+def assign_nearest_cell(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Quantize each vector to its nearest centroid cell (broadcast
+    centroid table, cosine metric, cell-id tie-break). Returns
+    (vec_id, v, nrm, cell)."""
     vc = vecs.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "v",
@@ -490,15 +490,29 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cosine(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")).alias("sim"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
-    assigned = (
+    return (
         vc.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "nrm", "cell")
     )
-    # queries probe their 2 nearest cells
-    queries = assigned.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    cent: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared IVF probe kernel (used by ``sim_ivf`` and
+    ``api.ivf_search``): each query probes its ``nprobe`` nearest
+    centroid cells and scores only the corpus vectors assigned there.
+    ``assigned``: (vec_id, v, nrm, cell); ``cent``: (cell, cv, cn);
+    ``queries``: (query_id, qv, qn). Returns (query_id, neighbor_id,
+    cosine, rank) with rank <= k; a corpus vector whose id equals the
+    query id is excluded (self-match). At 100 TB ``cell`` is the
+    partition key of the corpus table, so a probe touches nprobe
+    partitions instead of the full corpus."""
     qc = queries.crossJoin(F.broadcast(cent)).select(
         "query_id",
         "qv",
@@ -509,7 +523,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_probe = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
     probes = (
         qc.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= _NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", "qn", "cell")
     )
     # search only vectors in probed cells
@@ -525,9 +539,25 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+@register("sim_ivf", oracle=None, tags=("K-extra", "rows-only", "bench2"))
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (scale path for K4/K5): coarse-quantize every
+    vector to its nearest label-centroid cell, then answer queries
+    0..9 by probing only the nearest ``_NPROBE`` of 10 cells. Recall vs
+    exact kNN is checked in tests (>= 0.9). Kernel shared with
+    ``api.ivf_search``."""
+    vecs = _vectors(spark, sf_dir).cache()
+    cent = cell_centroids(vecs, "label").cache()
+    assigned = assign_nearest_cell(vecs, cent)
+    queries = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    return ivf_probe_topk(assigned, cent, queries, k=5, nprobe=_NPROBE)
 
 
 _QUANT_SQL = """

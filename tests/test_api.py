@@ -364,3 +364,146 @@ def test_find_motif_self_loop_terms(spark):
         (0, 0, 0),
         (3, 3, 3),
     }
+
+
+def test_ivf_search_matches_registry_kernel(spark):
+    """api.ivf_search with supervised label cells, self-queries
+    (ids < 10), k=5, nprobe=8 is exactly the sim_ivf registry query."""
+    emb = tables.load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    got = [
+        tuple(r)
+        for r in api.ivf_search(
+            emb, queries, k=5, nprobe=8, cell_col="label"
+        ).collect()
+    ]
+    want = [
+        tuple(r) for r in registry.queries()["sim_ivf"](spark, SF_SMOKE).collect()
+    ]
+    assert got == want and got
+
+
+def test_ivf_search_unsupervised_recall(spark):
+    """Hash-seeded Lloyd cells (no label column): recall vs exact kNN
+    top-5 must clear 0.5 at nprobe=8 of 10 cells on near-random
+    vectors (the exact-cell path measures 0.94 at the same probe
+    budget; unsupervised cells are allowed to be somewhat worse)."""
+    emb = tables.load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in api.ivf_search(
+            emb, queries, k=5, n_cells=10, nprobe=8, build_iters=2
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.queries()["sim_knn"](spark, SF_SMOKE)
+        .filter("query_id < 10")
+        .filter("rank <= 5")
+        .collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_centroid_per_label_matches_registry_kernel(spark):
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, SF_SMOKE, "embeddings")
+    got = {
+        (r["label"], r["dim_i"], r["c"], r["n_vectors"])
+        for r in api.centroid_per_label(emb)
+        .select(
+            "label", F.posexplode("centroid").alias("pos", "c"), "n_vectors"
+        )
+        .select("label", (F.col("pos") + 1).alias("dim_i"), "c", "n_vectors")
+        .collect()
+    }
+    want = {
+        (r["label"], r["dim_i"], r["centroid"], r["n_vectors"])
+        for r in registry.queries()["embed_centroid"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+
+
+def test_watermark_dedup_stream_matches_registry(spark):
+    """The parameterized streaming dedup on a doubled stream emits each
+    event id exactly once — same check the stream_dedup registry key
+    makes."""
+    from pyspark.sql import functions as F
+
+    from ezbake_graph_spark.operators.streaming import (
+        _read_events_stream,
+        _run_to_memory,
+    )
+
+    sdf = _read_events_stream(spark, SF_SMOKE, copies=2)
+    dedup = api.watermark_dedup(sdf, ["event_id"], "ts", "1 hour").select(
+        "event_id"
+    )
+    out = _run_to_memory(spark, dedup, "api_wm_dedup", "append")
+    n = out.count()
+    distinct = out.select("event_id").distinct().count()
+    batch = tables.load(spark, SF_SMOKE, "events").count()
+    assert n == distinct == batch
+
+
+def test_incremental_mv_api_matches_batch(spark):
+    """Generic measures (count/sum/min/max) maintained across forced
+    multi-batch ingestion equal the one-shot batch aggregate."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ezbake_graph_spark.operators.streaming import _events_stream_dir
+
+    src = _events_stream_dir(spark, SF_SMOKE)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "event_type",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("micro"),
+        )
+    )
+    run = uuid.uuid4().hex[:8]
+    base = f"/tmp/ezgs_api_mv_{run}"
+    mv = api.incremental_mv(
+        sdf,
+        keys=["event_type"],
+        measures={
+            "n": ("count", "*"),
+            "sum_micro": ("sum", "micro"),
+            "min_micro": ("min", "micro"),
+            "max_micro": ("max", "micro"),
+        },
+        mv_dir=os.path.join(base, "mv"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    got = {
+        r["event_type"]: (r["n"], r["sum_micro"], r["min_micro"], r["max_micro"])
+        for r in mv.collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["sum_micro"], r["min_micro"], r["max_micro"])
+        for r in tables.load(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("micro"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("micro").alias("sum_micro"),
+            F.min("micro").alias("min_micro"),
+            F.max("micro").alias("max_micro"),
+        )
+        .collect()
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    assert got == want and got
