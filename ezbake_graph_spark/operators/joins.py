@@ -333,18 +333,19 @@ def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     Star-join shape: the fact table (lineitem) is NEVER shuffled or
     broadcast — every dimension side broadcasts and lineitem streams
     through a single WholeStageCodegen pipeline of fused broadcast hash
-    joins straight into the partial aggregate. Two latency levers
-    (measured at sf0.1, min-of-9 warm: 0.43 s → 0.29 s):
+    joins straight into the partial aggregate. Latency levers
+    (measured at sf0.1, min-of-9 warm: 0.43 s → 0.29 s over rounds 4-5,
+    then another ~23% this round from the customer_geo shape):
 
-    - orders and customer broadcast INDEPENDENTLY (depth-1 chain, the
-      driver builds all broadcasts concurrently) instead of
-      pre-joining them into one `co` relation, whose build was a
-      2-deep SEQUENTIAL broadcast chain (customer bcast → join →
-      collect → re-broadcast) on the latency path.
-    - the supplier→nation→region snowflake arm is the session-cached
-      flattened dim (``tables.supplier_geo``): per run, ONE broadcast
-      build instead of three — each broadcast build is a whole
-      scheduled job (7 jobs/run measured before, 5 after).
+    - the dims broadcast INDEPENDENTLY (depth-1 chain, the driver
+      builds all broadcasts concurrently) — a pre-joined `co` relation
+      was a 2-deep SEQUENTIAL broadcast chain on the latency path.
+    - BOTH snowflake arms are session-cached flattened dims
+      (``tables.customer_geo`` / slim supplier): the region predicate
+      lands on the CUSTOMER side, so the customer broadcast carries
+      only that region's customers (~1/5th) and n_name rides along —
+      non-ASIA fact rows drop one join earlier and the supplier arm
+      shrinks to the slim (s_suppkey, s_nationkey) projection.
     - the closing sort is `coalesce(1).sortWithinPartitions` — the
       result is dimension-bounded (≤25 nations), and a plain orderBy
       would plan a RangePartitioning exchange whose sampling pass is
@@ -355,20 +356,20 @@ def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     to SMJ (and the 1-partition closing sort still holds — it sorts
     group-count rows, not data rows).
     """
-    c = tables.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = tables.load(spark, sf_dir, "orders")
     li = tables.load(spark, sf_dir, "lineitem")
-    sg = tables.supplier_geo(spark, sf_dir).filter(F.col("r_name") == "ASIA")
+    s = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cg = tables.customer_geo(spark, sf_dir).filter(F.col("r_name") == "ASIA")
     o = o.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
     return (
         li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cg), o.o_custkey == cg.c_custkey)
         .join(
-            F.broadcast(sg),
-            (li.l_suppkey == sg.s_suppkey) & (c.c_nationkey == sg.s_nationkey),
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (cg.c_nationkey == s.s_nationkey),
         )
         .groupBy("n_name")
         .agg(

@@ -206,6 +206,34 @@ def supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalized customer→nation→region dimension, cached once per
+    session — the same conformed-dim flattening as ``supplier_geo``.
+    Columns: c_custkey, c_nationkey, n_name, r_name. Unfiltered so one
+    cache serves any region predicate; a region filter on the flat dim
+    shrinks the customer broadcast ~5x (only that region's customers
+    ship), which both cuts the broadcast build and drops non-matching
+    fact rows one join earlier."""
+    from pyspark.sql import functions as F
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    flat = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name", "r_name")
+    )
+    if not _cache_enabled():
+        return flat
+    key = (spark.sparkContext.applicationId, sf_dir, "__customer_geo__")
+    df = _CACHE.get(key)
+    if df is None:
+        df = flat.cache()
+        _CACHE[key] = df
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (operator A4)."""
     for t in TABLES:
