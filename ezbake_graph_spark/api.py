@@ -38,6 +38,15 @@ Contents:
   fixed-window bucketing and dense-spine filling for time series.
 - ``pack_sequences(docs, ..., context)`` — deterministic context-window
   packing (bin + offset per document) for pretraining batches.
+- Embeddings: ``centroid_per_label``, ``ivf_search`` (IVF ANN over any
+  corpus — supervised cells or hash-seeded Lloyd build).
+- Streaming: ``watermark_dedup`` (bounded-state exactly-once),
+  ``incremental_mv`` (merge-maintained aggregate view via
+  foreachBatch), plus ``pregel_run`` for user-programmable graph
+  supersteps.
+- Text/sampling tier: ``quality_score``, ``language_id``,
+  ``token_stats``, ``fingerprint_docs`` (winnowing),
+  ``temperature_sample`` (sqrt corpus rebalancing).
 
 The doctest on each function is executed by tests/test_api.py with a
 live ``spark`` session injected (see ``_DOCTEST_GLOBALS`` there).
@@ -85,6 +94,11 @@ __all__ = [
     "ivf_search",
     "watermark_dedup",
     "incremental_mv",
+    "quality_score",
+    "language_id",
+    "token_stats",
+    "fingerprint_docs",
+    "temperature_sample",
 ]
 
 # rows per grid block for the pair kernel — one block pair (2 x 4096
@@ -1104,3 +1118,150 @@ def incremental_mv(
     )
     q.awaitTermination(timeout_sec)
     return stream.sparkSession.read.parquet(mv_dir)
+
+
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple = ("a", "the"),
+    min_tokens: int = 50,
+    min_diversity: float = 0.1,
+) -> DataFrame:
+    """Quality scoring for training-data filtering on any document
+    table: token count, average token length, stopword ratio, lexical
+    diversity, and a pass/fail gate (n_tokens >= ``min_tokens`` and
+    diversity > ``min_diversity``).
+
+    The ``text_quality`` kernel: one narrow map-side scan — no
+    shuffle, no UDF — so it runs at parquet-scan speed at any corpus
+    size. All ratios are exact int/int divisions.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "the cat sat on the mat")], "doc_id long, text string")
+    >>> r = quality_score(d, min_tokens=3).collect()[0]
+    >>> (r["n_tokens"], r["stopword_ratio"], r["passes_quality"])
+    (6, 0.3333333333333333, True)
+    """
+    from ezbake_graph_spark.operators.llm_text import quality_metrics
+
+    return quality_metrics(
+        docs, id_col, text_col, tuple(stopwords), min_tokens, min_diversity
+    )
+
+
+def language_id(
+    docs: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Language identification: learn unigram log-prob profiles from
+    the labeled ``train`` table, predict the language of every row of
+    ``docs`` by naive-Bayes argmax.
+
+    The ``text_langid`` kernel: the profile table (langs x vocab)
+    broadcasts, so scoring is a map-side join + one keyed aggregate
+    per doc — no all-corpus shuffle. Log-probs are quantized to
+    integer micro-units before summing, so predictions are
+    bit-deterministic under any partitioning. Returns (<id_col>,
+    predicted, micro_score); docs sharing no vocabulary with the
+    training set emit nothing (no evidence).
+
+    >>> train = spark.createDataFrame(
+    ...     [(1, "der hund und die katze", "de"),
+    ...      (2, "the dog and the cat", "en")],
+    ...     "doc_id long, text string, lang string")
+    >>> q = spark.createDataFrame(
+    ...     [(10, "die katze und der hund schlafen")],
+    ...     "doc_id long, text string")
+    >>> language_id(q, train).select("doc_id", "predicted").collect()
+    [Row(doc_id=10, predicted='de')]
+    """
+    from ezbake_graph_spark.operators.llm_text import langid_predict
+
+    return langid_predict(train, docs, id_col, text_col, lang_col)
+
+
+def token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting on any document table, two ways: whitespace
+    split and a BPE-ish pre-tokenizer regex (letter runs | digit runs
+    | single punctuation) — the pre-tokenization pass every
+    BPE/WordPiece pipeline runs before merges.
+
+    The ``text_token_regex`` kernel: pure JVM regexp in one narrow
+    scan, no shuffle, no Python in the path. Returns (<id_col>,
+    n_ws_tokens, n_regex_tokens, n_distinct_pieces).
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "don't count2 me!")], "doc_id long, text string")
+    >>> token_stats(d).collect()
+    [Row(doc_id=1, n_ws_tokens=3, n_regex_tokens=7, n_distinct_pieces=7)]
+    """
+    from ezbake_graph_spark.operators import llm_text
+
+    return llm_text.token_stats(docs, id_col, text_col)
+
+
+def fingerprint_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS rolling-hash scheme) for any
+    document table: hash every word k-gram, keep the minimum hash per
+    w-gram window, dedup.
+
+    Guarantee: any shared run of >= k+w-1 words between two documents
+    shares at least one fingerprint, at ~1/w the storage of all
+    grams — so a self-join on ``fp`` is a plagiarism / near-dup
+    detector with the same inverted-index shape as MinHash-LSH bands.
+    The ``text_winnowing`` kernel: all map-side array expressions +
+    one distinct; documents shorter than k words emit nothing.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")],
+    ...     "doc_id long, text string")
+    >>> fps = fingerprint_docs(d)
+    >>> shared = (fps.alias("l").join(fps.alias("r"), "fp")
+    ...           .filter("l.doc_id < r.doc_id"))
+    >>> shared.select("l.doc_id", "r.doc_id").distinct().collect()
+    [Row(doc_id=1, doc_id=2)]
+    """
+    from ezbake_graph_spark.operators.llm_text import winnowing_fingerprints
+
+    return winnowing_fingerprints(docs, id_col, text_col, k, w)
+
+
+def temperature_sample(
+    df: DataFrame, strata_col: str, key_col: str
+) -> DataFrame:
+    """Sqrt-temperature corpus rebalancing: keep each row of stratum s
+    at rate sqrt(min_count / n_s), downsampling over-represented
+    strata toward the smallest one — the standard multilingual-LM
+    data-mixing knob at alpha = 0.5.
+
+    The ``sample_temperature_mix`` kernel: selection is the pure
+    integer predicate h^2 * n_s < min_count * 2^32 with h the first 16
+    bits of md5(key) — a deterministic uniform draw with NO float sqrt
+    or RNG, stable under re-runs, appends, and repartitioning. Two
+    tiny broadcast aggregates feed one map-side filter; the data
+    itself never shuffles.
+
+    >>> d = spark.createDataFrame(
+    ...     [(i, "en" if i < 40 else "de") for i in range(50)],
+    ...     "doc_id long, lang string")
+    >>> out = temperature_sample(d, "lang", "doc_id")
+    >>> counts = {r["lang"]: r["n"] for r in
+    ...           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    >>> counts["de"] <= 10 and counts["en"] < 40
+    True
+    """
+    from ezbake_graph_spark.operators import sampling
+
+    return sampling.temperature_sample(df, strata_col, key_col)

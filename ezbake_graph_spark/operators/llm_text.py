@@ -231,23 +231,30 @@ ORDER BY doc_id
 """
 
 
-@register("text_quality", oracle=_QUALITY_SQL, tags=("K-extra",))
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring for training-data filtering: token counts,
-    stopword ratio, lexical diversity, and a pass/fail gate. All
-    ratios are exact int/int divisions — deterministic."""
-    d = tables.load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    m = d.select(
-        "doc_id",
-        "n_chars",
+def quality_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS,
+    min_tokens: int = 50,
+    min_diversity: float = 0.1,
+) -> DataFrame:
+    """Parameterized quality-scoring core shared by the ``text_quality``
+    registry key and ``api.quality_score``: one narrow map-side scan
+    (no shuffle), exact int/int ratios. Returns (<id_col>, n_tokens,
+    avg_token_len, stopword_ratio, lexical_diversity, passes_quality).
+    """
+    toks = F.split(text_col, " ")
+    m = docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+        F.size(F.filter(toks, lambda x: x.isin(*stopwords))).alias("n_stop"),
     )
     diversity = F.col("n_distinct").cast("double") / F.col("n_tokens")
     return m.select(
-        "doc_id",
+        id_col,
         "n_tokens",
         (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
             "avg_token_len"
@@ -256,8 +263,21 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stopword_ratio"
         ),
         diversity.alias("lexical_diversity"),
-        ((F.col("n_tokens") >= 50) & (diversity > 0.1)).alias("passes_quality"),
-    ).orderBy("doc_id")
+        ((F.col("n_tokens") >= min_tokens) & (diversity > min_diversity)).alias(
+            "passes_quality"
+        ),
+    )
+
+
+@register("text_quality", oracle=_QUALITY_SQL, tags=("K-extra",))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for training-data filtering: token counts,
+    stopword ratio, lexical diversity, and a pass/fail gate. All
+    ratios are exact int/int divisions — deterministic (the fixture's
+    n_chars column equals length(text), so the shared core's computed
+    length matches the oracle's stored column)."""
+    d = tables.load(spark, sf_dir, "documents")
+    return quality_metrics(d).orderBy("doc_id")
 
 
 _LANGID_SQL = f"""
@@ -291,46 +311,68 @@ ORDER BY doc_id
 """
 
 
-@register("text_langid", oracle=_LANGID_SQL, tags=("K-extra",))
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID (n-gram/naive-Bayes heuristic): unigram log-prob
-    profiles learned from the doc_id%5==0 split, argmax over the rest.
-    Log-probs are quantized to exact micro-units before summing so the
-    scores (and the argmax) are bit-deterministic in both engines."""
-    d = tables.load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
-    ).cache()
-    train = (
-        tok.filter(F.col("doc_id") % 5 == 0)
+def langid_predict(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Parameterized language-ID core shared by the ``text_langid``
+    registry key and ``api.language_id``: unigram log-prob profiles
+    from the labeled ``train`` table, argmax over ``test``. Log-probs
+    are quantized to exact micro-units before summing so the scores
+    (and the argmax) are bit-deterministic in both engines; the profile
+    table (langs x vocab) broadcasts, so scoring is a map-side join +
+    one keyed aggregate per test doc — the 100 TB shape. Returns
+    (<id_col>, predicted, micro_score)."""
+    tr = (
+        train.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(F.split(text_col, " ")).alias("term"),
+        )
         .groupBy("lang", "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    totals = train.groupBy("lang").agg(F.sum("c").alias("total"))
-    profile = train.join(totals, "lang").select(
+    totals = tr.groupBy("lang").agg(F.sum("c").alias("total"))
+    profile = tr.join(totals, "lang").select(
         F.col("lang").alias("candidate"),
         "term",
         F.round(F.log(F.col("c").cast("double") / F.col("total")) * SCALE)
         .cast("long")
         .alias("micro_logp"),
     )
-    test = tok.filter(F.col("doc_id") % 5 != 0)
-    scores = (
-        test.join(F.broadcast(profile), "term")
-        .groupBy("doc_id", F.col("lang").alias("actual"), "candidate")
-        .agg(F.sum("micro_logp").alias("micro_score"))
+    te = test.select(
+        F.col(id_col), F.explode(F.split(text_col, " ")).alias("term")
     )
-    w = Window.partitionBy("doc_id").orderBy(
+    scores = te.join(F.broadcast(profile), "term").groupBy(
+        id_col, "candidate"
+    ).agg(F.sum("micro_logp").alias("micro_score"))
+    w = Window.partitionBy(id_col).orderBy(
         F.col("micro_score").desc(), F.col("candidate")
     )
     return (
         scores.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .select(id_col, F.col("candidate").alias("predicted"), "micro_score")
+    )
+
+
+@register("text_langid", oracle=_LANGID_SQL, tags=("K-extra",))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (n-gram/naive-Bayes heuristic): unigram log-prob
+    profiles learned from the doc_id%5==0 split, argmax over the rest
+    (shared core: ``langid_predict``)."""
+    d = tables.load(spark, sf_dir, "documents")
+    pred = langid_predict(d.filter(F.col("doc_id") % 5 == 0), d.filter(F.col("doc_id") % 5 != 0))
+    actual = d.select("doc_id", F.col("lang").alias("actual"))
+    return (
+        pred.join(actual, "doc_id")
         .select(
             "doc_id",
             "actual",
-            F.col("candidate").alias("predicted"),
-            (F.col("candidate") == F.col("actual")).alias("hit"),
+            "predicted",
+            (F.col("predicted") == F.col("actual")).alias("hit"),
         )
         .orderBy("doc_id")
     )
@@ -349,21 +391,31 @@ ORDER BY doc_id
 """
 
 
+def token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Parameterized token-counting core shared by the
+    ``text_token_regex`` registry key and ``api.token_stats``:
+    whitespace split and a BPE-ish pre-tokenizer regex. Pure JVM
+    regexp, one narrow scan, no shuffle. Returns (<id_col>,
+    n_ws_tokens, n_regex_tokens, n_distinct_pieces)."""
+    pieces = F.regexp_extract_all(text_col, F.lit(_TOKEN_REGEX), F.lit(0))
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(text_col, " ")).alias("n_ws_tokens"),
+        F.size(pieces).alias("n_regex_tokens"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+    )
+
+
 @register("text_token_regex", oracle=_TOKEN_REGEX_SQL, tags=("K7b",))
 def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace split and a BPE-ish
     pre-tokenizer regex (letter runs | digit runs | single
     punctuation) — the pre-tokenization pass every BPE/WordPiece
-    pipeline runs before merges. Pure JVM regexp, no Python in the
-    path; one narrow scan, no shuffle."""
+    pipeline runs before merges (shared core: ``token_stats``)."""
     d = tables.load(spark, sf_dir, "documents")
-    pieces = F.regexp_extract_all("text", F.lit(_TOKEN_REGEX), F.lit(0))
-    return d.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
-        F.size(pieces).alias("n_regex_tokens"),
-        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
-    ).orderBy("doc_id")
+    return token_stats(d).orderBy("doc_id")
 
 
 HH_PHI = 0.005  # heavy-hitter threshold (fraction of all tokens)
@@ -469,50 +521,54 @@ SELECT doc_id, fp FROM fps GROUP BY doc_id, fp ORDER BY doc_id, fp
 """
 
 
-@register("text_winnowing", oracle=_WINNOW_SQL, tags=("ext", "fingerprint"))
-def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
-    word 4-gram, keep the minimum hash of each 4-gram window, dedup —
-    guarantees any shared run of >= k+w-1 words between two documents
-    shares a fingerprint, at ~1/w the storage of all grams. All
-    map-side array expressions + one distinct; the md5 lexicographic
-    min is engine-portable (identical hex strings both sides). The
-    plagiarism/near-dup detector built on this joins documents by
-    fingerprint — same inverted-index shape as dedup_minhash bands."""
-    d = (
-        tables.load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 100)
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .filter(F.size("w") >= WINNOW_K)
-    )
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Parameterized winnowing core shared by the ``text_winnowing``
+    registry key and ``api.fingerprint_docs``: hash every word k-gram,
+    keep the minimum hash of each w-gram window, dedup — guarantees
+    any shared run of >= k+w-1 words between two documents shares a
+    fingerprint, at ~1/w the storage of all grams. All map-side array
+    expressions + one distinct; the md5 lexicographic min is
+    engine-portable. Returns (<id_col>, fp); documents shorter than k
+    words emit nothing."""
+    d = docs.select(
+        F.col(id_col), F.split(text_col, " ").alias("w")
+    ).filter(F.size("w") >= k)
     grams = d.select(
-        "doc_id",
+        id_col,
         F.expr(
-            f"transform(sequence(1, size(w) - {WINNOW_K - 1}),"
+            f"transform(sequence(1, size(w) - {k - 1}),"
             f" i -> md5(concat_ws(' ', "
-            + ", ".join(f"element_at(w, i + {k})" for k in range(WINNOW_K))
+            + ", ".join(f"element_at(w, i + {j})" for j in range(k))
             + ")))"
         ).alias("gh"),
     )
     wins = grams.select(
-        "doc_id",
+        id_col,
         "gh",
         F.explode(
-            F.sequence(
-                F.lit(1), F.greatest(F.size("gh") - (WINNOW_W - 1), F.lit(1))
-            )
+            F.sequence(F.lit(1), F.greatest(F.size("gh") - (w - 1), F.lit(1)))
         ).alias("pos"),
     )
     fp = F.array_min(
-        F.expr(
-            f"slice(gh, pos, least(pos + {WINNOW_W - 1}, size(gh)) - pos + 1)"
-        )
+        F.expr(f"slice(gh, pos, least(pos + {w - 1}, size(gh)) - pos + 1)")
     )
-    return (
-        wins.select("doc_id", fp.alias("fp"))
-        .distinct()
-        .orderBy("doc_id", "fp")
-    )
+    return wins.select(id_col, fp.alias("fp")).distinct()
+
+
+@register("text_winnowing", oracle=_WINNOW_SQL, tags=("ext", "fingerprint"))
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS rolling-hash scheme) over the
+    doc_id<100 slice — the plagiarism/near-dup detector built on this
+    joins documents by fingerprint, the same inverted-index shape as
+    dedup_minhash bands (shared core: ``winnowing_fingerprints``)."""
+    d = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnowing_fingerprints(d).orderBy("doc_id", "fp")
 
 
 _PMI_SQL = """

@@ -148,17 +148,31 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents themselves; the assignment is stable under re-runs,
     appends, and repartitioning, like all hash-keyed sampling here."""
     d = tables.load(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    m = counts.agg(F.min("n").alias("mn"))
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+    return temperature_sample(d).select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+def temperature_sample(
+    df: DataFrame, strata_col: str = "lang", key_col: str = "doc_id"
+) -> DataFrame:
+    """Parameterized sqrt-temperature-flattening core shared by the
+    ``sample_temperature_mix`` registry key and
+    ``api.temperature_sample``: keep each row of stratum s at rate
+    sqrt(min_count / n_s) via the pure integer predicate
+    h^2 * n_s < min_count * 2^32 with h = first-16-bits of
+    md5(key) — deterministic, RNG-free, stable under re-runs and
+    repartitioning. Two tiny broadcast aggregates into one map-side
+    filter; the data itself never shuffles. Returns the surviving rows
+    with all input columns."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    m = counts.agg(F.min("__n").alias("__mn"))
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10).cast(
         "long"
     )
     return (
-        d.join(F.broadcast(counts), "lang")
+        df.join(F.broadcast(counts), strata_col)
         .crossJoin(F.broadcast(m))
-        .filter(h * h * F.col("n") < F.col("mn") * F.lit(4294967296))
-        .select("lang", "doc_id")
-        .orderBy("lang", "doc_id")
+        .filter(h * h * F.col("__n") < F.col("__mn") * F.lit(4294967296))
+        .select(*df.columns)
     )
 
 

@@ -507,3 +507,62 @@ def test_incremental_mv_api_matches_batch(spark):
     }
     shutil.rmtree(base, ignore_errors=True)
     assert got == want and got
+
+
+def test_quality_score_matches_registry_kernel(spark):
+    got = {tuple(r) for r in api.quality_score(
+        tables.load(spark, SF_SMOKE, "documents")).collect()}
+    want = {tuple(r) for r in
+            registry.queries()["text_quality"](spark, SF_SMOKE).collect()}
+    assert got == want and got
+
+
+def test_language_id_matches_registry_kernel(spark):
+    from pyspark.sql import functions as F
+
+    d = tables.load(spark, SF_SMOKE, "documents")
+    got = {
+        (r["doc_id"], r["predicted"])
+        for r in api.language_id(
+            d.filter(F.col("doc_id") % 5 != 0), d.filter(F.col("doc_id") % 5 == 0)
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["predicted"])
+        for r in registry.queries()["text_langid"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+
+
+def test_token_stats_matches_registry_kernel(spark):
+    got = {tuple(r) for r in api.token_stats(
+        tables.load(spark, SF_SMOKE, "documents")).collect()}
+    want = {tuple(r) for r in
+            registry.queries()["text_token_regex"](spark, SF_SMOKE).collect()}
+    assert got == want and got
+
+
+def test_fingerprint_docs_matches_registry_kernel(spark):
+    from pyspark.sql import functions as F
+
+    d = tables.load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 100)
+    got = {tuple(r) for r in api.fingerprint_docs(d).collect()}
+    want = {tuple(r) for r in
+            registry.queries()["text_winnowing"](spark, SF_SMOKE).collect()}
+    assert got == want and got
+
+
+def test_temperature_sample_matches_registry_kernel(spark):
+    got = {
+        (r["lang"], r["doc_id"])
+        for r in api.temperature_sample(
+            tables.load(spark, SF_SMOKE, "documents"), "lang", "doc_id"
+        ).collect()
+    }
+    want = {
+        (r["lang"], r["doc_id"])
+        for r in registry.queries()["sample_temperature_mix"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want and got
