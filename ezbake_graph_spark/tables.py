@@ -234,6 +234,49 @@ def customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def enable_cbo(
+    spark: SparkSession,
+    frames: dict[str, DataFrame],
+    prefix: str = "",
+    overwrite: bool = False,
+) -> list[str]:
+    """One-call cost-based-optimizer setup for ad-hoc user queries:
+    materialize each DataFrame as a managed catalog table, collect
+    FULL column statistics (ANALYZE ... FOR ALL COLUMNS), and switch
+    on ``spark.sql.cbo.enabled`` + join reordering. Returns the
+    catalog table names created.
+
+    Why this exists: the engine's curated queries hand-shape their
+    joins (broadcast spine + AQE), but an arbitrary N-table join a
+    user writes against their own tables needs the CBO — and Spark's
+    CBO only engages on catalog tables WITH collected statistics
+    (plain temp views or parquet paths never reorder). With stats,
+    a pessimal syntactic join order (fact table first) is rewritten
+    so small/filtered dims join before the fact table touches the
+    intermediate — the effect pinned in tests/test_cbo.py.
+
+    Cost model: one write + two stats scans per table, once per
+    ingest — amortized across every subsequent ad-hoc query. At
+    100 TB run the same ANALYZE at ingest time (or on a sampled
+    partition subset for NDV-only freshness).
+
+    ``overwrite=False`` (default) reuses an existing catalog table of
+    the same name without rewriting or re-analyzing it.
+    """
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ helpers)
+
+    created = []
+    for name, df in frames.items():
+        t = f"{prefix}{name}"
+        if overwrite or not spark.catalog.tableExists(t):
+            df.write.mode("overwrite").saveAsTable(t)
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        created.append(t)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    return created
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (operator A4)."""
     for t in TABLES:

@@ -40,15 +40,29 @@ def cbo_tables(spark):
     import shutil
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("lineitem", "orders", "customer"):
+    names = ("lineitem", "orders", "customer")
+    for t in names:
         # a fresh in-memory catalog does not know about a previous
         # session's managed-table directory — clear both
         spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
         shutil.rmtree(f"{warehouse}/cbo_{t}", ignore_errors=True)
-        tables.load(spark, SF_SMOKE, t).write.mode("overwrite").saveAsTable(f"cbo_{t}")
-        spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+    prev = (
+        spark.conf.get("spark.sql.cbo.enabled"),
+        spark.conf.get("spark.sql.cbo.joinReorder.enabled"),
+    )
+    created = tables.enable_cbo(
+        spark,
+        {t: tables.load(spark, SF_SMOKE, t) for t in names},
+        prefix="cbo_",
+        overwrite=True,
+    )
+    assert created == [f"cbo_{t}" for t in names]
+    # the helper switches CBO on; the cbo_on/off fixtures own the conf
+    # during tests, so restore the pre-fixture setting here
+    spark.conf.set("spark.sql.cbo.enabled", prev[0])
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev[1])
     yield
-    for t in ("lineitem", "orders", "customer"):
+    for t in names:
         spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
 
 
