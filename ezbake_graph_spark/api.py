@@ -99,6 +99,7 @@ __all__ = [
     "token_stats",
     "fingerprint_docs",
     "temperature_sample",
+    "near_dup_clusters",
 ]
 
 # rows per grid block for the pair kernel — one block pair (2 x 4096
@@ -1265,3 +1266,51 @@ def temperature_sample(
     from ezbake_graph_spark.operators import sampling
 
     return sampling.temperature_sample(df, strata_col, key_col)
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    broadcast_ok: bool = False,
+    max_iter: int = 30,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering — the step a training-data
+    pipeline actually runs: MinHash-LSH verified pairs
+    (``minhash_near_dups``) feed the Pregel connected-components loop,
+    and each document maps to its cluster's min id as the canonical
+    representative. Transitive closure matters: A~B, B~C puts A and C
+    in one cluster even when A!~C, which pairwise filtering misses.
+
+    Returns (<id_col>, canonical_<id_col>, cluster_size, is_canonical)
+    for EVERY input document (singletons form their own cluster).
+    Filtering to ``is_canonical`` is the dedup; keeping the mapping is
+    the provenance record.
+
+    Scale shape: the pair graph is vastly smaller than the corpus
+    (linear in true near-dups, by LSH banding), so the iterative part
+    runs on the reduced edge set only — the ``dedup_cluster_canonical``
+    registry composition with the exact-pair stage swapped for the
+    banded scale path.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")],
+    ...     "doc_id long, text string")
+    >>> sorted(tuple(r) for r in near_dup_clusters(d).collect())
+    [(1, 1, 2, True), (2, 1, 2, False), (3, 3, 1, True)]
+    """
+    from ezbake_graph_spark.graph.pregel import connected_components
+
+    pairs = minhash_near_dups(
+        docs, id_col, text_col, threshold, broadcast_ok
+    ).select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    verts = docs.select(F.col(id_col).alias("id")).distinct()
+    comp = connected_components(verts, pairs, max_iter=max_iter).select(
+        F.col("id").alias(id_col),
+        F.col("component").alias(f"canonical_{id_col}"),
+    )
+    w = Window.partitionBy(f"canonical_{id_col}")
+    return comp.withColumn("cluster_size", F.count(F.lit(1)).over(w)).withColumn(
+        "is_canonical", F.col(id_col) == F.col(f"canonical_{id_col}")
+    )

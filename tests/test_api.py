@@ -566,3 +566,21 @@ def test_temperature_sample_matches_registry_kernel(spark):
         ).collect()
     }
     assert got == want and got
+
+
+def test_near_dup_clusters_matches_registry_composition(spark):
+    """api.near_dup_clusters (MinHash pair stage) on the doc_id<200
+    slice equals the registry's exact-pair cluster composition —
+    banding at j=0.8 recalls every exact pair on the fixture, so the
+    transitive closure is identical."""
+    from pyspark.sql import functions as F
+
+    d = tables.load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200)
+    got = {tuple(r) for r in api.near_dup_clusters(d).collect()}
+    want = {
+        tuple(r)
+        for r in registry.queries()["dedup_cluster_canonical"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want and got
