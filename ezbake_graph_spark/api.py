@@ -967,7 +967,17 @@ def ivf_search(
 
     ``queries`` is any (id, vector) table with the same columns;
     returns (query_id, neighbor_id, cosine, rank), rank <= k, a corpus
-    id equal to the query id excluded (self-match).
+    id equal to the query id excluded (self-match). Zero-norm vectors
+    have no defined cosine and never appear as neighbors; a zero-norm
+    query emits no rows.
+
+    Caching note: the normalized corpus and the centroid table are
+    ``.cache()``d — the corpus is read once per Lloyd iteration plus
+    the probe, the centroids twice per iteration. The caches live
+    until ``spark.catalog.clearCache()`` (or ``.unpersist()`` on the
+    returned plan's sources); re-building an index over the same
+    session replaces, not stacks, useful entries, but a long-lived
+    service should clear between corpora.
 
     >>> corpus = spark.createDataFrame(
     ...     [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
@@ -1056,9 +1066,19 @@ def incremental_mv(
 ) -> DataFrame:
     """Incrementally-maintained materialized aggregate view over a
     stream: each micro-batch's partial aggregate merges into a parquet
-    state table (read old → union partials → re-aggregate → atomic
-    swap), so the view is correct after every batch without ever
-    re-scanning history.
+    state table (read old → union partials → re-aggregate → write to a
+    temp dir → swap), so the view is correct after every batch without
+    ever re-scanning history.
+
+    The swap is remove-then-rename, NOT atomic: a crash between the
+    two leaves the (fully written) state in ``mv_dir + ".tmp"`` for
+    manual recovery. Replay safety: foreachBatch re-delivers a batch
+    whose checkpoint commit didn't land, so the view records the last
+    merged batch id (``_last_batch_id``, underscore-prefixed — Spark's
+    parquet reader ignores it) and a replayed batch is skipped instead
+    of double-counted into the sums. On a production cluster back the
+    view with a transactional table format (Delta/Iceberg MERGE)
+    instead of a directory swap — the merge algebra here is unchanged.
 
     The ``stream_incremental_mv`` pattern parameterized: ``measures``
     maps output column -> (op, col) with op in sum/count/min/max —
@@ -1092,6 +1112,11 @@ def incremental_mv(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        marker = os.path.join(mv_dir, "_last_batch_id")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # crash-replayed batch already merged: skip
         merged = partial(batch_df)
         if os.path.exists(mv_dir):
             old = sess.read.parquet(mv_dir)
@@ -1107,6 +1132,8 @@ def incremental_mv(
             )
         tmp = mv_dir + ".tmp"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
         if os.path.exists(mv_dir):
             shutil.rmtree(mv_dir)
         os.rename(tmp, mv_dir)

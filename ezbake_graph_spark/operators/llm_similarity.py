@@ -39,10 +39,17 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine(v1: Column, n1: Column, v2: Column, n2: Column) -> Column:
+    """Cosine of two pre-normed vectors. ``try_divide`` (not ``/``):
+    a zero-norm vector has no defined cosine, and under Spark 4's
+    default ANSI mode a plain division would raise DIVIDE_BY_ZERO on
+    the first all-zero embedding in a user table. NULL instead — NULL
+    fails every threshold comparison and sorts last under the DESC
+    rankings all call sites use, so undefined-similarity pairs drop
+    out of top-k/threshold results without poisoning the query."""
     dot = F.aggregate(
         F.zip_with(v1, v2, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    return dot / (n1 * n2)
+    return F.try_divide(dot, n1 * n2)
 
 
 _COSINE_TOPK_SQL = """
@@ -166,10 +173,17 @@ def _pair_group_sims(pdf, n_blocks: int):
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
+    # a zero-norm vector has no defined cosine: norm 1.0 keeps the
+    # division finite (its dot products are all 0), and the pair rows
+    # touching it are dropped below — NaN here would otherwise poison
+    # downstream top-k/threshold comparisons.
+    zero = norms == 0.0
+    norms = np.where(zero, 1.0, norms)
     blocks = pdf["b"].to_numpy()
     bi, bj = divmod(int(pdf["pk"].iat[0]), n_blocks)
     if bi == bj:
         q_ids = c_ids = ids
+        q_zero = c_zero = zero
         sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
         qi, ci = np.nonzero(q_ids[:, None] < c_ids[None, :])
     else:
@@ -177,10 +191,15 @@ def _pair_group_sims(pdf, n_blocks: int):
         if not qsel.any() or not csel.any():
             return None
         q_ids, c_ids = ids[qsel], ids[csel]
+        q_zero, c_zero = zero[qsel], zero[csel]
         sims = np.round(
             (mat[qsel] @ mat[csel].T) / np.outer(norms[qsel], norms[csel]), 6
         )
         qi, ci = np.nonzero(np.ones_like(sims, dtype=bool))
+    if len(qi) == 0:
+        return None
+    keep = ~(q_zero[qi] | c_zero[ci])
+    qi, ci = qi[keep], ci[keep]
     if len(qi) == 0:
         return None
     v1 = np.minimum(q_ids[qi], c_ids[ci])
@@ -205,8 +224,14 @@ def _pair_group_topk(pdf, n_blocks: int, k: int):
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     # normalize rows ONCE (n x dim) so the matmul emits cosines
     # directly — replaces an outer-product + elementwise divide over
-    # the full n^2 cell grid
-    mat /= np.sqrt((mat * mat).sum(axis=1))[:, None]
+    # the full n^2 cell grid. Zero-norm rows divide by 1 (all-zero row
+    # -> cosine 0 against everything) and are masked to -inf below:
+    # dividing by the true 0 norm would make NaN sims, and np.partition
+    # sorts NaN LAST, so one zero vector would otherwise make kth = NaN
+    # and silently empty the whole group's top-k.
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    zero = norms == 0.0
+    mat /= np.where(zero, 1.0, norms)[:, None]
     blocks = pdf["b"].to_numpy()
     bi, bj = divmod(int(pdf["pk"].iat[0]), n_blocks)
     if bi == bj:
@@ -218,14 +243,20 @@ def _pair_group_topk(pdf, n_blocks: int, k: int):
         sims = mat[srt] @ mat[srt].T
         for i in range(sims.shape[0]):
             sims[i, : i + 1] = -np.inf
-        valid = len(ids) * (len(ids) - 1) // 2
+        zs = zero[srt]
+        sims[zs, :] = -np.inf
+        sims[:, zs] = -np.inf
+        nz = int((~zero).sum())
+        valid = nz * (nz - 1) // 2
     else:
         qsel, csel = blocks == bi, blocks == bj
         if not qsel.any() or not csel.any():
             return None
         q_ids, c_ids = ids[qsel], ids[csel]
         sims = mat[qsel] @ mat[csel].T
-        valid = sims.size
+        sims[zero[qsel], :] = -np.inf
+        sims[:, zero[csel]] = -np.inf
+        valid = int((~zero[qsel]).sum()) * int((~zero[csel]).sum())
     kk = min(k, valid)
     if kk == 0:
         return None
@@ -320,6 +351,7 @@ def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -369,7 +401,9 @@ def sim_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("label") == F.col("label2")) & (F.col("vid1") < F.col("vid2"))
     )
     cos = _cosine(F.col("v1"), F.col("n1"), F.col("v2"), F.col("n2"))
-    scored = pairs.select("label", "vid1", "vid2", F.round(cos, 6).alias("cosine"))
+    scored = pairs.select(
+        "label", "vid1", "vid2", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine").isNotNull())
     w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), "vid1", "vid2")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -533,7 +567,7 @@ def ivf_probe_topk(
     cos = _cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm"))
     scored = cands.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cosine")
-    )
+    ).filter(F.col("cosine").isNotNull())  # zero-norm vectors: no defined cosine
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

@@ -584,3 +584,65 @@ def test_near_dup_clusters_matches_registry_composition(spark):
         ).collect()
     }
     assert got == want and got
+
+
+def test_zero_norm_vectors_are_excluded_not_poisonous(spark):
+    """A zero embedding has no defined cosine. Regression for three
+    distinct failure shapes: (a) the expression kernel (_cosine) used
+    to raise ANSI DIVIDE_BY_ZERO; (b) the numpy top-k kernel used to
+    produce NaN sims, and np.partition sorts NaN LAST, so kth became
+    NaN and the whole group's top-k came back EMPTY; (c) the threshold
+    kernel emitted NaN-cosine pairs that Spark ranks above every real
+    value. Zero vectors must simply drop out of similarity results."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [0.0, 0.0]),  # zero norm
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # (a)+(b) grid top-k: pairs among 1,2,3 only; never empty, no NaN
+    got = api.cosine_topk(emb, k=10).collect()
+    ids_seen = {r["vid1"] for r in got} | {r["vid2"] for r in got}
+    assert 4 not in ids_seen
+    assert len(got) == 3  # C(3,2) real pairs survive
+    assert all(r["cosine"] == r["cosine"] for r in got)  # no NaN
+    # force the multi-block (applyInPandas grid) path too
+    got_grid = api.cosine_topk(emb, k=10, n_blocks=2).collect()
+    assert sorted((r["vid1"], r["vid2"]) for r in got_grid) == sorted(
+        (r["vid1"], r["vid2"]) for r in got
+    )
+
+    # (a) expression kernel via ivf_search: zero corpus vector is never
+    # a neighbor, zero query emits no rows, and nothing raises
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.05]), (101, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = api.ivf_search(emb, q, k=3, n_cells=2, nprobe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert 4 not in by_q.get(100, [])
+    assert by_q.get(101, []) == []
+    assert by_q[100][0] == 1  # nearest real neighbor still found
+
+    # (c) threshold kernel directly: no NaN pair rows for the zero vec
+    import pandas as pd
+
+    from ezbake_graph_spark.operators.llm_similarity import _pair_group_sims
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.0, 0.0]],
+            "b": [0, 0, 0, 0],
+            "pk": [0, 0, 0, 0],
+        }
+    )
+    v1, v2, s = _pair_group_sims(pdf, 1)
+    assert 4 not in set(v1) | set(v2)
+    assert not any(x != x for x in s)  # no NaN
