@@ -1341,3 +1341,158 @@ def near_dup_clusters(
     return comp.withColumn("cluster_size", F.count(F.lit(1)).over(w)).withColumn(
         "is_canonical", F.col(id_col) == F.col(f"canonical_{id_col}")
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_unigram: float = 0.2,
+    max_dup_fraction: float = 0.9,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, top-unigram share, top-bigram share, ``is_repetitive``
+    flag (the boilerplate / degenerate-text detector every LM cleaning
+    recipe runs).
+
+    The ``filter_repetition`` kernel: one map-side projection of
+    higher-order array expressions — no shuffle, no UDF; a 100 TB
+    repetition audit is exactly one pass over the text column.
+    Single-token documents have no bigrams → top_bigram_fraction NULL.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "spam spam spam spam"), (2, "all words are unique here")],
+    ...     "doc_id long, text string")
+    >>> [(r["doc_id"], r["dup_word_fraction"], r["is_repetitive"])
+    ...  for r in repetition_stats(d).orderBy("doc_id").collect()]
+    [(1, 0.75, True), (2, 0.0, False)]
+    """
+    from ezbake_graph_spark.operators.llm_filter import repetition_metrics
+
+    return repetition_metrics(
+        docs, id_col, text_col, max_top_unigram, max_dup_fraction
+    )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds,
+) -> DataFrame:
+    """Composite Gopher/MassiveText document-quality gate: token-count
+    bounds, mean-word-length band, symbol-ratio cap, alphabetic-word
+    floor, required stopword — one ``passes_gopher`` flag plus every
+    underlying metric.
+
+    The ``filter_gopher_rules`` kernel; ``thresholds`` forwards
+    ``min_tokens``/``max_tokens``/``min_mean_word_len``/
+    ``max_mean_word_len``/``max_symbol_fraction``/
+    ``min_alpha_fraction``/``stopwords``. Map-side only.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "the quick brown fox jumps over the lazy dog repeatedly")],
+    ...     "doc_id long, text string")
+    >>> r = gopher_quality(d, min_tokens=5).collect()[0]
+    >>> (r["n_tokens"], r["has_stopword"], r["passes_gopher"])
+    (10, True, True)
+    """
+    from ezbake_graph_spark.operators.llm_filter import gopher_metrics
+
+    return gopher_metrics(docs, id_col, text_col, **thresholds)
+
+
+def pii_scan(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Regex PII scan: one match-count column per named pattern plus a
+    ``has_pii`` flag. Default patterns: emails and 555-prefix phone
+    numbers; pass your own ``{name: regex}`` (keep to the RE2-safe
+    subset — no lookaround — for engine portability).
+
+    The ``filter_pii_detect`` kernel: map-side ``regexp_count``, fused
+    into the scan — auditing 100 TB for PII is one pass, no shuffle.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "mail me at jo@example.com"), (2, "no pii here")],
+    ...     "doc_id long, text string")
+    >>> [(r["doc_id"], r["n_email"], r["has_pii"])
+    ...  for r in pii_scan(d).orderBy("doc_id").collect()]
+    [(1, 1, True), (2, 0, False)]
+    """
+    from ezbake_graph_spark.operators import llm_filter
+
+    return llm_filter.pii_scan(docs, id_col, text_col, patterns)
+
+
+def pii_redact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    replacements: dict[str, str] | None = None,
+) -> DataFrame:
+    """Regex PII redaction: chained global ``regexp_replace`` mapping
+    each pattern to its placeholder, plus ``n_redacted`` for audit.
+    Defaults: emails → [EMAIL], 555-prefix phones → [PHONE].
+
+    The ``filter_pii_redact`` kernel; map-side only, so redaction is
+    absorbed into whatever write/transform pass already touches the
+    text column.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "mail jo@example.com or call 555-0199")],
+    ...     "doc_id long, text string")
+    >>> pii_redact(d).collect()
+    [Row(doc_id=1, redacted='mail [EMAIL] or call [PHONE]', n_redacted=2)]
+    """
+    from ezbake_graph_spark.operators import llm_filter
+
+    return llm_filter.pii_redact(docs, id_col, text_col, replacements)
+
+
+def seq_len_histogram(
+    docs: DataFrame, text_col: str = "text", bucket: int = 16
+) -> DataFrame:
+    """Bucketed token-count histogram of a corpus — the input a
+    packing/truncation planner reads before choosing context length.
+
+    The ``text_seq_len_hist`` kernel: narrow scan + keyed agg over a
+    tiny bucket key space; shuffle volume is the number of buckets.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "a b c"), (2, "d e f g h")], "doc_id long, text string")
+    >>> [tuple(r) for r in seq_len_histogram(d, bucket=4).collect()]
+    [(0, 1, 3, 3), (4, 1, 5, 5)]
+    """
+    from ezbake_graph_spark.operators import llm_filter
+
+    return llm_filter.seq_len_histogram(docs, text_col, bucket)
+
+
+def epoch_mix(
+    df: DataFrame, strata_col: str, id_col: str, max_epochs: int = 4
+) -> DataFrame:
+    """Epoch-based corpus upsampling: stratum s repeats
+    ceil(max_count / n_s) times (capped at ``max_epochs``), bringing
+    under-represented strata toward the largest one's row share — the
+    upsampling complement of ``temperature_sample`` (which downsamples
+    the big strata). Returns one row per (input row, epoch), epoch
+    1-based.
+
+    The ``sample_epoch_mix`` kernel: the per-stratum count table is
+    broadcast, repetition is a map-side ``explode(sequence())`` — the
+    corpus never shuffles.
+
+    >>> d = spark.createDataFrame(
+    ...     [(i, "en" if i < 6 else "de") for i in range(8)],
+    ...     "doc_id long, lang string")
+    >>> out = epoch_mix(d, "lang", "doc_id")
+    >>> sorted((r["lang"], r["epoch"]) for r in out.collect()).count(("de", 3))
+    2
+    """
+    from ezbake_graph_spark.operators import llm_filter
+
+    return llm_filter.epoch_mix(df, strata_col, id_col, max_epochs)

@@ -12,6 +12,7 @@ from ezbake_graph_spark.operators import (  # noqa: F401
     joins,
     llm_chunk,
     llm_dedup,
+    llm_filter,
     llm_similarity,
     llm_text,
     multimodal,

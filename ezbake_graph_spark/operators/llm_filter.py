@@ -1,0 +1,490 @@
+"""Content-filtering operators for training-data curation.
+
+The filters every large-scale LM data pipeline runs between raw crawl
+and tokenization (the C4 / Gopher / Dolma cleaning stages):
+
+- ``filter_repetition``: duplicate-word / top-unigram / top-bigram
+  fractions — the Gopher repetition signals that catch boilerplate and
+  degenerate generations.
+- ``filter_gopher_rules``: the composite document-quality gate (token
+  count bounds, mean word length, symbol ratio, alphabetic-word ratio,
+  stopword presence).
+- ``text_seq_len_hist``: corpus-level sequence-length histogram — the
+  batch-shape planning input for packing/truncation decisions.
+- ``filter_pii_detect`` / ``filter_pii_redact``: regex PII scan and
+  redaction (emails, phone numbers). The fixture's synthetic word-soup
+  text carries no natural PII, so the registry keys run the kernels
+  over a DETERMINISTICALLY FABRICATED pii column (doc_id/source shaped
+  into emails and phone numbers) — an honest cross-engine regex-parity
+  harness, stated here rather than hidden; ``api.pii_scan`` /
+  ``api.pii_redact`` are the real user surface over arbitrary text.
+
+Scale shape: every per-document metric here is ONE narrow map-side
+projection over higher-order array/regexp expressions — no shuffle, no
+UDF, fully inside WholeStageCodegen, so the filters run at parquet-scan
+speed on any corpus. The only aggregations are the histogram's keyed
+agg (tiny key space: length buckets) and epoch-mix's per-source count
+(broadcast back, data never shuffles).
+
+All ratios are exact int/int divisions (both engines produce the same
+IEEE double); data-dependent denominators are NULLIF/try_divide-guarded
+identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# repetition signals
+
+_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+  FROM t
+), m AS (
+  SELECT doc_id, n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         list_max(list_transform(list_distinct(toks),
+                  w -> len(list_filter(toks, x -> x = w)))) AS top_uni,
+         list_max(list_transform(list_distinct(bgs),
+                  g -> len(list_filter(bgs, x -> x = g)))) AS top_bg,
+         len(bgs) AS n_bigrams
+  FROM b
+)
+SELECT doc_id, n_tokens,
+       1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_word_fraction,
+       CAST(top_uni AS DOUBLE) / n_tokens AS top_unigram_fraction,
+       CAST(top_bg AS DOUBLE) / NULLIF(n_bigrams, 0) AS top_bigram_fraction,
+       (CAST(top_uni AS DOUBLE) / n_tokens > 0.2
+        OR 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens > 0.9) AS is_repetitive
+FROM m
+ORDER BY doc_id
+"""
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_unigram: float = 0.2,
+    max_dup_fraction: float = 0.9,
+) -> DataFrame:
+    """Parameterized repetition-signal core shared by the
+    ``filter_repetition`` registry key and ``api.repetition_stats``.
+
+    Per document: duplicate-word fraction (1 - distinct/total), the
+    most frequent unigram's share, the most frequent bigram's share,
+    and an ``is_repetitive`` flag. All computed with higher-order
+    array expressions in one map-side projection — the per-row cost is
+    O(distinct x tokens) in-memory work, no shuffle anywhere. Single-
+    token documents have no bigrams: top_bigram_fraction is NULL (the
+    NULLIF guard matches the oracle; unguarded ANSI division would
+    raise)."""
+    toks = F.split(F.col(text_col), " ")
+    bgs = F.expr(
+        f"transform(slice(split({text_col}, ' '), 1,"
+        f" size(split({text_col}, ' ')) - 1),"
+        f" (t, i) -> concat(t, ' ', element_at(split({text_col}, ' '), i + 2)))"
+    )
+    top_of = lambda arr: F.array_max(  # noqa: E731
+        F.transform(
+            F.array_distinct(arr),
+            lambda w: F.size(F.filter(arr, lambda x: x == w)),
+        )
+    )
+    m = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        top_of(toks).alias("top_uni"),
+        top_of(bgs).alias("top_bg"),
+        F.size(bgs).alias("n_bigrams"),
+    )
+    dup = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_uni_frac = F.col("top_uni").cast("double") / F.col("n_tokens")
+    return m.select(
+        id_col,
+        "n_tokens",
+        dup.alias("dup_word_fraction"),
+        top_uni_frac.alias("top_unigram_fraction"),
+        F.try_divide(F.col("top_bg").cast("double"), F.col("n_bigrams")).alias(
+            "top_bigram_fraction"
+        ),
+        ((top_uni_frac > max_top_unigram) | (dup > max_dup_fraction)).alias(
+            "is_repetitive"
+        ),
+    )
+
+
+@register("filter_repetition", oracle=_REPETITION_SQL, tags=("ext", "filter"))
+def filter_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (duplicate-word,
+    top-unigram and top-bigram fractions + flag)."""
+    d = tables.load(spark, sf_dir, "documents")
+    return repetition_metrics(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher composite quality gate
+
+_GOPHER_STOPWORDS = ("a", "the", "and", "to", "of")
+
+_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         list_sum(list_transform(toks, x -> len(x))) AS sum_word_len,
+         len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+           AS n_alpha_words,
+         len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_symbol_chars,
+         len(text) AS n_chars,
+         list_has_any(toks, {list(_GOPHER_STOPWORDS)}) AS has_stopword
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(sum_word_len AS DOUBLE) / n_tokens AS mean_word_len,
+       CAST(n_alpha_words AS DOUBLE) / n_tokens AS alpha_word_fraction,
+       CAST(n_symbol_chars AS DOUBLE) / n_chars AS symbol_fraction,
+       has_stopword,
+       (n_tokens BETWEEN 50 AND 100000
+        AND CAST(sum_word_len AS DOUBLE) / n_tokens BETWEEN 3 AND 10
+        AND CAST(n_symbol_chars AS DOUBLE) / n_chars < 0.1
+        AND CAST(n_alpha_words AS DOUBLE) / n_tokens > 0.8
+        AND has_stopword) AS passes_gopher
+FROM m
+ORDER BY doc_id
+"""
+
+
+def gopher_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = _GOPHER_STOPWORDS,
+    min_tokens: int = 50,
+    max_tokens: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_fraction: float = 0.1,
+    min_alpha_fraction: float = 0.8,
+) -> DataFrame:
+    """Parameterized Gopher-rule core shared by the
+    ``filter_gopher_rules`` registry key and ``api.gopher_quality``:
+    the composite document gate from the Gopher/MassiveText cleaning
+    recipe — token-count bounds, mean word length band, symbol ratio
+    cap, alphabetic-word floor, required stopword. One map-side
+    projection, exact int/int ratios."""
+    toks = F.split(F.col(text_col), " ")
+    m = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("sum_word_len"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$"))).alias(
+            "n_alpha_words"
+        ),
+        F.length(
+            F.regexp_replace(F.col(text_col), "[a-z0-9 ]", "")
+        ).alias("n_symbol_chars"),
+        F.length(text_col).alias("n_chars"),
+        F.arrays_overlap(toks, F.array(*[F.lit(s) for s in stopwords])).alias(
+            "has_stopword"
+        ),
+    )
+    mean_len = F.col("sum_word_len").cast("double") / F.col("n_tokens")
+    alpha = F.col("n_alpha_words").cast("double") / F.col("n_tokens")
+    symbol = F.col("n_symbol_chars").cast("double") / F.col("n_chars")
+    return m.select(
+        id_col,
+        "n_tokens",
+        mean_len.alias("mean_word_len"),
+        alpha.alias("alpha_word_fraction"),
+        symbol.alias("symbol_fraction"),
+        "has_stopword",
+        (
+            F.col("n_tokens").between(min_tokens, max_tokens)
+            & mean_len.between(min_mean_word_len, max_mean_word_len)
+            & (symbol < max_symbol_fraction)
+            & (alpha > min_alpha_fraction)
+            & F.col("has_stopword")
+        ).alias("passes_gopher"),
+    )
+
+
+@register("filter_gopher_rules", oracle=_GOPHER_SQL, tags=("ext", "filter"))
+def filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher document-quality gate over the documents
+    table."""
+    d = tables.load(spark, sf_dir, "documents")
+    return gopher_metrics(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# sequence-length histogram
+
+_SEQ_HIST_SQL = """
+WITH t AS (
+  SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+)
+SELECT (n_tokens // 16) * 16 AS bucket_start,
+       count(*) AS n_docs,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM t
+GROUP BY bucket_start
+ORDER BY bucket_start
+"""
+
+
+def seq_len_histogram(
+    docs: DataFrame, text_col: str = "text", bucket: int = 16
+) -> DataFrame:
+    """Parameterized histogram core shared by ``text_seq_len_hist``
+    and ``api.seq_len_histogram``: bucketed token-count distribution —
+    what a packing/truncation planner reads before choosing a context
+    length. One narrow scan + a keyed agg over a tiny key space
+    (hundreds of buckets at most), so the shuffle is negligible at any
+    corpus size."""
+    n = F.size(F.split(F.col(text_col), " "))
+    return (
+        docs.select(n.alias("n_tokens"))
+        .groupBy(
+            (F.floor(F.col("n_tokens") / bucket) * bucket).alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("bucket_start")
+    )
+
+
+@register("text_seq_len_hist", oracle=_SEQ_HIST_SQL, tags=("ext", "filter"))
+def text_seq_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram of the documents table, 16-token
+    buckets."""
+    d = tables.load(spark, sf_dir, "documents")
+    return seq_len_histogram(d)
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+
+# RE2-safe AND java.util.regex-safe subset: no lookaround, no \b needed
+# because the fabricated/user text delimits tokens with spaces.
+PII_PATTERNS = {
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "phone": "555-[0-9]{4}",
+}
+
+
+def _fabricated_pii(docs: DataFrame) -> DataFrame:
+    """doc_id/source shaped into emails + phone numbers, varying count
+    per doc (0-2 emails, 0-1 phones) so the scan output is non-trivial.
+    Purely deterministic column algebra — the same expression is
+    inlined in the oracle SQL."""
+    base = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".org"),
+    )
+    extra_email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(" cc admin@"), F.col("source"), F.lit(".net")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(base, extra_email, phone).alias("pii_text")
+    )
+
+
+_FABRICATE_SQL_EXPR = """
+  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.org'
+  || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@' || source || '.net' ELSE '' END
+  || CASE WHEN doc_id % 2 = 0
+          THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+"""
+
+_PII_DETECT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_FABRICATE_SQL_EXPR} AS pii_text FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(pii_text, '{PII_PATTERNS["email"]}')) AS n_email,
+       len(regexp_extract_all(pii_text, '{PII_PATTERNS["phone"]}')) AS n_phone,
+       (len(regexp_extract_all(pii_text, '{PII_PATTERNS["email"]}'))
+        + len(regexp_extract_all(pii_text, '{PII_PATTERNS["phone"]}')) > 0)
+         AS has_pii
+FROM t
+ORDER BY doc_id
+"""
+
+
+def pii_scan(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parameterized PII scan shared by the ``filter_pii_detect``
+    registry key and ``api.pii_scan``: one ``regexp_count`` column per
+    named pattern plus a ``has_pii`` flag. Map-side only — regexp
+    evaluation fuses into the scan, so a 100 TB PII audit is exactly
+    one pass over the text column. Patterns must stay in the
+    RE2-compatible subset (no lookaround) for engine portability."""
+    pats = patterns or PII_PATTERNS
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{name}")
+        for name, p in pats.items()
+    ]
+    out = docs.select(F.col(id_col), *counts)
+    total = None
+    for name in pats:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("has_pii", total > 0)
+
+
+@register("filter_pii_detect", oracle=_PII_DETECT_SQL, tags=("ext", "filter"))
+def filter_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII regex scan over the fabricated-parity column (see module
+    docstring: fixture text has no natural PII; this key certifies
+    cross-engine regex semantics, api.pii_scan is the user surface)."""
+    d = tables.load(spark, sf_dir, "documents")
+    return pii_scan(_fabricated_pii(d), "doc_id", "pii_text").orderBy("doc_id")
+
+
+_PII_REDACT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_FABRICATE_SQL_EXPR} AS pii_text FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(pii_text, '{PII_PATTERNS["email"]}',
+                                     '[EMAIL]', 'g'),
+                      '{PII_PATTERNS["phone"]}', '[PHONE]', 'g') AS redacted,
+       len(regexp_extract_all(pii_text, '{PII_PATTERNS["email"]}'))
+       + len(regexp_extract_all(pii_text, '{PII_PATTERNS["phone"]}'))
+         AS n_redacted
+FROM t
+ORDER BY doc_id
+"""
+
+
+def pii_redact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    replacements: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parameterized PII redaction shared by ``filter_pii_redact`` and
+    ``api.pii_redact``: chained global ``regexp_replace`` (pattern ->
+    placeholder), plus the total match count for audit. Map-side only.
+    ``replacements`` maps regex -> placeholder; default replaces
+    emails with [EMAIL] and 555-prefix phones with [PHONE]."""
+    reps = replacements or {
+        PII_PATTERNS["email"]: "[EMAIL]",
+        PII_PATTERNS["phone"]: "[PHONE]",
+    }
+    red = F.col(text_col)
+    n = None
+    for pat, placeholder in reps.items():
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        n = c if n is None else n + c
+        red = F.regexp_replace(red, pat, placeholder)
+    return docs.select(
+        F.col(id_col), red.alias("redacted"), n.alias("n_redacted")
+    )
+
+
+@register("filter_pii_redact", oracle=_PII_REDACT_SQL, tags=("ext", "filter"))
+def filter_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the fabricated-parity column (emails ->
+    [EMAIL], phones -> [PHONE]); see module docstring."""
+    d = tables.load(spark, sf_dir, "documents")
+    return pii_redact(_fabricated_pii(d), "doc_id", "pii_text").orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# epoch-based corpus mixing (upsampling counterpart of temperature_sample)
+
+_EPOCH_MIX_SQL = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT max(n) AS mx FROM c),
+r AS (
+  SELECT lang,
+         least(4, CAST(ceil(CAST(mx AS DOUBLE) / n) AS BIGINT)) AS reps
+  FROM c CROSS JOIN m
+)
+SELECT d.doc_id, d.lang, unnest(range(1, reps + 1)) AS epoch
+FROM documents d JOIN r USING (lang)
+ORDER BY doc_id, epoch
+"""
+
+
+def epoch_mix(
+    df: DataFrame, strata_col: str, id_col: str, max_epochs: int = 4
+) -> DataFrame:
+    """Parameterized epoch-mix core shared by ``sample_epoch_mix`` and
+    ``api.epoch_mix``: upsample under-represented strata by integer
+    repetition — stratum s gets ceil(max_count / n_s) epochs, capped at
+    ``max_epochs`` (repeating scarce data beyond ~4 epochs measurably
+    degrades LMs, hence the default cap). The complement of
+    ``temperature_sample``: that downsamples the big strata, this
+    repeats the small ones.
+
+    The per-stratum count table is tiny and broadcast back onto the
+    data; the repetition is a map-side ``explode(sequence(...))`` — the
+    corpus itself never shuffles. Returns the input keys plus an
+    ``epoch`` column (1-based)."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.agg(F.max("n").alias("mx"))
+    reps = counts.crossJoin(F.broadcast(mx)).select(
+        strata_col,
+        F.least(
+            F.lit(max_epochs),
+            F.ceil(F.col("mx").cast("double") / F.col("n")).cast("bigint"),
+        ).alias("reps"),
+    )
+    return (
+        df.join(F.broadcast(reps), strata_col)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("reps"))))
+        .select(id_col, strata_col, "epoch")
+    )
+
+
+@register("sample_epoch_mix", oracle=_EPOCH_MIX_SQL, tags=("ext", "sampling"))
+def sample_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-upsampled corpus mix by language: minority languages
+    repeat up to 4x toward the majority language's row share (the
+    fixture's lang histogram is genuinely skewed, ~3.4:1 en:fr, so the
+    key exercises reps of 1, 3 and 4; source is uniform and would make
+    every rep 1)."""
+    d = tables.load(spark, sf_dir, "documents")
+    return epoch_mix(d, "lang", "doc_id").orderBy("doc_id", "epoch")

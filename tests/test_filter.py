@@ -1,0 +1,107 @@
+"""Content-filter tier (operators/llm_filter.py + the api entries):
+registry cross-checks plus the edge cases the DuckDB oracle sweep
+cannot reach (single-token docs, user-supplied patterns, strata caps).
+Oracle parity itself is covered by tools/verify_local.py and
+tests/test_oracle_all.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import api, registry, tables
+from tests.conftest import SF_SMOKE
+
+
+def _registry(spark, key):
+    return registry.queries()[key](spark, SF_SMOKE)
+
+
+def test_repetition_stats_matches_registry_kernel(spark):
+    got = {tuple(r) for r in api.repetition_stats(
+        tables.load(spark, SF_SMOKE, "documents")).collect()}
+    want = {tuple(r) for r in _registry(spark, "filter_repetition").collect()}
+    assert got == want and got
+
+
+def test_repetition_single_token_doc_yields_null_bigram_fraction(spark):
+    d = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    r = api.repetition_stats(d).collect()[0]
+    assert r["n_tokens"] == 1
+    assert r["top_bigram_fraction"] is None  # no bigrams, no ANSI error
+    assert r["top_unigram_fraction"] == 1.0
+    assert bool(r["is_repetitive"]) is True  # single repeated unigram = 100%
+
+
+def test_gopher_quality_matches_registry_kernel(spark):
+    got = {tuple(r) for r in api.gopher_quality(
+        tables.load(spark, SF_SMOKE, "documents")).collect()}
+    want = {tuple(r) for r in _registry(spark, "filter_gopher_rules").collect()}
+    assert got == want and got
+    # the gate must actually discriminate on the fixture
+    flags = {r[-1] for r in got}
+    assert flags == {True, False}
+
+
+def test_pii_scan_and_redact_roundtrip(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "reach me at a.user+tag@sub.example.co.uk today"),
+            (2, "call 555-0147 or 555-9999"),
+            (3, "neither one"),
+        ],
+        "doc_id long, text string",
+    )
+    scan = {r["doc_id"]: (r["n_email"], r["n_phone"]) for r in
+            api.pii_scan(d).collect()}
+    assert scan == {1: (1, 0), 2: (0, 2), 3: (0, 0)}
+    red = {r["doc_id"]: (r["redacted"], r["n_redacted"]) for r in
+           api.pii_redact(d).collect()}
+    assert red[1][0] == "reach me at [EMAIL] today"
+    assert red[2] == ("call [PHONE] or [PHONE]", 2)
+    assert red[3] == ("neither one", 0)
+    # redacted text scans clean — the property a compliance pass needs
+    clean = api.pii_scan(
+        api.pii_redact(d).select("doc_id", F.col("redacted").alias("text"))
+    )
+    assert all(not r["has_pii"] for r in clean.collect())
+
+
+def test_pii_scan_custom_patterns(spark):
+    d = spark.createDataFrame(
+        [(1, "key sk-abc123 leaked"), (2, "nothing")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_api_key"] for r in api.pii_scan(
+        d, patterns={"api_key": "sk-[a-z0-9]+"}).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_seq_len_histogram_matches_registry_kernel(spark):
+    got = [tuple(r) for r in api.seq_len_histogram(
+        tables.load(spark, SF_SMOKE, "documents")).collect()]
+    want = [tuple(r) for r in _registry(spark, "text_seq_len_hist").collect()]
+    assert got == want and got
+    # buckets cover every doc exactly once
+    assert sum(r[1] for r in got) == tables.load(
+        spark, SF_SMOKE, "documents").count()
+
+
+def test_epoch_mix_matches_registry_kernel(spark):
+    got = {tuple(r) for r in api.epoch_mix(
+        tables.load(spark, SF_SMOKE, "documents"), "lang", "doc_id").collect()}
+    want = {tuple(r) for r in _registry(spark, "sample_epoch_mix").collect()}
+    assert got == want and got
+
+
+def test_epoch_mix_cap_and_epoch_counts(spark):
+    # 20 'en' vs 2 'de': uncapped reps would be 10; cap must bind at 3
+    d = spark.createDataFrame(
+        [(i, "en" if i < 20 else "de") for i in range(22)],
+        "doc_id long, lang string",
+    )
+    out = api.epoch_mix(d, "lang", "doc_id", max_epochs=3)
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {"en": 20, "de": 6}
+    epochs = {r["epoch"] for r in out.filter(F.col("lang") == "de").collect()}
+    assert epochs == {1, 2, 3}
