@@ -1496,3 +1496,68 @@ def epoch_mix(
     from ezbake_graph_spark.operators import llm_filter
 
     return llm_filter.epoch_mix(df, strata_col, id_col, max_epochs)
+
+
+def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL decomposition: adds scheme / host (lowercased) / path /
+    query columns. Anchored map-side regexp extraction — no UDF, no
+    per-row URL object; malformed rows yield empty strings, never an
+    error.
+
+    The ``url_parse_parts`` kernel (the registry key certifies the
+    regex semantics cross-engine over a fabricated column; this is the
+    user surface for real crawl tables).
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "https://WWW.Example.COM/a/b?q=1#top")],
+    ...     "id long, url string")
+    >>> r = parse_urls(d).collect()[0]
+    >>> (r["scheme"], r["host"], r["path"], r["query"])
+    ('https', 'www.example.com', '/a/b', 'q=1')
+    """
+    from ezbake_graph_spark.operators import llm_url
+
+    return llm_url.parse_urls(df, url_col)
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-URL canonical form: lowercased host, query string and
+    fragment dropped, trailing slash trimmed. Grouping on
+    ``canonical_url`` collapses re-crawls that differ only by tracking
+    params / fragment / host case — the URL-level dedup key.
+
+    The ``url_canonicalize`` kernel; composed from extracted parts
+    (never regex backreferences, whose syntax differs across engines).
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "https://WWW.Example.COM/a/b/?utm_source=x#top"),
+    ...      (2, "https://www.example.com/a/b")], "id long, url string")
+    >>> {r["canonical_url"] for r in canonicalize_urls(d).collect()}
+    {'https://www.example.com/a/b'}
+    """
+    from ezbake_graph_spark.operators import llm_url
+
+    return llm_url.canonicalize_urls(df, url_col)
+
+
+def filter_blocked_domains(
+    df: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Domain-level filtering: extract each URL's registrable domain
+    (last two host labels) and drop rows whose domain appears in
+    ``blocklist`` (a one-column ``domain`` DataFrame). The blocklist
+    broadcasts, the corpus never shuffles — the shape that scales to a
+    million-domain blocklist where per-domain regexes cannot.
+
+    The ``url_domain_blocklist`` kernel.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "http://a.bad.site/x"), (2, "http://a.good.site/y")],
+    ...     "id long, url string")
+    >>> bl = spark.createDataFrame([("bad.site",)], "domain string")
+    >>> [r["id"] for r in filter_blocked_domains(d, bl).collect()]
+    [2]
+    """
+    from ezbake_graph_spark.operators import llm_url
+
+    return llm_url.filter_blocked_domains(df, blocklist, url_col)

@@ -15,6 +15,7 @@ from ezbake_graph_spark.operators import (  # noqa: F401
     llm_filter,
     llm_similarity,
     llm_text,
+    llm_url,
     multimodal,
     projection,
     sampling,

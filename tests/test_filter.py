@@ -105,3 +105,41 @@ def test_epoch_mix_cap_and_epoch_counts(spark):
     assert per == {"en": 20, "de": 6}
     epochs = {r["epoch"] for r in out.filter(F.col("lang") == "de").collect()}
     assert epochs == {1, 2, 3}
+
+
+def test_parse_urls_matches_registry_kernel(spark):
+    got = {tuple(r) for r in _registry(spark, "url_parse_parts").collect()}
+    from ezbake_graph_spark.operators.llm_url import _fabricated_urls
+
+    want = {tuple(r) for r in api.parse_urls(
+        _fabricated_urls(tables.load(spark, SF_SMOKE, "documents"))).collect()}
+    assert got == want and got
+
+
+def test_canonicalize_collapses_recrawl_variants(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "https://WWW.Site.COM/page/?utm_source=x"),
+            (2, "https://www.site.com/page#frag"),
+            (3, "http://www.site.com/page"),  # scheme differs: distinct
+        ],
+        "id long, url string",
+    )
+    out = api.canonicalize_urls(d)
+    groups = out.groupBy("canonical_url").count().collect()
+    assert {(r["canonical_url"], r["count"]) for r in groups} == {
+        ("https://www.site.com/page", 2),
+        ("http://www.site.com/page", 1),
+    }
+
+
+def test_blocklist_filter_is_broadcast_anti_join(spark):
+    d = spark.createDataFrame(
+        [(1, "http://x.bad.site/a"), (2, "http://ok.site/b")],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("bad.site",)], "domain string")
+    out = api.filter_blocked_domains(d, bl)
+    assert [r["id"] for r in out.collect()] == [2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
