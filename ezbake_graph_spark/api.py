@@ -1561,3 +1561,98 @@ def filter_blocked_domains(
     from ezbake_graph_spark.operators import llm_url
 
     return llm_url.filter_blocked_domains(df, blocklist, url_col)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedup_threshold: float = 0.8,
+    quality_thresholds: dict | None = None,
+    repetition_thresholds: dict | None = None,
+    pii_replacements: dict[str, str] | None = None,
+    broadcast_ok: bool = False,
+) -> DataFrame:
+    """End-to-end corpus curation — the whole cleaning pipeline a
+    training run actually consumes, composed from this module's
+    kernels in the order real pipelines run them (cheap map-side gates
+    first, the one shuffle-bearing stage last):
+
+    1. Gopher quality gate (``gopher_quality``) — map-side.
+    2. Repetition gate (``repetition_stats``) — map-side.
+    3. PII redaction (``pii_redact``) — map-side, rewrites the text.
+    4. MinHash-LSH near-dup clustering over the SURVIVORS
+       (``near_dup_clusters``) — the only stage that shuffles, run on
+       the reduced corpus because gate-then-dedup is strictly cheaper
+       than dedup-then-gate (banding cost is linear in docs kept).
+
+    Returns one row per INPUT document with full provenance:
+    ``passes_gopher`` / ``is_repetitive`` flags, the redacted text and
+    ``n_redacted`` for survivors, ``canonical_<id_col>`` /
+    ``cluster_size`` / ``is_canonical`` from dedup (NULL for gated-out
+    docs), and a final boolean ``keep`` (= passed both gates AND is
+    its cluster's canonical representative). ``filter("keep")`` is the
+    training corpus; the full frame is the audit record a data-
+    governance review asks for.
+
+    Ordering rationale at 100 TB: stages 1-3 fuse into one
+    WholeStageCodegen pass over the text column; stage 4's LSH
+    banding/dedup shuffle then sees only surviving documents. Nothing
+    in the pipeline is quadratic; the pair graph stays linear in true
+    near-dups by banding.
+
+    >>> rows = [
+    ...     (1, "the quick brown fox jumps over the lazy dog today ok", ),
+    ...     (2, "the quick brown fox jumps over the lazy dog today ok", ),
+    ...     (3, "spam spam spam spam spam spam spam spam spam spam",),
+    ...     (4, "a genuinely different well formed document about the sea",)]
+    >>> d = spark.createDataFrame(rows, "doc_id long, text string")
+    >>> out = curate_corpus(d, quality_thresholds={"min_tokens": 5},
+    ...                     repetition_thresholds={"max_top_unigram": 0.5})
+    >>> sorted((r["doc_id"], r["keep"]) for r in out.collect())
+    [(1, True), (2, False), (3, False), (4, True)]
+    """
+    from ezbake_graph_spark.operators.llm_filter import (
+        gopher_metrics,
+        repetition_metrics,
+    )
+    from ezbake_graph_spark.operators import llm_filter
+
+    q = gopher_metrics(docs, id_col, text_col, **(quality_thresholds or {}))
+    r = repetition_metrics(docs, id_col, text_col, **(repetition_thresholds or {}))
+    flags = docs.select(id_col, text_col).join(
+        q.select(id_col, "passes_gopher"), id_col
+    ).join(r.select(id_col, "is_repetitive"), id_col)
+    gated = flags.withColumn(
+        "passes_gates", F.col("passes_gopher") & ~F.col("is_repetitive")
+    )
+    survivors = gated.filter("passes_gates")
+    red = llm_filter.pii_redact(
+        survivors, id_col, text_col, pii_replacements
+    ).withColumnRenamed("redacted", "clean_text")
+    clusters = near_dup_clusters(
+        red.select(id_col, F.col("clean_text").alias(text_col)),
+        id_col,
+        text_col,
+        dedup_threshold,
+        broadcast_ok,
+    )
+    out = (
+        gated.join(red, id_col, "left")
+        .join(clusters, id_col, "left")
+        .withColumn(
+            "keep", F.col("passes_gates") & F.coalesce("is_canonical", F.lit(False))
+        )
+    )
+    return out.select(
+        id_col,
+        text_col,
+        "passes_gopher",
+        "is_repetitive",
+        "clean_text",
+        "n_redacted",
+        f"canonical_{id_col}",
+        "cluster_size",
+        "is_canonical",
+        "keep",
+    )

@@ -143,3 +143,38 @@ def test_blocklist_filter_is_broadcast_anti_join(spark):
     assert [r["id"] for r in out.collect()] == [2]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_curate_corpus_end_to_end_provenance(spark):
+    rows = [
+        # near-dup pair, both pass gates: only min id kept
+        (1, "the quick brown fox jumps over the lazy dog today ok"),
+        (2, "the quick brown fox jumps over the lazy dog today ok"),
+        # repetitive: gated out before dedup
+        (3, "spam spam spam spam spam spam spam spam spam spam"),
+        # unique survivor with PII: kept, text redacted
+        (4, "a clean document about the sea mail me jo@example.com"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in api.curate_corpus(
+        d,
+        quality_thresholds={"min_tokens": 5},
+        repetition_thresholds={"max_top_unigram": 0.5},
+    ).collect()}
+    assert [out[i]["keep"] for i in (1, 2, 3, 4)] == [True, False, False, True]
+    # provenance: gated-out doc has NULL dedup columns, flags preserved
+    assert out[3]["is_repetitive"] and out[3]["canonical_doc_id"] is None
+    # dup doc: mapped to canonical 1, not kept
+    assert out[2]["canonical_doc_id"] == 1 and out[2]["cluster_size"] == 2
+    # PII redacted in the survivor's clean_text
+    assert "[EMAIL]" in out[4]["clean_text"] and out[4]["n_redacted"] == 1
+    assert "jo@example.com" not in out[4]["clean_text"]
+
+
+def test_curate_corpus_no_survivors(spark):
+    d = spark.createDataFrame(
+        [(1, "tiny"), (2, "also tiny")], "doc_id long, text string"
+    )
+    out = api.curate_corpus(d)  # default min_tokens=50 gates everything
+    rows = out.collect()
+    assert len(rows) == 2 and all(not r["keep"] for r in rows)
