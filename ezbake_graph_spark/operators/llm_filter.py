@@ -205,9 +205,17 @@ def gopher_metrics(
             "has_stopword"
         ),
     )
+    # n_tokens >= 1 always (split of any string is non-empty), but
+    # n_chars CAN be 0 for empty-string text: try_divide (not /) makes
+    # symbol_fraction NULL there instead of an ANSI DIVIDE_BY_ZERO, and
+    # the coalesce below makes an empty document FAIL the gate instead
+    # of passing it with a NULL flag. Fixture docs are never empty, so
+    # the oracle needs no twin guard.
     mean_len = F.col("sum_word_len").cast("double") / F.col("n_tokens")
     alpha = F.col("n_alpha_words").cast("double") / F.col("n_tokens")
-    symbol = F.col("n_symbol_chars").cast("double") / F.col("n_chars")
+    symbol = F.try_divide(
+        F.col("n_symbol_chars").cast("double"), F.col("n_chars")
+    )
     return m.select(
         id_col,
         "n_tokens",
@@ -215,12 +223,13 @@ def gopher_metrics(
         alpha.alias("alpha_word_fraction"),
         symbol.alias("symbol_fraction"),
         "has_stopword",
-        (
+        F.coalesce(
             F.col("n_tokens").between(min_tokens, max_tokens)
             & mean_len.between(min_mean_word_len, max_mean_word_len)
             & (symbol < max_symbol_fraction)
             & (alpha > min_alpha_fraction)
-            & F.col("has_stopword")
+            & F.col("has_stopword"),
+            F.lit(False),
         ).alias("passes_gopher"),
     )
 
@@ -259,6 +268,8 @@ def seq_len_histogram(
     length. One narrow scan + a keyed agg over a tiny key space
     (hundreds of buckets at most), so the shuffle is negligible at any
     corpus size."""
+    if bucket <= 0:
+        raise ValueError(f"bucket must be positive, got {bucket}")
     n = F.size(F.split(F.col(text_col), " "))
     return (
         docs.select(n.alias("n_tokens"))
@@ -462,18 +473,23 @@ def epoch_mix(
     The per-stratum count table is tiny and broadcast back onto the
     data; the repetition is a map-side ``explode(sequence(...))`` — the
     corpus itself never shuffles. Returns the input keys plus an
-    ``epoch`` column (1-based)."""
+    ``epoch`` column (1-based). NULL strata count as their own stratum
+    (the join is null-safe — a plain equi-join would silently DROP
+    every NULL-stratum row; groupBy already keeps NULL as a group)."""
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
     mx = counts.agg(F.max("n").alias("mx"))
     reps = counts.crossJoin(F.broadcast(mx)).select(
-        strata_col,
+        F.col(strata_col).alias("__stratum"),
         F.least(
             F.lit(max_epochs),
             F.ceil(F.col("mx").cast("double") / F.col("n")).cast("bigint"),
         ).alias("reps"),
     )
     return (
-        df.join(F.broadcast(reps), strata_col)
+        df.join(
+            F.broadcast(reps),
+            F.col(strata_col).eqNullSafe(F.col("__stratum")),
+        )
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("reps"))))
         .select(id_col, strata_col, "epoch")
     )

@@ -178,3 +178,36 @@ def test_curate_corpus_no_survivors(spark):
     out = api.curate_corpus(d)  # default min_tokens=50 gates everything
     rows = out.collect()
     assert len(rows) == 2 and all(not r["keep"] for r in rows)
+
+
+def test_gopher_empty_text_fails_gate_without_error(spark):
+    d = spark.createDataFrame(
+        [(1, ""), (2, "the well formed document here now ok fine yes sir")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in api.gopher_quality(
+        d, min_tokens=5).collect()}
+    assert out[1]["symbol_fraction"] is None  # 0/0 -> NULL, no ANSI error
+    assert bool(out[1]["passes_gopher"]) is False
+    assert bool(out[2]["passes_gopher"]) is True
+
+
+def test_epoch_mix_null_stratum_rows_survive(spark):
+    d = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, None)],
+        "doc_id long, lang string",
+    )
+    out = api.epoch_mix(d, "lang", "doc_id")
+    rows = out.collect()
+    # NULL stratum kept as its own group: 3 epochs (ceil(3/1)=3 < cap)
+    null_epochs = sorted(r["epoch"] for r in rows if r["lang"] is None)
+    assert null_epochs == [1, 2, 3]
+    assert sorted(r["epoch"] for r in rows if r["lang"] == "en") == [1, 1, 1]
+
+
+def test_seq_len_histogram_rejects_nonpositive_bucket(spark):
+    import pytest as _pytest
+
+    d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        api.seq_len_histogram(d, bucket=0)
