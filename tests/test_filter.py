@@ -211,3 +211,27 @@ def test_seq_len_histogram_rejects_nonpositive_bucket(spark):
     d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         api.seq_len_histogram(d, bucket=0)
+
+
+def test_filter_tier_is_map_side_no_exchange(spark):
+    """The tier's scale claim, pinned: per-document filters compile to
+    plans with ZERO Exchange operators (pure map-side projections that
+    fuse into the scan). The histogram is allowed exactly its one
+    aggregation exchange."""
+    d = tables.load(spark, SF_SMOKE, "documents")
+    from ezbake_graph_spark.operators import llm_filter, llm_url
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the fixture loader's cached InMemoryRelation contains its own
+        # repartition exchange; the operator's plan is everything above
+        return plan.split("InMemoryRelation")[0].count("Exchange")
+
+    assert n_exchanges(api.repetition_stats(d)) == 0
+    assert n_exchanges(api.gopher_quality(d)) == 0
+    assert n_exchanges(api.pii_scan(llm_filter._fabricated_pii(d),
+                                    "doc_id", "pii_text")) == 0
+    assert n_exchanges(api.pii_redact(llm_filter._fabricated_pii(d),
+                                      "doc_id", "pii_text")) == 0
+    assert n_exchanges(api.parse_urls(llm_url._fabricated_urls(d))) == 0
+    assert n_exchanges(api.canonicalize_urls(llm_url._fabricated_urls(d))) == 0
