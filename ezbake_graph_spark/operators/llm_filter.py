@@ -95,12 +95,32 @@ def repetition_metrics(
         f" size(split({text_col}, ' ')) - 1),"
         f" (t, i) -> concat(t, ' ', element_at(split({text_col}, ' '), i + 2)))"
     )
-    top_of = lambda arr: F.array_max(  # noqa: E731
-        F.transform(
-            F.array_distinct(arr),
-            lambda w: F.size(F.filter(arr, lambda x: x == w)),
+
+    def top_of(arr):
+        # max element multiplicity = longest run in the SORTED array:
+        # one O(n log n) sort + one linear run-length fold. The naive
+        # transform(distinct, w -> count matches) form is O(distinct x
+        # n) of INTERPRETED lambda evaluations (Catalyst HOFs don't
+        # codegen) — measured 4.8 s vs ~1 s at sf0.01 for this kernel.
+        # NULL initial prev: x == NULL is NULL, when() falls through to
+        # run=1, so no sentinel can collide with a real token.
+        run = lambda acc, x: F.when(  # noqa: E731
+            x == acc.getField("prev"), acc.getField("run") + 1
+        ).otherwise(F.lit(1))
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                run(acc, x).alias("run"),
+                F.greatest(acc.getField("best"), run(acc, x)).alias("best"),
+            ),
+            lambda acc: acc.getField("best"),
         )
-    )
     m = docs.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
@@ -125,7 +145,9 @@ def repetition_metrics(
     )
 
 
-@register("filter_repetition", oracle=_REPETITION_SQL, tags=("ext", "filter"))
+@register(
+    "filter_repetition", oracle=_REPETITION_SQL, tags=("ext", "filter", "bench2")
+)
 def filter_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document (duplicate-word,
     top-unigram and top-bigram fractions + flag)."""
