@@ -1593,7 +1593,9 @@ def curate_corpus(
     docs), and a final boolean ``keep`` (= passed both gates AND is
     its cluster's canonical representative). ``filter("keep")`` is the
     training corpus; the full frame is the audit record a data-
-    governance review asks for.
+    governance review asks for. ``id_col`` values must be unique — the
+    provenance joins are keyed on it (duplicate ids would multiply
+    rows).
 
     Ordering rationale at 100 TB: stages 1-3 fuse into one
     WholeStageCodegen pass over the text column; stage 4's LSH

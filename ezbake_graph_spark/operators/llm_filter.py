@@ -389,7 +389,11 @@ def pii_scan(
     named pattern plus a ``has_pii`` flag. Map-side only — regexp
     evaluation fuses into the scan, so a 100 TB PII audit is exactly
     one pass over the text column. Patterns must stay in the
-    RE2-compatible subset (no lookaround) for engine portability."""
+    RE2-compatible subset (no lookaround) for engine portability.
+    ``patterns=None`` means the defaults; an explicitly EMPTY dict is
+    rejected rather than silently falling back."""
+    if patterns is not None and not patterns:
+        raise ValueError("patterns must be a non-empty dict (or None for defaults)")
     pats = patterns or PII_PATTERNS
     counts = [
         F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{name}")
@@ -438,7 +442,13 @@ def pii_redact(
     ``api.pii_redact``: chained global ``regexp_replace`` (pattern ->
     placeholder), plus the total match count for audit. Map-side only.
     ``replacements`` maps regex -> placeholder; default replaces
-    emails with [EMAIL] and 555-prefix phones with [PHONE]."""
+    emails with [EMAIL] and 555-prefix phones with [PHONE]. An
+    explicitly empty dict is rejected (it would silently redact
+    nothing while looking like a successful compliance pass)."""
+    if replacements is not None and not replacements:
+        raise ValueError(
+            "replacements must be a non-empty dict (or None for defaults)"
+        )
     reps = replacements or {
         PII_PATTERNS["email"]: "[EMAIL]",
         PII_PATTERNS["phone"]: "[PHONE]",
@@ -492,12 +502,19 @@ def epoch_mix(
     ``temperature_sample``: that downsamples the big strata, this
     repeats the small ones.
 
+    ``max_epochs`` must be >= 1: reps of 0 would make
+    ``sequence(1, 0)`` — which Spark evaluates as the DESCENDING
+    sequence [1, 0], silently emitting a bogus epoch 0 — so the value
+    is validated instead.
+
     The per-stratum count table is tiny and broadcast back onto the
     data; the repetition is a map-side ``explode(sequence(...))`` — the
     corpus itself never shuffles. Returns the input keys plus an
     ``epoch`` column (1-based). NULL strata count as their own stratum
     (the join is null-safe — a plain equi-join would silently DROP
     every NULL-stratum row; groupBy already keeps NULL as a group)."""
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
     mx = counts.agg(F.max("n").alias("mx"))
     reps = counts.crossJoin(F.broadcast(mx)).select(

@@ -235,3 +235,16 @@ def test_filter_tier_is_map_side_no_exchange(spark):
                                       "doc_id", "pii_text")) == 0
     assert n_exchanges(api.parse_urls(llm_url._fabricated_urls(d))) == 0
     assert n_exchanges(api.canonicalize_urls(llm_url._fabricated_urls(d))) == 0
+
+
+def test_filter_api_rejects_degenerate_parameters(spark):
+    import pytest as _pytest
+
+    d = spark.createDataFrame([(1, "a b", "en")],
+                              "doc_id long, text string, lang string")
+    with _pytest.raises(ValueError):
+        api.epoch_mix(d, "lang", "doc_id", max_epochs=0)  # sequence(1,0) trap
+    with _pytest.raises(ValueError):
+        api.pii_scan(d, patterns={})
+    with _pytest.raises(ValueError):
+        api.pii_redact(d, replacements={})
