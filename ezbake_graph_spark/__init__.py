@@ -14,6 +14,16 @@ joins, partial aggregation, and keyed (never cross) shuffles.
 from ezbake_graph_spark.session import get_session
 from ezbake_graph_spark.registry import REGISTRY, register, queries, oracle_sql
 from ezbake_graph_spark import api
+from ezbake_graph_spark.plan_lint import assert_scales, scale_lint
 
-__all__ = ["get_session", "REGISTRY", "register", "queries", "oracle_sql", "api"]
+__all__ = [
+    "get_session",
+    "REGISTRY",
+    "register",
+    "queries",
+    "oracle_sql",
+    "api",
+    "scale_lint",
+    "assert_scales",
+]
 __version__ = "0.1.0"
