@@ -553,3 +553,68 @@ def test_gapfill_matches_serial_oracle(spark, rows):
             if (k, h) in sums:
                 carry = sums[(k, h)]
             assert locf[(k, h)] == carry
+
+
+# --- round-6 filter/URL tier: independent Python oracles ---------------
+
+_words = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=4), min_size=1, max_size=40
+)
+
+
+@given(wordlists=st.lists(_words, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_repetition_metrics_match_counter_oracle(spark, wordlists):
+    """repetition_stats vs a pure-Python collections.Counter oracle —
+    independent of both Spark and DuckDB."""
+    from collections import Counter
+
+    from ezbake_graph_spark import api
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(wordlists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in api.repetition_stats(df).collect()}
+    for i, ws in enumerate(wordlists):
+        r = got[i]
+        assert r["n_tokens"] == len(ws)
+        assert r["dup_word_fraction"] == 1.0 - len(set(ws)) / len(ws)
+        assert r["top_unigram_fraction"] == max(
+            Counter(ws).values()
+        ) / len(ws)
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        if bgs:
+            assert r["top_bigram_fraction"] == max(
+                Counter(bgs).values()
+            ) / len(bgs)
+        else:
+            assert r["top_bigram_fraction"] is None
+
+
+_hosts = st.lists(
+    st.text(alphabet="abcXYZ", min_size=1, max_size=6), min_size=2, max_size=4
+).map(".".join)
+
+
+@given(
+    hosts=st.lists(_hosts, min_size=1, max_size=6),
+    scheme=st.sampled_from(["http", "https"]),
+)
+@settings(**_SETTINGS)
+def test_parse_urls_matches_urllib_oracle(spark, hosts, scheme):
+    """parse_urls vs Python's urllib.parse on well-formed URLs —
+    a third engine's opinion on the regex semantics."""
+    from urllib.parse import urlparse
+
+    from ezbake_graph_spark import api
+
+    urls = [
+        (i, f"{scheme}://{h}/p{i}/x?k={i}#frag") for i, h in enumerate(hosts)
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    got = {r["id"]: r for r in api.parse_urls(df).collect()}
+    for i, u in urls:
+        p = urlparse(u)
+        assert got[i]["scheme"] == p.scheme
+        assert got[i]["host"] == p.netloc.lower()
+        assert got[i]["path"] == p.path
+        assert got[i]["query"] == p.query
