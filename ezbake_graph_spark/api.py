@@ -1658,3 +1658,64 @@ def curate_corpus(
         "is_canonical",
         "keep",
     )
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context: int = 512,
+    bins_per_shard: int = 256,
+    dedup_threshold: float = 0.8,
+    quality_thresholds: dict | None = None,
+    repetition_thresholds: dict | None = None,
+    broadcast_ok: bool = False,
+) -> DataFrame:
+    """Raw documents to a training-batch layout in one call:
+    ``curate_corpus`` (quality/repetition gates, PII redaction,
+    near-dup dedup), then ``pack_sequences`` over the kept documents'
+    REDACTED text, then shard assignment (``bins_per_shard``
+    context-window bins per shard).
+
+    Returns one row per kept document: (<id_col>, n_tokens, bin_id,
+    offset_tokens, shard_id) — exactly where each document's tokens
+    land in the training batch stream. The shard manifest is one
+    ``groupBy("shard_id")`` away (doc/token counts per shard); the
+    audit record for dropped documents is ``curate_corpus`` itself.
+
+    Scale: curation is map-side + one LSH shuffle on survivors;
+    packing is one keyed window; sharding is integer arithmetic on the
+    bin id. Documents longer than ``context`` are dropped by
+    ``pack_sequences`` — chunk them first (``api``'s chunking kernels)
+    if that matters for your corpus.
+
+    >>> rows = [
+    ...     (1, "the quick brown fox jumps over the lazy dog today ok"),
+    ...     (2, "the quick brown fox jumps over the lazy dog today ok"),
+    ...     (3, "a genuinely different well formed document about the sea")]
+    >>> d = spark.createDataFrame(rows, "doc_id long, text string")
+    >>> out = prepare_training_data(
+    ...     d, context=16, bins_per_shard=2,
+    ...     quality_thresholds={"min_tokens": 5})
+    >>> sorted((r["doc_id"], r["bin_id"], r["shard_id"])
+    ...        for r in out.collect())
+    [(1, 0, 0), (3, 0, 0)]
+    """
+    if bins_per_shard < 1:
+        raise ValueError(f"bins_per_shard must be >= 1, got {bins_per_shard}")
+    curated = curate_corpus(
+        docs,
+        id_col,
+        text_col,
+        dedup_threshold,
+        quality_thresholds,
+        repetition_thresholds,
+        broadcast_ok=broadcast_ok,
+    )
+    kept = curated.filter("keep").select(
+        F.col(id_col), F.col("clean_text").alias(text_col)
+    )
+    packed = pack_sequences(kept, id_col, text_col=text_col, context=context)
+    return packed.withColumn(
+        "shard_id", F.floor(F.col("bin_id") / bins_per_shard).cast("bigint")
+    )

@@ -248,3 +248,33 @@ def test_filter_api_rejects_degenerate_parameters(spark):
         api.pii_scan(d, patterns={})
     with _pytest.raises(ValueError):
         api.pii_redact(d, replacements={})
+
+
+def test_prepare_training_data_shards_and_manifest(spark):
+    # alphabetic 6-char words, unique per doc (no near-dups), plus
+    # stopwords — passes the Gopher gate by construction
+    rows = [
+        (
+            i,
+            " ".join(f"{chr(97 + i)}{chr(97 + j)}word" for j in range(12))
+            + " the a",
+        )
+        for i in range(8)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = api.prepare_training_data(
+        d, context=64, bins_per_shard=2,
+        quality_thresholds={"min_tokens": 5},
+        repetition_thresholds={"max_top_unigram": 0.9},
+    )
+    rows_out = out.collect()
+    assert rows_out  # survivors exist
+    # shard_id = bin_id // bins_per_shard everywhere
+    assert all(r["shard_id"] == r["bin_id"] // 2 for r in rows_out)
+    # manifest is one groupBy away and accounts for every packed token
+    manifest = out.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    ).collect()
+    assert sum(m["n_docs"] for m in manifest) == len(rows_out)
+    with __import__("pytest").raises(ValueError):
+        api.prepare_training_data(d, bins_per_shard=0)
