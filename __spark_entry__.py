@@ -14,7 +14,9 @@ CORRECTNESS file): a handful of registry keys are declared rows-only
 by design — iterative/probabilistic operators whose outputs are not
 SQL-expressible (e.g. ``graph_pagerank``, ``graph_ppr``,
 ``agg_approx_distinct``, ``dedup_minhash``, ``sim_ivf``,
-``kmeans_assign``, ``graph_closeness_sampled``). They have a
+``kmeans_assign``). (``graph_closeness_sampled`` is NOT one of them:
+its fixed BFS-source sample is deterministic, so it carries a full
+value-hash oracle.) They have a
 ``queries()`` entry but deliberately NO ``oracle_sql()`` entry, so
 the harness logs ``err: no_oracle`` for them in every round they are
 emitted — by construction they can never show a green hash-match
