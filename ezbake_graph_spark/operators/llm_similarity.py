@@ -708,6 +708,10 @@ def embed_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         (F.sqrt(sumsq.cast("double")) / F.lit(1_000_000)).alias("l2_norm"),
     )
+    # try_divide: a zero vector has no unit direction — NULL components
+    # (array_join drops them → empty unit_q6) instead of an ANSI
+    # DIVIDE_BY_ZERO on the first all-zero embedding. Fixture vectors
+    # are never zero, so the oracle needs no twin guard.
     return withn.select(
         "vec_id",
         "l2_norm",
@@ -715,7 +719,8 @@ def embed_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 "embedding",
                 lambda x: F.floor(
-                    x.cast("double") / F.col("l2_norm") * F.lit(1_000_000)
+                    F.try_divide(x.cast("double"), F.col("l2_norm"))
+                    * F.lit(1_000_000)
                     + F.lit(0.5)
                 )
                 .cast("long")
