@@ -1719,3 +1719,40 @@ def prepare_training_data(
     return packed.withColumn(
         "shard_id", F.floor(F.col("bin_id") / bins_per_shard).cast("bigint")
     )
+
+
+def check_constraints(df: DataFrame, rules: list) -> DataFrame:
+    """Declarative data-quality audit: evaluate ``not_null`` /
+    ``unique`` / ``in_set`` / ``range`` / ``fk`` rules and return one
+    (rule_id, rule, violations) row per rule — the Deequ/dbt-test
+    surface. All aggregate rules fold into ONE scan; each ``unique``
+    adds one keyed agg, each ``fk`` one anti-join. See
+    ``operators.quality.check_constraints`` for the rule schema.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "a"), (1, "b"), (2, None)], "id long, v string")
+    >>> [(r["rule"], r["violations"]) for r in check_constraints(
+    ...     d, [{"rule": "not_null", "column": "v"},
+    ...         {"rule": "unique", "columns": ["id"]}]).collect()]
+    [('not_null(v)', 1), ('unique(id)', 1)]
+    """
+    from ezbake_graph_spark.operators import quality
+
+    return quality.check_constraints(df, rules)
+
+
+def profile(df: DataFrame, columns: list) -> DataFrame:
+    """Single-pass column profile: (col_name, n_nulls, n_distinct,
+    min_value, max_value) per requested column, scanning the table
+    once however many columns are profiled. Restrict to int / string /
+    date-like columns (float min/max would need engine-identical
+    string rendering — quantize those first).
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "x"), (2, None), (2, "y")], "id long, v string")
+    >>> [tuple(r) for r in profile(d, ["id", "v"]).orderBy("col_name").collect()]
+    [('id', 0, 2, '1', '2'), ('v', 1, 2, 'x', 'y')]
+    """
+    from ezbake_graph_spark.operators import quality
+
+    return quality.profile_columns(df, columns)

@@ -18,6 +18,7 @@ from ezbake_graph_spark.operators import (  # noqa: F401
     llm_url,
     multimodal,
     projection,
+    quality,
     sampling,
     scalars,
     scans,

@@ -1,0 +1,270 @@
+"""Data-quality operators: declarative constraint checking and
+single-pass column profiling (the Deequ / dbt-test surface an
+analytics engine needs before anything downstream trusts a table).
+
+- ``check_constraints``: evaluate a rule list — ``not_null``,
+  ``unique``, ``in_set``, ``range``, ``fk`` — and return one row per
+  rule with its violation count. Aggregate-only rules (everything but
+  fk/unique) fold into ONE scan of the table; ``unique`` adds one
+  keyed agg, ``fk`` one anti-join against the reference table (the
+  planner broadcasts a small reference side). At 100 TB the audit
+  costs what one groupBy costs — there is no per-rule table scan.
+- ``profile_columns``: per-column null count / distinct count / min /
+  max in ONE pass (a single wide aggregate row, exploded to one row
+  per column) — the profile a migration or schema review reads first.
+
+Both registry keys carry full DuckDB oracles: violation counts and
+profiles are exact integers/strings, no float hazards (profiled
+columns are restricted to int/string/timestamp types; doubles would
+need engine-identical string formatting and are deliberately
+excluded — quantize first if you need them profiled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.registry import register
+
+
+def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate declarative quality rules; one output row per rule:
+    (rule_id, rule, violations).
+
+    Rule dicts (``rule`` selects the type):
+
+    - ``{"rule": "not_null", "column": c}`` — NULLs in c.
+    - ``{"rule": "unique", "columns": [c, ...]}`` — rows beyond the
+      first per key (sum of count-1 over duplicated keys).
+    - ``{"rule": "in_set", "column": c, "allowed": [...]}`` — non-NULL
+      values outside the allowed set.
+    - ``{"rule": "range", "column": c, "min": lo, "max": hi}`` —
+      non-NULL values outside [lo, hi].
+    - ``{"rule": "fk", "columns": [...], "ref": DataFrame,
+      "ref_columns": [...]}`` — rows (with non-NULL keys) that have no
+      match in the reference table.
+
+    All aggregate rules evaluate in ONE pass (a single agg over
+    conditional sums); each ``unique`` adds one keyed aggregate and
+    each ``fk`` one anti-join. ``rule_id`` is the rule's position in
+    the input list, so the output is stable for diffing across runs.
+    """
+    agg_exprs: list[Column] = []
+    extra_counts: list[tuple[int, str, DataFrame]] = []
+    labels: dict[int, str] = {}
+    for i, r in enumerate(rules):
+        kind = r["rule"]
+        if kind == "not_null":
+            c = r["column"]
+            labels[i] = f"not_null({c})"
+            agg_exprs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"v{i}")
+            )
+        elif kind == "in_set":
+            c = r["column"]
+            allowed = list(r["allowed"])
+            labels[i] = f"in_set({c})"
+            agg_exprs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull() & ~F.col(c).isin(*allowed), 1
+                    ).otherwise(0)
+                ).alias(f"v{i}")
+            )
+        elif kind == "range":
+            c = r["column"]
+            labels[i] = f"range({c})"
+            agg_exprs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull()
+                        & ~F.col(c).between(r["min"], r["max"]),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"v{i}")
+            )
+        elif kind == "unique":
+            cols = list(r["columns"])
+            labels[i] = f"unique({','.join(cols)})"
+            dup = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("violations")
+                )
+            )
+            extra_counts.append((i, labels[i], dup))
+        elif kind == "fk":
+            cols = list(r["columns"])
+            ref_cols = list(r["ref_columns"])
+            labels[i] = f"fk({','.join(cols)})"
+            ref = r["ref"].select(
+                *[F.col(rc).alias(f"__ref_{j}") for j, rc in enumerate(ref_cols)]
+            ).distinct()
+            cond = None
+            for j, c in enumerate(cols):
+                e = F.col(c) == F.col(f"__ref_{j}")
+                cond = e if cond is None else cond & e
+            keyed = df.select(*cols).na.drop(subset=cols)
+            orphans = keyed.join(ref, cond, "left_anti").agg(
+                F.count(F.lit(1)).alias("violations")
+            )
+            extra_counts.append((i, labels[i], orphans))
+        else:
+            raise ValueError(f"unknown rule type: {kind!r}")
+
+    parts: list[DataFrame] = []
+    if agg_exprs:
+        one = df.agg(*agg_exprs)
+        # melt the single wide row into (rule_id, rule, violations)
+        agg_ids = [i for i in labels if f"v{i}" in [c for c in one.columns]]
+        stack = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("rule_id"),
+                        F.lit(labels[i]).alias("rule"),
+                        F.col(f"v{i}").cast("long").alias("violations"),
+                    )
+                    for i in agg_ids
+                ]
+            )
+        ).alias("s")
+        parts.append(one.select(stack).select("s.rule_id", "s.rule", "s.violations"))
+    for i, label, cdf in extra_counts:
+        parts.append(
+            cdf.select(
+                F.lit(i).alias("rule_id"),
+                F.lit(label).alias("rule"),
+                F.col("violations").cast("long").alias("violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rule_id")
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Single-pass column profile: (col_name, n_nulls, n_distinct,
+    min_value, max_value) — min/max rendered as strings. One wide
+    aggregate row over the table (null counts, exact distinct counts,
+    min/max per column), exploded to one output row per column; the
+    table is scanned once regardless of how many columns are profiled.
+    Restrict to int/string/date-like columns — float min/max would
+    need engine-identical string rendering."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_{c}"),
+            F.count_distinct(F.col(c)).alias(f"d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"n_{c}").cast("long").alias("n_nulls"),
+                    F.col(f"d_{c}").cast("long").alias("n_distinct"),
+                    F.col(f"mn_{c}").alias("min_value"),
+                    F.col(f"mx_{c}").alias("max_value"),
+                )
+                for c in columns
+            ]
+        )
+    ).alias("s")
+    return one.select(stack).select(
+        "s.col_name", "s.n_nulls", "s.n_distinct", "s.min_value", "s.max_value"
+    )
+
+
+_DQ_AUDIT_SQL = """
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(sum(CASE WHEN o_orderkey IS NOT NULL
+              AND o_orderkey NOT BETWEEN 0 AND 30000 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+  FROM orders
+), uniq AS (
+  SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS v3
+  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+), fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS v4
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+)
+SELECT 0 AS rule_id, 'not_null(o_custkey)' AS rule, v0 AS violations FROM agg
+UNION ALL
+SELECT 1, 'in_set(o_orderstatus)', v1 FROM agg
+UNION ALL
+SELECT 2, 'range(o_orderkey)', v2 FROM agg
+UNION ALL
+SELECT 3, 'unique(o_orderkey)', v3 FROM uniq
+UNION ALL
+SELECT 4, 'fk(o_custkey)', v4 FROM fk
+ORDER BY rule_id
+"""
+
+
+@register("dq_constraint_audit", oracle=_DQ_AUDIT_SQL, tags=("ext", "dq"))
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit of the orders table: not-null,
+    in-set, range, uniqueness and an orders→customer foreign key, one
+    violation-count row per rule."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    return check_constraints(
+        o,
+        [
+            {"rule": "not_null", "column": "o_custkey"},
+            {"rule": "in_set", "column": "o_orderstatus", "allowed": ["O", "F", "P"]},
+            {"rule": "range", "column": "o_orderkey", "min": 0, "max": 30000},
+            {"rule": "unique", "columns": ["o_orderkey"]},
+            {"rule": "fk", "columns": ["o_custkey"], "ref": c,
+             "ref_columns": ["c_custkey"]},
+        ],
+    )
+
+
+_DQ_PROFILE_SQL = """
+WITH one AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    count(DISTINCT o_orderkey) AS d0,
+    CAST(min(o_orderkey) AS VARCHAR) AS mn0,
+    CAST(max(o_orderkey) AS VARCHAR) AS mx0,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    count(DISTINCT o_custkey) AS d1,
+    CAST(min(o_custkey) AS VARCHAR) AS mn1,
+    CAST(max(o_custkey) AS VARCHAR) AS mx1,
+    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    count(DISTINCT o_orderstatus) AS d2,
+    CAST(min(o_orderstatus) AS VARCHAR) AS mn2,
+    CAST(max(o_orderstatus) AS VARCHAR) AS mx2
+  FROM orders
+)
+SELECT 'o_orderkey' AS col_name, n0 AS n_nulls, d0 AS n_distinct,
+       mn0 AS min_value, mx0 AS max_value FROM one
+UNION ALL
+SELECT 'o_custkey', n1, d1, mn1, mx1 FROM one
+UNION ALL
+SELECT 'o_orderstatus', n2, d2, mn2, mx2 FROM one
+ORDER BY col_name
+"""
+
+
+@register("dq_profile_columns", oracle=_DQ_PROFILE_SQL, tags=("ext", "dq"))
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profile of three orders columns (nulls, exact
+    distinct counts, min/max as strings)."""
+    o = tables.load(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus"]
+    ).orderBy("col_name")

@@ -278,3 +278,40 @@ def test_prepare_training_data_shards_and_manifest(spark):
     assert sum(m["n_docs"] for m in manifest) == len(rows_out)
     with __import__("pytest").raises(ValueError):
         api.prepare_training_data(d, bins_per_shard=0)
+
+
+def test_check_constraints_all_rule_types(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, "O"), (1, 11, "O"), (2, None, "X"), (3, 99, "F")],
+        "ok long, ck long, st string",
+    )
+    cust = spark.createDataFrame([(10,), (11,)], "ck_ref long")
+    out = {r["rule"]: r["violations"] for r in api.check_constraints(
+        orders,
+        [
+            {"rule": "not_null", "column": "ck"},
+            {"rule": "unique", "columns": ["ok"]},
+            {"rule": "in_set", "column": "st", "allowed": ["O", "F"]},
+            {"rule": "range", "column": "ok", "min": 1, "max": 2},
+            {"rule": "fk", "columns": ["ck"], "ref": cust,
+             "ref_columns": ["ck_ref"]},
+        ],
+    ).collect()}
+    assert out == {
+        "not_null(ck)": 1,      # the NULL ck
+        "unique(ok)": 1,        # ok=1 twice -> one extra row
+        "in_set(st)": 1,        # 'X'
+        "range(ok)": 1,         # ok=3
+        "fk(ck)": 1,            # ck=99 has no ref (NULL ck not counted)
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.check_constraints(orders, [{"rule": "nope"}])
+
+
+def test_dq_registry_keys_match_api_kernels(spark):
+    got = {tuple(r) for r in _registry(spark, "dq_constraint_audit").collect()}
+    assert len(got) == 5 and all(v == 0 for *_, v in got)  # fixture is clean
+    prof = {tuple(r) for r in _registry(spark, "dq_profile_columns").collect()}
+    assert {c for c, *_ in prof} == {"o_orderkey", "o_custkey", "o_orderstatus"}
