@@ -216,8 +216,11 @@ def harmonic_closeness(
     exact value (tested against the fixture query).
 
     Every superstep is one keyed join + min-aggregate with an eagerly
-    checkpointed frontier (same discipline as graph/pregel.py); the
-    convergence probe aggregates two numbers.
+    checkpointed frontier (same discipline as graph/pregel.py).
+    Driver round-trips, stated per the pregel.py convention: one
+    ``vertices.count()`` at plan build (the estimator's N) plus one
+    2-value convergence aggregate per relaxation superstep — bounded
+    by ``max_iter``, each a scalar fetch, never a row collect.
 
     Returns (id, n_reached, harmonic_centrality) for every vertex that
     reaches >= 1 (sampled) target. Reciprocals are summed in integer

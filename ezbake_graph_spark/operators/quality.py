@@ -51,6 +51,8 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     each ``fk`` one anti-join. ``rule_id`` is the rule's position in
     the input list, so the output is stable for diffing across runs.
     """
+    if not rules:
+        raise ValueError("rules must be a non-empty list")
     agg_exprs: list[Column] = []
     extra_counts: list[tuple[int, str, DataFrame]] = []
     labels: dict[int, str] = {}

@@ -315,3 +315,11 @@ def test_dq_registry_keys_match_api_kernels(spark):
     assert len(got) == 5 and all(v == 0 for *_, v in got)  # fixture is clean
     prof = {tuple(r) for r in _registry(spark, "dq_profile_columns").collect()}
     assert {c for c, *_ in prof} == {"o_orderkey", "o_custkey", "o_orderstatus"}
+
+
+def test_check_constraints_rejects_empty_rules(spark):
+    import pytest as _pytest
+
+    d = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        api.check_constraints(d, [])
