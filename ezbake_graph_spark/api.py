@@ -1759,3 +1759,52 @@ def profile(df: DataFrame, columns: list) -> DataFrame:
     from ezbake_graph_spark.operators import quality
 
     return quality.profile_columns(df, columns)
+
+
+def within_radius(
+    points: DataFrame,
+    id_col: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    radius_km: float = 50.0,
+    cell_deg: float = 1.0,
+) -> DataFrame:
+    """Spatial radius self-join: all unordered point pairs within
+    ``radius_km`` (haversine), via integer grid cells + a 3x3
+    neighborhood join — candidates are neighbors-of-cell, never all
+    pairs, the same pruning shape as MinHash bands / IVF cells. At
+    100 TB the cell id is the table's partition key and a radius
+    query touches 9 partitions. Returns (id1, id2, dist_km), id1 <
+    id2, distance rounded to 3 decimals. Requires ``radius_km <=
+    cell_deg * 111 * cos(max |lat|)``; validated conservatively for
+    |lat| <= 66 deg — raise ``cell_deg`` for larger radii.
+
+    >>> p = spark.createDataFrame(
+    ...     [(1, 48.85, 2.35), (2, 48.86, 2.36), (3, 40.71, -74.0)],
+    ...     "point_id long, lat double, lon double")
+    >>> within_radius(p, radius_km=5.0, cell_deg=1.0).collect()
+    [Row(id1=1, id2=2, dist_km=1.331)]
+    """
+    from ezbake_graph_spark.operators import geo
+
+    return geo.within_radius(points, id_col, lat_col, lon_col, radius_km, cell_deg)
+
+
+def geo_cell_counts(
+    points: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = 1.0,
+) -> DataFrame:
+    """Density map: point count per integer lat/lon grid cell — one
+    keyed aggregate over exact integer cell ids.
+
+    >>> p = spark.createDataFrame(
+    ...     [(1, 48.85, 2.35), (2, 48.86, 2.36), (3, 40.71, -74.0)],
+    ...     "point_id long, lat double, lon double")
+    >>> [tuple(r) for r in geo_cell_counts(p).collect()]
+    [(40, -74, 1), (48, 2, 2)]
+    """
+    from ezbake_graph_spark.operators import geo
+
+    return geo.geo_cell_counts(points, lat_col, lon_col, cell_deg)

@@ -8,6 +8,7 @@ sync as modules are added.
 from ezbake_graph_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
+    geo,
     graph,
     joins,
     llm_chunk,

@@ -323,3 +323,57 @@ def test_check_constraints_rejects_empty_rules(spark):
     d = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError):
         api.check_constraints(d, [])
+
+
+def test_within_radius_matches_bruteforce(spark):
+    import itertools
+    import math
+
+    rows = [(i, 5.0 + (i * 13 % 40) / 100.0, 5.0 + (i * 29 % 60) / 100.0)
+            for i in range(30)]
+    p = spark.createDataFrame(rows, "point_id long, lat double, lon double")
+    got = {(r["id1"], r["id2"]) for r in
+           api.within_radius(p, radius_km=40.0).collect()}
+
+    def hav(a, b):
+        (_, la1, lo1), (_, la2, lo2) = a, b
+        dla, dlo = math.radians(la2 - la1) / 2, math.radians(lo2 - lo1) / 2
+        x = (math.sin(dla) ** 2
+             + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+             * math.sin(dlo) ** 2)
+        return round(2 * 6371.0 * math.asin(math.sqrt(x)), 3)
+
+    want = {(a[0], b[0]) for a, b in itertools.combinations(rows, 2)
+            if hav(a, b) <= 40.0}
+    assert got == want and got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.within_radius(p, radius_km=60.0, cell_deg=1.0)  # ring too small
+
+
+def test_geo_registry_keys(spark):
+    import itertools
+    import math
+
+    from ezbake_graph_spark.operators.geo import _fabricated_points
+
+    cust = tables.load(spark, SF_SMOKE, "customer")
+    pts = [(r["point_id"], r["lat"], r["lon"])
+           for r in _fabricated_points(cust).collect()]
+
+    def hav(a, b):
+        (_, la1, lo1), (_, la2, lo2) = a, b
+        dla, dlo = math.radians(la2 - la1) / 2, math.radians(lo2 - lo1) / 2
+        x = (math.sin(dla) ** 2
+             + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+             * math.sin(dlo) ** 2)
+        return round(2 * 6371.0 * math.asin(math.sqrt(x)), 3)
+
+    want = {(min(a[0], b[0]), max(a[0], b[0]))
+            for a, b in itertools.combinations(pts, 2) if hav(a, b) <= 40.0}
+    got = {(r["id1"], r["id2"])
+           for r in _registry(spark, "geo_radius_pairs").collect()}
+    assert got == want  # may be empty at the smoke SF; sf0.01 has 3400+
+    cells = _registry(spark, "geo_cell_agg")
+    assert cells.agg(F.sum("n_points")).collect()[0][0] == len(pts)
