@@ -76,13 +76,24 @@ def within_radius(
     module docstring. Returns (id1, id2, dist_km) with id1 < id2 and
     dist_km rounded to 3 decimals.
 
-    The 3x3 neighborhood covers the radius only while ``radius_km <=
-    cell_deg * 111 * cos(max |lat|)`` — validated conservatively for
-    |lat| <= 66 deg; raise ``cell_deg`` for larger radii."""
-    if radius_km > cell_deg * 111.0 * 0.4:
+    Coverage: the latitude ring is +-1 cell (validated: ``radius_km <=
+    cell_deg * 111``); the LONGITUDE fan-out is computed PER POINT
+    from its latitude — ``ceil(radius / (111 * cell_deg * cos(lat)))``
+    cells, capped at the full circle — because a fixed +-1 ring
+    silently misses pairs wherever a longitude cell is narrower than
+    the radius (111 km * cos(lat) shrinks toward the poles). The
+    data-dependent ``explode(sequence(-k, k))`` keeps the fan-out x3
+    in temperate data and widens only for the polar rows that need
+    it.
+
+    Known limitation (documented, not silent): candidate cells do NOT
+    wrap across the antimeridian — a pair straddling lon +-180 deg is
+    not matched. Shift longitudes (e.g. pmod(lon + 360, 360)) before
+    calling if your data spans the seam."""
+    if radius_km > cell_deg * 111.0:
         raise ValueError(
-            f"radius_km={radius_km} exceeds the 3x3 neighborhood guarantee "
-            f"for cell_deg={cell_deg} at |lat| <= 66 deg; increase cell_deg"
+            f"radius_km={radius_km} exceeds one latitude cell "
+            f"(cell_deg={cell_deg} = {cell_deg * 111.0:.0f} km); increase cell_deg"
         )
     base = points.select(
         F.col(id_col).alias("pid"),
@@ -91,9 +102,18 @@ def within_radius(
         F.floor(F.col(lat_col) / cell_deg).alias("cl"),
         F.floor(F.col(lon_col) / cell_deg).alias("cn"),
     )
+    # lon cells per radius at this latitude, capped at the full circle
+    half_circle = int(180.0 / cell_deg) + 1
+    k = F.least(
+        F.lit(half_circle),
+        F.ceil(
+            F.lit(radius_km)
+            / (F.lit(111.0 * cell_deg) * F.cos(F.radians(F.col("plat"))))
+        ).cast("int"),
+    )
     left = (
         base.withColumn("di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-        .withColumn("dj", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dj", F.explode(F.sequence(-k, k)))
         .select(
             F.col("pid").alias("id1"),
             F.col("plat").alias("lat1"),

@@ -349,7 +349,7 @@ def test_within_radius_matches_bruteforce(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        api.within_radius(p, radius_km=60.0, cell_deg=1.0)  # ring too small
+        api.within_radius(p, radius_km=120.0, cell_deg=1.0)  # > 1 lat cell
 
 
 def test_geo_registry_keys(spark):
@@ -377,3 +377,17 @@ def test_geo_registry_keys(spark):
     assert got == want  # may be empty at the smoke SF; sf0.01 has 3400+
     cells = _registry(spark, "geo_cell_agg")
     assert cells.agg(F.sum("n_points")).collect()[0][0] == len(pts)
+
+
+def test_within_radius_high_latitude_adaptive_fanout(spark):
+    """At lat 75 a degree of longitude is ~28.7 km: two points 1.2 lon
+    deg apart (~34 km) are inside a 40 km radius but 1-2 lon CELLS
+    apart — a fixed 3x3 ring misses them; the per-latitude fan-out
+    must find them."""
+    p = spark.createDataFrame(
+        [(1, 75.0, 10.05), (2, 75.0, 11.25), (3, 75.0, 19.0)],
+        "point_id long, lat double, lon double",
+    )
+    got = {(r["id1"], r["id2"]) for r in
+           api.within_radius(p, radius_km=40.0, cell_deg=1.0).collect()}
+    assert got == {(1, 2)}
