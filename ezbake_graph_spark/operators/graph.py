@@ -1593,3 +1593,24 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("degree_assortativity"),
     )
+
+
+@register(
+    "graph_betweenness_sampled", oracle=None, tags=("ext", "rows-only")
+)
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Brandes betweenness centrality over the part-supplier
+    graph, 4 fixed BFS sources (rows-only: the backward dependency
+    pass sums float fractions sigma_v/sigma_w whose shuffle order is
+    nondeterministic, SURVEY §5.3 rule 5). Golden-checked against a
+    pure-Python Brandes in tests/test_graph.py; the kernel is
+    ``graph.pregel.betweenness_sampled`` (api.betweenness_sampled is
+    the user surface)."""
+    from ezbake_graph_spark.graph.pregel import betweenness_sampled
+
+    edges = bipartite_edges(spark, sf_dir)
+    verts = graph_vertices(edges)
+    bc = betweenness_sampled(verts, edges, sources=[1, 3, 5], max_depth=6)
+    return bc.select("id", F.round("betweenness", 4).alias("betweenness")).orderBy(
+        "id"
+    )

@@ -120,6 +120,7 @@ _SLOW: frozenset[str] = frozenset(
         "graph_random_walk",  # 4 chained hop joins, 3.7s warm
         "dedup_cluster_canonical",  # pair kernel + Pregel WCC, 3.6s
         "sql_recursive_cte",  # 4-table derivation + engine recursion, 2.1s
+        "graph_betweenness_sampled",  # |S| x diameter checkpointed supersteps, ~18s
     }
 )
 

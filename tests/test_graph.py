@@ -406,3 +406,104 @@ def test_pregel_run_rejects_unknown_state_col(spark):
     edges = spark.createDataFrame([(0, 0)], "src long, dst long")
     with pytest.raises(ValueError, match="unknown state columns"):
         pregel_run(verts, edges, F.col("x"), F.min, {"nope": F.col("x")})
+
+
+def test_betweenness_sampled_matches_python_brandes(spark):
+    """betweenness_sampled (all vertices as sources = exact) vs a
+    pure-Python Brandes on a non-trivial graph with branching,
+    fractional path splits, and a pendant chain."""
+    import collections
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5), (1, 2), (5, 6)]
+    n = 7
+
+    def python_brandes():
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        bc = dict.fromkeys(range(n), 0.0)
+        for s in range(n):
+            sigma = dict.fromkeys(range(n), 0)
+            dist = dict.fromkeys(range(n), -1)
+            sigma[s], dist[s] = 1, 0
+            order, queue = [], collections.deque([s])
+            while queue:
+                v = queue.popleft()
+                order.append(v)
+                for w in adj[v]:
+                    if dist[w] < 0:
+                        dist[w] = dist[v] + 1
+                        queue.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            delta = dict.fromkeys(range(n), 0.0)
+            for w in reversed(order):
+                for v in adj[w]:
+                    if dist[v] == dist[w] - 1:
+                        delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+                if w != s:
+                    bc[w] += delta[w]
+        return {v: x / 2.0 for v, x in bc.items()}  # undirected halving
+
+    from ezbake_graph_spark import api
+
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["betweenness"] for r in
+           api.betweenness_sampled(v, e, sources=list(range(n))).collect()}
+    want = python_brandes()
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_betweenness_sampled_subset_scaling(spark):
+    """With a source subset, the estimator is N/(2|S|) x the sampled
+    dependency sum — check against the python reference restricted to
+    the same sources."""
+    import collections
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    n, sources = 4, [0, 2]
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def dependencies(s):
+        sigma = dict.fromkeys(range(n), 0)
+        dist = dict.fromkeys(range(n), -1)
+        sigma[s], dist[s] = 1, 0
+        order, queue = [], collections.deque([s])
+        while queue:
+            v = queue.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = dict.fromkeys(range(n), 0.0)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist[v] == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+        return {v: d for v, d in delta.items() if v != s}
+
+    want = dict.fromkeys(range(n), 0.0)
+    for s in sources:
+        for v, d in dependencies(s).items():
+            want[v] += d
+    scale = n / (2.0 * len(sources))
+    want = {v: d * scale for v, d in want.items()}
+
+    from ezbake_graph_spark import api
+
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["betweenness"] for r in
+           api.betweenness_sampled(v, e, sources=sources).collect()}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
