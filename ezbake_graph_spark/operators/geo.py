@@ -90,6 +90,10 @@ def within_radius(
     wrap across the antimeridian — a pair straddling lon +-180 deg is
     not matched. Shift longitudes (e.g. pmod(lon + 360, 360)) before
     calling if your data spans the seam."""
+    if cell_deg <= 0 or radius_km <= 0:
+        raise ValueError(
+            f"cell_deg and radius_km must be positive (got {cell_deg}, {radius_km})"
+        )
     if radius_km > cell_deg * 111.0:
         raise ValueError(
             f"radius_km={radius_km} exceeds one latitude cell "

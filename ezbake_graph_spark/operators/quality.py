@@ -67,6 +67,8 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
         elif kind == "in_set":
             c = r["column"]
             allowed = list(r["allowed"])
+            if not allowed:
+                raise ValueError(f"rule {i}: in_set needs a non-empty allowed list")
             labels[i] = f"in_set({c})"
             agg_exprs.append(
                 F.sum(
@@ -89,6 +91,8 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
             )
         elif kind == "unique":
             cols = list(r["columns"])
+            if not cols:
+                raise ValueError(f"rule {i}: unique needs a non-empty column list")
             labels[i] = f"unique({','.join(cols)})"
             dup = (
                 df.groupBy(*cols)
@@ -101,6 +105,12 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
         elif kind == "fk":
             cols = list(r["columns"])
             ref_cols = list(r["ref_columns"])
+            if not cols or len(cols) != len(ref_cols):
+                raise ValueError(
+                    f"rule {i}: fk needs non-empty columns and ref_columns of "
+                    f"equal length (got {len(cols)} vs {len(ref_cols)} - a "
+                    "silent zip would check only the shorter prefix)"
+                )
             labels[i] = f"fk({','.join(cols)})"
             ref = r["ref"].select(
                 *[F.col(rc).alias(f"__ref_{j}") for j, rc in enumerate(ref_cols)]

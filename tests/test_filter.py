@@ -391,3 +391,22 @@ def test_within_radius_high_latitude_adaptive_fanout(spark):
     got = {(r["id1"], r["id2"]) for r in
            api.within_radius(p, radius_km=40.0, cell_deg=1.0).collect()}
     assert got == {(1, 2)}
+
+
+def test_constraint_and_geo_argument_validation(spark):
+    import pytest as _pytest
+
+    d = spark.createDataFrame([(1, "x")], "id long, v string")
+    ref = spark.createDataFrame([(1, 2)], "a long, b long")
+    for bad in (
+        [{"rule": "in_set", "column": "v", "allowed": []}],
+        [{"rule": "unique", "columns": []}],
+        [{"rule": "fk", "columns": ["id", "v"], "ref": ref,
+          "ref_columns": ["a"]}],  # length mismatch: silent zip trap
+    ):
+        with _pytest.raises(ValueError):
+            api.check_constraints(d, bad)
+    p = spark.createDataFrame([(1, 0.0, 0.0)],
+                              "point_id long, lat double, lon double")
+    with _pytest.raises(ValueError):
+        api.within_radius(p, cell_deg=0.0)
