@@ -618,3 +618,38 @@ def test_parse_urls_matches_urllib_oracle(spark, hosts, scheme):
         assert got[i]["host"] == p.netloc.lower()
         assert got[i]["path"] == p.path
         assert got[i]["query"] == p.query
+
+
+_latlon = st.tuples(
+    st.integers(min_value=-5900, max_value=5900),   # lat*100 in [-59, 59]
+    st.integers(min_value=-17000, max_value=17000),  # lon*100, away from seam
+)
+
+
+@given(pts=st.lists(_latlon, min_size=2, max_size=25, unique=True))
+@settings(**_SETTINGS)
+def test_within_radius_matches_python_bruteforce(spark, pts):
+    """Grid-bucketed radius join vs an all-pairs python haversine over
+    hypothesis-generated coordinates (both hemispheres, clustered and
+    dispersed) — the candidate pruning must never lose a true pair."""
+    import itertools
+    import math
+
+    from ezbake_graph_spark import api
+
+    rows = [(i, la / 100.0, lo / 100.0) for i, (la, lo) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "point_id long, lat double, lon double")
+    got = {(r["id1"], r["id2"]) for r in
+           api.within_radius(df, radius_km=80.0).collect()}
+
+    def hav(a, b):
+        (_, la1, lo1), (_, la2, lo2) = a, b
+        dla, dlo = math.radians(la2 - la1) / 2, math.radians(lo2 - lo1) / 2
+        x = (math.sin(dla) ** 2
+             + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+             * math.sin(dlo) ** 2)
+        return round(2 * 6371.0 * math.asin(math.sqrt(min(1.0, x))), 3)
+
+    want = {(a[0], b[0]) for a, b in itertools.combinations(rows, 2)
+            if hav(a, b) <= 80.0}
+    assert got == want
