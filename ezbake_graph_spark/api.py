@@ -996,24 +996,30 @@ def ivf_search(
         ivf_probe_topk,
     )
 
-    def norm(df: DataFrame, out_id: str) -> DataFrame:
+    def norm(df: DataFrame, out_id: str, keep_cell: bool = False) -> DataFrame:
         dvec = F.transform(vec_col, lambda x: x.cast("double"))
         sq = F.aggregate(
             F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        keep = [F.col(cell_col)] if cell_col else []
+        # cell_col is kept only when normalizing the CORPUS (ADVICE r6:
+        # selecting it from the query table made supervised-cell mode
+        # demand a column the docstring says queries don't need)
+        keep = [F.col(cell_col)] if (cell_col and keep_cell) else []
         return df.select(
             F.col(id_col).alias(out_id), dvec.alias("v"), F.sqrt(sq).alias("nrm"), *keep
         )
 
-    vecs = norm(corpus, "vec_id").cache()
+    vecs = norm(corpus, "vec_id", keep_cell=True).cache()
     if cell_col:
         cent = cell_centroids(vecs, cell_col).cache()
+        assigned = assign_nearest_cell(vecs.drop(cell_col), cent)
     else:
         # deterministic k-means-style build: hash-seeded cells, then
-        # Lloyd rounds of (per-cell mean centroid, nearest reassign)
+        # Lloyd rounds of (per-cell mean centroid, nearest reassign);
+        # the loop's own final reassignment already uses the last
+        # centroids — no post-loop duplicate stage (ADVICE r6)
         assigned = vecs.withColumn(
             "cell", F.pmod(F.xxhash64("vec_id"), F.lit(n_cells))
         )
@@ -1021,7 +1027,6 @@ def ivf_search(
         for _ in range(max(1, build_iters)):
             cent = cell_centroids(assigned, "cell").cache()
             assigned = assign_nearest_cell(vecs, cent)
-    assigned = assign_nearest_cell(vecs, cent)
     qn = norm(queries, "query_id").select(
         "query_id", F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -1079,9 +1084,15 @@ def incremental_mv(
     whose checkpoint commit didn't land, so the view records the last
     merged batch id (``_last_batch_id``, underscore-prefixed — Spark's
     parquet reader ignores it) and a replayed batch is skipped instead
-    of double-counted into the sums. On a production cluster back the
-    view with a transactional table format (Delta/Iceberg MERGE)
-    instead of a directory swap — the merge algebra here is unchanged.
+    of double-counted into the sums. The marker also records WHICH
+    checkpoint produced the view: batch ids restart at 0 under a fresh
+    ``checkpoint_dir`` (common when debugging), so pairing a new
+    checkpoint with an existing ``mv_dir`` would otherwise silently
+    skip every new batch behind the replay guard — that combination
+    raises up front instead (delete the view dir, or keep the original
+    checkpoint). On a production cluster back the view with a
+    transactional table format (Delta/Iceberg MERGE) instead of a
+    directory swap — the merge algebra here is unchanged.
 
     The ``stream_incremental_mv`` pattern parameterized: ``measures``
     maps output column -> (op, col) with op in sum/count/min/max —
@@ -1113,12 +1124,29 @@ def incremental_mv(
                 aggs.append(getattr(F, op)(c).alias(name))
         return df.groupBy(*keys).agg(*aggs)
 
+    # checkpoint-identity guard (ADVICE r6): validate BEFORE the stream
+    # starts — a raise inside foreachBatch would only fail the query,
+    # and the stale view would still be returned after the timeout
+    ckpt_token = os.path.abspath(checkpoint_dir)
+    marker = os.path.join(mv_dir, "_last_batch_id")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            lines = fh.read().splitlines()
+        if len(lines) > 1 and lines[1] != ckpt_token:
+            raise ValueError(
+                f"mv_dir {mv_dir!r} was built from checkpoint {lines[1]!r}; "
+                f"running it against a different checkpoint "
+                f"{ckpt_token!r} would restart batch ids at 0 and the "
+                "replay guard would silently skip every new batch. "
+                "Delete the view dir to rebuild, or reuse the original "
+                "checkpoint_dir."
+            )
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        marker = os.path.join(mv_dir, "_last_batch_id")
         if os.path.exists(marker):
             with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
+                if batch_id <= int(fh.read().splitlines()[0]):
                     return  # crash-replayed batch already merged: skip
         merged = partial(batch_df)
         if os.path.exists(mv_dir):
@@ -1136,7 +1164,7 @@ def incremental_mv(
         tmp = mv_dir + ".tmp"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
-            fh.write(str(batch_id))
+            fh.write(f"{batch_id}\n{ckpt_token}")
         if os.path.exists(mv_dir):
             shutil.rmtree(mv_dir)
         os.rename(tmp, mv_dir)
@@ -1768,16 +1796,25 @@ def within_radius(
     lon_col: str = "lon",
     radius_km: float = 50.0,
     cell_deg: float = 1.0,
+    wrap_lon: bool = False,
 ) -> DataFrame:
     """Spatial radius self-join: all unordered point pairs within
-    ``radius_km`` (haversine), via integer grid cells + a 3x3
-    neighborhood join — candidates are neighbors-of-cell, never all
-    pairs, the same pruning shape as MinHash bands / IVF cells. At
-    100 TB the cell id is the table's partition key and a radius
-    query touches 9 partitions. Returns (id1, id2, dist_km), id1 <
-    id2, distance rounded to 3 decimals. Requires ``radius_km <=
-    cell_deg * 111 * cos(max |lat|)``; validated conservatively for
-    |lat| <= 66 deg — raise ``cell_deg`` for larger radii.
+    ``radius_km`` (haversine), via integer grid cells + a +-1-lat x
+    adaptive-lon neighborhood join — candidates are neighbors-of-cell,
+    never all pairs, the same pruning shape as MinHash bands / IVF
+    cells. The longitude fan-out is sized PER POINT from the poleward
+    edge of its +-1-lat neighborhood (``ceil(radius / (111 * cell_deg
+    * cos(|lat| + 2*cell_deg)))``, full circle near the poles), so
+    high-latitude pairs are never missed; property-tested against
+    all-pairs haversine to |lat| = 80. At 100 TB the cell id is the
+    table's partition key and a radius query touches the handful of
+    partitions its fan-out names (3x3 in temperate data). Returns
+    (id1, id2, dist_km), id1 < id2, distance rounded to 3 decimals.
+    Validated: ``radius_km <= cell_deg * 111`` (the +-1 latitude
+    ring) — raise ``cell_deg`` for larger radii. ``wrap_lon=True``
+    closes the antimeridian seam (cells computed on lon mod 360, join
+    key wraps modulo the ring; requires ``360/cell_deg`` integral);
+    the default leaves pairs straddling lon +-180 unmatched.
 
     >>> p = spark.createDataFrame(
     ...     [(1, 48.85, 2.35), (2, 48.86, 2.36), (3, 40.71, -74.0)],
@@ -1787,7 +1824,9 @@ def within_radius(
     """
     from ezbake_graph_spark.operators import geo
 
-    return geo.within_radius(points, id_col, lat_col, lon_col, radius_km, cell_deg)
+    return geo.within_radius(
+        points, id_col, lat_col, lon_col, radius_km, cell_deg, wrap_lon
+    )
 
 
 def geo_cell_counts(

@@ -11,12 +11,14 @@ for real coordinate tables.
 
 Scale shape — the same candidate-pruning pattern as MinHash bands and
 IVF cells: each point gets an integer grid cell (floor of degrees);
-the LEFT side replicates into its 3 x 3 cell neighborhood (a bounded
-x9 map-side explode) and the join runs keyed on the cell — candidate
-pairs are neighbors-of-cell, never all pairs, so the pair stream is
-linear in true neighbors at any corpus size. The exact haversine then
-filters candidates. At 100 TB the cell id is the table's partition
-key and a radius query touches 9 partitions.
+the LEFT side replicates into a +-1 latitude ring crossed with a
+PER-LATITUDE adaptive longitude fan-out (x3 in temperate data,
+widening only where lon cells narrow toward the poles) and the join
+runs keyed on the cell — candidate pairs are neighbors-of-cell, never
+all pairs, so the pair stream is linear in true neighbors at any
+corpus size. The exact haversine then filters candidates. At 100 TB
+the cell id is the table's partition key and a radius query touches
+the handful of partitions its fan-out names.
 
 Float determinism: both engines evaluate the identical haversine
 expression on identical doubles (the fabricated coordinates are
@@ -26,10 +28,13 @@ so a rounded-to-3-decimals distance only flips if a pair sits within
 hashed fixture and negligible for real data. The cell partitioner
 itself is exact integer math.
 
-Correctness constraint (documented, also the reason the fabricated
-region stays within |lat| < 66 deg): the 3 x 3 neighborhood covers the
-radius only while ``radius_km <= cell_deg * 111 * cos(max |lat|)``;
-at higher latitudes or larger radii pass a larger ``cell_deg``.
+Correctness constraint (validated, not silent): the +-1 latitude ring
+covers the radius only while ``radius_km <= cell_deg * 111``; larger
+radii need a larger ``cell_deg``. The longitude direction needs no
+constraint — its fan-out adapts per point, sized with the POLEWARD
+edge of the +-1-lat neighborhood (``cos(|lat| + 2*cell_deg)``) so a
+match sitting a cell poleward, where lon cells are narrower, still
+falls inside the fan (property-tested to |lat| = 80).
 """
 
 from __future__ import annotations
@@ -70,6 +75,7 @@ def within_radius(
     lon_col: str = "lon",
     radius_km: float = 50.0,
     cell_deg: float = 1.0,
+    wrap_lon: bool = False,
 ) -> DataFrame:
     """All unordered point pairs within ``radius_km`` (haversine),
     found via the grid-bucketed neighborhood join described in the
@@ -77,19 +83,38 @@ def within_radius(
     dist_km rounded to 3 decimals.
 
     Coverage: the latitude ring is +-1 cell (validated: ``radius_km <=
-    cell_deg * 111``); the LONGITUDE fan-out is computed PER POINT
-    from its latitude — ``ceil(radius / (111 * cell_deg * cos(lat)))``
-    cells, capped at the full circle — because a fixed +-1 ring
-    silently misses pairs wherever a longitude cell is narrower than
-    the radius (111 km * cos(lat) shrinks toward the poles). The
+    cell_deg * 111``); the LONGITUDE fan-out is computed PER POINT —
+    ``ceil(radius / (111 * cell_deg * cos_edge))`` cells, capped at
+    the full circle — because a fixed +-1 ring silently misses pairs
+    wherever a longitude cell is narrower than the radius (111 km *
+    cos(lat) shrinks toward the poles). ``cos_edge`` uses the POLEWARD
+    edge of the +-1-lat join neighborhood, ``|lat| + 2*cell_deg``
+    clamped to 90 deg, not the point's own latitude: the matched point
+    can sit up to a full cell poleward where lon cells are narrower,
+    and sizing the fan at the point's own cos can drop a true
+    boundary pair at high |lat| (property-tested to |lat| = 80). The
     data-dependent ``explode(sequence(-k, k))`` keeps the fan-out x3
     in temperate data and widens only for the polar rows that need
-    it.
+    it; within ``2*cell_deg`` of the pole, cos_edge hits 0 and the
+    fan covers the full circle — correct, and cheap because such
+    rings hold few cells' worth of area.
 
-    Known limitation (documented, not silent): candidate cells do NOT
-    wrap across the antimeridian — a pair straddling lon +-180 deg is
-    not matched. Shift longitudes (e.g. pmod(lon + 360, 360)) before
-    calling if your data spans the seam."""
+    Antimeridian: with ``wrap_lon=False`` (default) candidate cells do
+    NOT wrap across lon +-180 deg — a pair straddling the seam is not
+    matched. Pass ``wrap_lon=True`` (requires ``360/cell_deg``
+    integral) to close the seam: cells are computed on lon normalized
+    into [0, 360) and the join key wraps modulo the ring size. The
+    haversine itself is 360-periodic in dlon, so only the bucketing
+    needs wrapping.
+
+    >>> pts = spark.createDataFrame(
+    ...     [(1, 0.0, 179.99), (2, 0.0, -179.99)],
+    ...     "point_id long, lat double, lon double")
+    >>> within_radius(pts, radius_km=50.0).count()  # seam pair missed
+    0
+    >>> within_radius(pts, radius_km=50.0, wrap_lon=True).collect()
+    [Row(id1=1, id2=2, dist_km=2.224)]
+    """
     if cell_deg <= 0 or radius_km <= 0:
         raise ValueError(
             f"cell_deg and radius_km must be positive (got {cell_deg}, {radius_km})"
@@ -99,31 +124,60 @@ def within_radius(
             f"radius_km={radius_km} exceeds one latitude cell "
             f"(cell_deg={cell_deg} = {cell_deg * 111.0:.0f} km); increase cell_deg"
         )
+    ring = 360.0 / cell_deg
+    if wrap_lon and abs(ring - round(ring)) > 1e-9:
+        raise ValueError(
+            f"wrap_lon=True needs 360/cell_deg integral (got {ring}); "
+            "pick a cell_deg that tiles the circle"
+        )
+    lon_cell = (
+        F.floor(F.pmod(F.col(lon_col), F.lit(360.0)) / cell_deg)
+        if wrap_lon
+        else F.floor(F.col(lon_col) / cell_deg)
+    )
     base = points.select(
         F.col(id_col).alias("pid"),
         F.col(lat_col).cast("double").alias("plat"),
         F.col(lon_col).cast("double").alias("plon"),
         F.floor(F.col(lat_col) / cell_deg).alias("cl"),
-        F.floor(F.col(lon_col) / cell_deg).alias("cn"),
+        lon_cell.alias("cn"),
     )
-    # lon cells per radius at this latitude, capped at the full circle
+    # lon cells per radius, capped at the full circle; cos taken at the
+    # poleward edge of the +-1-lat neighborhood (ADVICE r6: a match one
+    # cell poleward sees narrower lon cells than the probe point does)
     half_circle = int(180.0 / cell_deg) + 1
-    k = F.least(
-        F.lit(half_circle),
-        F.ceil(
-            F.lit(radius_km)
-            / (F.lit(111.0 * cell_deg) * F.cos(F.radians(F.col("plat"))))
-        ).cast("int"),
+    cos_edge = F.cos(
+        F.radians(F.least(F.lit(90.0), F.abs(F.col("plat")) + F.lit(2.0 * cell_deg)))
     )
+    k = F.when(
+        cos_edge > F.lit(1e-12),
+        F.least(
+            F.lit(half_circle),
+            F.ceil(F.lit(radius_km) / (F.lit(111.0 * cell_deg) * cos_edge)).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.lit(half_circle))
+    if wrap_lon:
+        # wrapped fan: distinct-ify map-side so a full-circle k never
+        # emits the same cell (hence the same candidate pair) twice
+        n_ring = F.lit(int(round(ring)))
+        fan = F.explode(
+            F.array_distinct(
+                F.transform(F.sequence(-k, k), lambda d: F.pmod(F.col("cn") + d, n_ring))
+            )
+        )
+    else:
+        fan = F.explode(F.sequence(F.col("cn") - k, F.col("cn") + k))
     left = (
         base.withColumn("di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-        .withColumn("dj", F.explode(F.sequence(-k, k)))
+        .withColumn("jcn", fan)
         .select(
             F.col("pid").alias("id1"),
             F.col("plat").alias("lat1"),
             F.col("plon").alias("lon1"),
             (F.col("cl") + F.col("di")).alias("jcl"),
-            (F.col("cn") + F.col("dj")).alias("jcn"),
+            "jcn",
         )
     )
     right = base.select(

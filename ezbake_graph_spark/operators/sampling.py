@@ -162,14 +162,22 @@ def temperature_sample(
     md5(key) — deterministic, RNG-free, stable under re-runs and
     repartitioning. Two tiny broadcast aggregates into one map-side
     filter; the data itself never shuffles. Returns the surviving rows
-    with all input columns."""
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    with all input columns. NULL is a stratum like any other: the
+    count join is eqNullSafe (same as ``epoch_mix`` — a plain
+    equi-join would silently DROP every NULL-stratum row)."""
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(F.col(strata_col).alias("__strata"), "__n")
+    )
     m = counts.agg(F.min("__n").alias("__mn"))
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10).cast(
         "long"
     )
     return (
-        df.join(F.broadcast(counts), strata_col)
+        df.join(
+            F.broadcast(counts), F.col(strata_col).eqNullSafe(F.col("__strata"))
+        )
         .crossJoin(F.broadcast(m))
         .filter(h * h * F.col("__n") < F.col("__mn") * F.lit(4294967296))
         .select(*df.columns)

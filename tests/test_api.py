@@ -383,6 +383,27 @@ def test_ivf_search_matches_registry_kernel(spark):
     assert got == want and got
 
 
+def test_ivf_search_supervised_accepts_plain_query_table(spark):
+    """ADVICE r6: supervised-cell mode must not demand the (unused)
+    cell column on the QUERY table — 'queries is any (id, vector)
+    table'. Result must equal the run where queries still carry it."""
+    emb = tables.load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter("vec_id < 10").select("vec_id", "embedding")
+    got = [
+        tuple(r)
+        for r in api.ivf_search(
+            emb, queries, k=5, nprobe=8, cell_col="label"
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in api.ivf_search(
+            emb, emb.filter("vec_id < 10"), k=5, nprobe=8, cell_col="label"
+        ).collect()
+    ]
+    assert got == want and got
+
+
 def test_ivf_search_unsupervised_recall(spark):
     """Hash-seeded Lloyd cells (no label column): recall vs exact kNN
     top-5 must clear 0.5 at nprobe=8 of 10 cells on near-random
@@ -507,6 +528,53 @@ def test_incremental_mv_api_matches_batch(spark):
     }
     shutil.rmtree(base, ignore_errors=True)
     assert got == want and got
+
+
+def test_incremental_mv_rejects_fresh_checkpoint_on_existing_view(spark):
+    """ADVICE r6 (medium): a wiped/fresh checkpoint_dir restarts batch
+    ids at 0, so pairing it with an existing mv_dir would make the
+    replay guard silently skip every new batch. The marker records the
+    checkpoint identity and the mismatch raises up front."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ezbake_graph_spark.operators.streaming import _events_stream_dir
+
+    src = _events_stream_dir(spark, SF_SMOKE)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select("event_type", F.lit(1).alias("one"))
+        )
+
+    base = f"/tmp/ezgs_mv_guard_{uuid.uuid4().hex[:8]}"
+    kwargs = dict(keys=["event_type"], measures={"n": ("count", "*")},
+                  mv_dir=os.path.join(base, "mv"))
+    api.incremental_mv(stream(), checkpoint_dir=os.path.join(base, "ckptA"), **kwargs)
+    # same checkpoint again: fine (no new files -> unchanged view)
+    api.incremental_mv(stream(), checkpoint_dir=os.path.join(base, "ckptA"), **kwargs)
+    with pytest.raises(ValueError, match="different checkpoint"):
+        api.incremental_mv(
+            stream(), checkpoint_dir=os.path.join(base, "ckptB"), **kwargs
+        )
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_temperature_sample_keeps_null_stratum(spark):
+    """ADVICE r6: NULL is a stratum like any other — the count join is
+    eqNullSafe, so NULL-stratum rows survive (here NULL is the smallest
+    stratum: keep-rate sqrt(min/min)=1 means ALL its rows survive)."""
+    rows = [(i, "en") for i in range(40)] + [(100 + i, None) for i in range(3)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = api.temperature_sample(d, "lang", "doc_id").collect()
+    null_ids = {r["doc_id"] for r in out if r["lang"] is None}
+    assert null_ids == {100, 101, 102}
 
 
 def test_quality_score_matches_registry_kernel(spark):

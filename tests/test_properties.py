@@ -621,7 +621,7 @@ def test_parse_urls_matches_urllib_oracle(spark, hosts, scheme):
 
 
 _latlon = st.tuples(
-    st.integers(min_value=-5900, max_value=5900),   # lat*100 in [-59, 59]
+    st.integers(min_value=-8000, max_value=8000),   # lat*100 in [-80, 80]
     st.integers(min_value=-17000, max_value=17000),  # lon*100, away from seam
 )
 
@@ -630,8 +630,11 @@ _latlon = st.tuples(
 @settings(**_SETTINGS)
 def test_within_radius_matches_python_bruteforce(spark, pts):
     """Grid-bucketed radius join vs an all-pairs python haversine over
-    hypothesis-generated coordinates (both hemispheres, clustered and
-    dispersed) — the candidate pruning must never lose a true pair."""
+    hypothesis-generated coordinates (both hemispheres, up to |lat| 80
+    where lon cells are ~5x narrower than the radius, clustered and
+    dispersed) — the candidate pruning must never lose a true pair.
+    ADVICE r6: the fan-out must size its cos at the POLEWARD edge of
+    the +-1-lat neighborhood, not the probe point's own latitude."""
     import itertools
     import math
 
@@ -653,3 +656,42 @@ def test_within_radius_matches_python_bruteforce(spark, pts):
     want = {(a[0], b[0]) for a, b in itertools.combinations(rows, 2)
             if hav(a, b) <= 80.0}
     assert got == want
+
+
+def test_within_radius_wrap_lon_closes_antimeridian_seam(spark):
+    """wrap_lon=True matches pairs straddling lon +-180 (the default
+    documents the seam as unmatched); polar full-circle fan-out with
+    wrapping must not emit duplicate pairs."""
+    from ezbake_graph_spark import api
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 179.99), (2, 0.0, -179.99), (3, 10.0, 0.0)],
+        "point_id long, lat double, lon double",
+    )
+    assert api.within_radius(pts, radius_km=50.0).count() == 0
+    got = api.within_radius(pts, radius_km=50.0, wrap_lon=True).collect()
+    assert [(r["id1"], r["id2"], r["dist_km"]) for r in got] == [(1, 2, 2.224)]
+    # near-polar ring: cos_edge clamps to 0 -> full-circle fan; the
+    # wrapped fan is array_distinct'ed so each pair appears once
+    # (pairwise great-circle distances ~110/111/19 km at 89.5N)
+    polar = spark.createDataFrame(
+        [(1, 89.5, 10.0), (2, 89.5, 170.0), (3, 89.5, -170.0)],
+        "point_id long, lat double, lon double",
+    )
+    rows = api.within_radius(
+        polar, radius_km=120.0, cell_deg=2.0, wrap_lon=True
+    ).collect()
+    pairs = [(r["id1"], r["id2"]) for r in rows]
+    assert len(pairs) == len(set(pairs)) == 3
+
+
+def test_within_radius_wrap_lon_requires_integral_ring(spark):
+    import pytest as _pytest
+
+    from ezbake_graph_spark import api
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "point_id long, lat double, lon double"
+    )
+    with _pytest.raises(ValueError, match="360/cell_deg"):
+        api.within_radius(pts, radius_km=5.0, cell_deg=0.7, wrap_lon=True)
