@@ -1358,11 +1358,21 @@ def near_dup_clusters(
     >>> sorted(tuple(r) for r in near_dup_clusters(d).collect())
     [(1, 1, 2, True), (2, 1, 2, False), (3, 3, 1, True)]
     """
-    from ezbake_graph_spark.graph.pregel import connected_components
-
     pairs = minhash_near_dups(
         docs, id_col, text_col, threshold, broadcast_ok
     ).select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    return _clusters_from_pairs(docs, pairs, id_col, max_iter)
+
+
+def _clusters_from_pairs(
+    docs: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 30
+) -> DataFrame:
+    """Shared cluster-canonicalization tail of the dedup family: pair
+    graph (src, dst) -> Pregel connected components -> min-id
+    canonical representative. Returns (<id_col>, canonical_<id_col>,
+    cluster_size, is_canonical) for every input document."""
+    from ezbake_graph_spark.graph.pregel import connected_components
+
     verts = docs.select(F.col(id_col).alias("id")).distinct()
     comp = connected_components(verts, pairs, max_iter=max_iter).select(
         F.col("id").alias(id_col),
@@ -1603,6 +1613,7 @@ def curate_corpus(
     repetition_thresholds: dict | None = None,
     pii_replacements: dict[str, str] | None = None,
     broadcast_ok: bool = False,
+    dedup: str = "minhash",
 ) -> DataFrame:
     """End-to-end corpus curation — the whole cleaning pipeline a
     training run actually consumes, composed from this module's
@@ -1612,10 +1623,15 @@ def curate_corpus(
     1. Gopher quality gate (``gopher_quality``) — map-side.
     2. Repetition gate (``repetition_stats``) — map-side.
     3. PII redaction (``pii_redact``) — map-side, rewrites the text.
-    4. MinHash-LSH near-dup clustering over the SURVIVORS
-       (``near_dup_clusters``) — the only stage that shuffles, run on
-       the reduced corpus because gate-then-dedup is strictly cheaper
-       than dedup-then-gate (banding cost is linear in docs kept).
+    4. Near-dup clustering over the SURVIVORS — the only stage that
+       shuffles, run on the reduced corpus because gate-then-dedup is
+       strictly cheaper than dedup-then-gate (banding cost is linear
+       in docs kept). ``dedup="minhash"`` (default) uses MinHash-LSH
+       banding (``near_dup_clusters``, the 100 TB path);
+       ``dedup="exact"`` uses the prefix-filtered exact Jaccard join
+       (``exact_jaccard_pairs`` — same answers as all-pairs by
+       construction, still never all-pairs in candidates; this is the
+       variant the driver's SQL oracle certifies end-to-end).
 
     Returns one row per INPUT document with full provenance:
     ``passes_gopher`` / ``is_repetitive`` flags, the redacted text and
@@ -1651,6 +1667,8 @@ def curate_corpus(
     )
     from ezbake_graph_spark.operators import llm_filter
 
+    if dedup not in ("minhash", "exact"):
+        raise ValueError(f"dedup must be 'minhash' or 'exact', got {dedup!r}")
     q = gopher_metrics(docs, id_col, text_col, **(quality_thresholds or {}))
     r = repetition_metrics(docs, id_col, text_col, **(repetition_thresholds or {}))
     flags = docs.select(id_col, text_col).join(
@@ -1663,13 +1681,22 @@ def curate_corpus(
     red = llm_filter.pii_redact(
         survivors, id_col, text_col, pii_replacements
     ).withColumnRenamed("redacted", "clean_text")
-    clusters = near_dup_clusters(
-        red.select(id_col, F.col("clean_text").alias(text_col)),
-        id_col,
-        text_col,
-        dedup_threshold,
-        broadcast_ok,
-    )
+    clean = red.select(id_col, F.col("clean_text").alias(text_col))
+    if dedup == "exact":
+        from ezbake_graph_spark.operators.llm_dedup import exact_jaccard_pairs
+
+        pairs = exact_jaccard_pairs(
+            clean, id_col, text_col, dedup_threshold
+        ).select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        clusters = _clusters_from_pairs(clean, pairs, id_col)
+    else:
+        clusters = near_dup_clusters(
+            clean,
+            id_col,
+            text_col,
+            dedup_threshold,
+            broadcast_ok,
+        )
     out = (
         gated.join(red, id_col, "left")
         .join(clusters, id_col, "left")
@@ -1701,6 +1728,7 @@ def prepare_training_data(
     quality_thresholds: dict | None = None,
     repetition_thresholds: dict | None = None,
     broadcast_ok: bool = False,
+    dedup: str = "minhash",
 ) -> DataFrame:
     """Raw documents to a training-batch layout in one call:
     ``curate_corpus`` (quality/repetition gates, PII redaction,
@@ -1742,6 +1770,7 @@ def prepare_training_data(
         quality_thresholds,
         repetition_thresholds,
         broadcast_ok=broadcast_ok,
+        dedup=dedup,
     )
     kept = curated.filter("keep").select(
         F.col(id_col), F.col("clean_text").alias(text_col)

@@ -12,6 +12,7 @@ from ezbake_graph_spark.operators import (  # noqa: F401
     graph,
     joins,
     llm_chunk,
+    llm_curate,
     llm_dedup,
     llm_filter,
     llm_similarity,

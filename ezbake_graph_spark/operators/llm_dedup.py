@@ -523,56 +523,73 @@ ORDER BY doc1, doc2
 """
 
 
-@register("dedup_prefix_filter", oracle=_PREFIX_SQL, tags=("K2c",))
-def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Jaccard-join via prefix filtering (AllPairs/PPJoin style)
-    — the exact-at-scale alternative to LSH banding: two docs with
-    J >= t MUST share a token within their first |s|-ceil(t|s|)+1
-    tokens under a consistent global rarest-first order, so the
-    candidate join touches only those prefix tokens (the rarest ones
-    — tiny document frequency), never the full inverted index. The
-    oracle is the all-pairs exact join, so any pruning mistake fails
-    the value-hash, making this the strongest correctness check of the
-    family. Candidates are then verified exactly like dedup_minhash's
-    map-side broadcast kernel."""
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = PREFIX_T,
+) -> DataFrame:
+    """Parameterized EXACT Jaccard self-join via prefix filtering
+    (AllPairs/PPJoin style) — the exact-at-scale alternative to LSH
+    banding, shared by the ``dedup_prefix_filter`` registry key and
+    ``api.curate_corpus(dedup="exact")``. Two docs with J >= t MUST
+    share a token within their first |s|-ceil(t|s|)+1 tokens under a
+    consistent global rarest-first order, so the candidate join
+    touches only those prefix tokens (the rarest ones — tiny document
+    frequency), never the full inverted index. Candidates are then
+    verified with the exact distinct-token Jaccard. Returns (doc1,
+    doc2, jaccard) with doc1 < doc2 (ids ordered by ``id_col``'s own
+    ordering). Tokenization matches the oracle family:
+    ``array_distinct(split(text, ' '))``."""
     from pyspark.sql import Window
 
-    d = (
-        tables.load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < PREFIX_SLICE)
-        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
-        .cache()
-    )
-    tok = d.select("doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("token"))
+    spark = docs.sparkSession
+    d = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.split(text_col, " ")).alias("toks"),
+    ).cache()
+    tok = d.select("__id", F.size("toks").alias("sz"), F.explode("toks").alias("token"))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    w = Window.partitionBy("__id").orderBy("df", "token")
     prefix = (
         tok.join(F.broadcast(dfreq), "token")
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= F.col("sz") - F.ceil(PREFIX_T * F.col("sz")) + 1)
-        .select("doc_id", "token")
+        .filter(F.col("rnk") <= F.col("sz") - F.ceil(threshold * F.col("sz")) + 1)
+        .select("__id", "token")
     )
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "token")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
-        )
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("doc1"), F.col("b.__id").alias("doc2"))
         .distinct()
         .repartition(spark.sparkContext.defaultParallelism, "doc1", "doc2")
     )
-    t1 = d.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
-    t2 = d.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
+    t1 = d.select(F.col("__id").alias("doc1"), F.col("toks").alias("toks1"))
+    t2 = d.select(F.col("__id").alias("doc2"), F.col("toks").alias("toks2"))
     common = F.size(F.array_intersect("toks1", "toks2")).cast("double")
     union = (F.size("toks1") + F.size("toks2")).cast("double") - common
     return (
         cands.join(F.broadcast(t1), "doc1")
         .join(F.broadcast(t2), "doc2")
         .withColumn("jaccard", common / union)
-        .filter(F.col("jaccard") >= PREFIX_T)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
-        .orderBy("doc1", "doc2")
+    )
+
+
+@register("dedup_prefix_filter", oracle=_PREFIX_SQL, tags=("K2c",))
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-join via prefix filtering (AllPairs/PPJoin style)
+    — the parameterized ``exact_jaccard_pairs`` kernel over the
+    fixture. The oracle is the all-pairs exact join, so any pruning
+    mistake fails the value-hash, making this the strongest
+    correctness check of the family."""
+    d = tables.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PREFIX_SLICE
+    )
+    return exact_jaccard_pairs(d, "doc_id", "text", PREFIX_T).orderBy(
+        "doc1", "doc2"
     )
 
 

@@ -577,6 +577,33 @@ def test_temperature_sample_keeps_null_stratum(spark):
     assert null_ids == {100, 101, 102}
 
 
+def test_curate_corpus_minhash_matches_exact_path(spark):
+    """The flagship MinHash-LSH curation path produces EXACTLY the
+    registry key's exact-prefix-filter result on the fixture (banding
+    recall 1 at threshold 0.95) — this tie plus the key's DuckDB
+    oracle certifies the minhash composite end-to-end."""
+    from ezbake_graph_spark.operators.llm_curate import (
+        CURATE_MAX_TOP_UNIGRAM,
+        CURATE_THRESHOLD,
+        _fab_docs,
+    )
+
+    fab = _fab_docs(spark, SF_SMOKE)
+    kw = dict(
+        dedup_threshold=CURATE_THRESHOLD,
+        repetition_thresholds={"max_top_unigram": CURATE_MAX_TOP_UNIGRAM},
+    )
+    ex = {tuple(r) for r in api.curate_corpus(fab, dedup="exact", **kw).collect()}
+    mh = {tuple(r) for r in api.curate_corpus(fab, dedup="minhash", **kw).collect()}
+    assert ex == mh and len(ex) == 500
+
+
+def test_curate_corpus_rejects_unknown_dedup(spark):
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="dedup"):
+        api.curate_corpus(d, dedup="bogus")
+
+
 def test_quality_score_matches_registry_kernel(spark):
     got = {tuple(r) for r in api.quality_score(
         tables.load(spark, SF_SMOKE, "documents")).collect()}
