@@ -161,6 +161,50 @@ def _latest_green() -> frozenset[str]:
     return _green_keys(files[-1]) if files else frozenset()
 
 
+def _latest_green_round() -> dict[str, int]:
+    """For each ever-green key, the round number of its most recent
+    green driver row. Files are walked in round order, so the last
+    write wins. Drives the staleness rotation (VERDICT r6 #2): green
+    keys re-emit oldest-round-first, so a key last verified in round 2
+    outranks one verified last round and the driver's ~50-slot window
+    continuously re-validates the stalest end of the registry."""
+    import re
+
+    rounds: dict[str, int] = {}
+    for path in _correctness_files():
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnum = int(m.group(1)) if m else 0
+        for k in _green_keys(path):
+            rounds[k] = rnum
+    return rounds
+
+
+def _checked_rounds() -> dict[str, int]:
+    """Round of each key's latest driver row of ANY kind — including
+    the expected ``err: no_oracle`` record a rows-only key produces.
+    Distinct from ``_latest_green_round``: a rows-only key can never
+    turn green by construction, but its emission was still checked
+    (row count recorded), so re-emitting it every round would burn a
+    window slot forever. These keys rotate by staleness like green
+    keys instead of camping in the never-checked class."""
+    import json
+    import re
+
+    rounds: dict[str, int] = {}
+    for path in _correctness_files():
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnum = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for k, row in data.items():
+            if isinstance(row, dict):
+                rounds[k] = rnum
+    return rounds
+
+
 def _ordered_specs() -> list[QuerySpec]:
     """Emission order for the driver's budget-capped correctness run
     (~50 slots per round; it walks ``queries()`` in dict order).
@@ -185,21 +229,33 @@ def _ordered_specs() -> list[QuerySpec]:
     window — so the flagship fixpoints get a driver row without
     displacing more than a handful of cheap first-time slots
     (VERDICT r3 item 4).
+
+    Within the green classes (2 and 3), keys sort by the ROUND of
+    their latest green row, oldest first (VERDICT r6 #2): with every
+    key checked at least once, the window's remaining slots become a
+    rolling re-validation of the stalest records instead of
+    re-checking whatever happens to sit first in insertion order.
     """
     green = _driver_green()
+    last_round = _latest_green_round()
+    checked = _checked_rounds()
 
-    def key(spec: QuerySpec) -> tuple[int, int]:
+    def key(spec: QuerySpec) -> tuple[int, int, int]:
         pregel = "pregel" in spec.tags
-        if spec.name not in green:
-            if pregel:
-                cls = 4
-            elif spec.oracle is not None:
-                cls = 0
-            else:
-                cls = 1
-        else:
+        if spec.name in green:
             cls = 2 if pregel else 3
-        return (cls, 1 if spec.name in _SLOW else 0)
+            staleness = last_round.get(spec.name, 0)
+        elif spec.oracle is None and spec.name in checked:
+            # rows-only key with a driver record: rotate, don't camp
+            cls = 2 if pregel else 3
+            staleness = checked[spec.name]
+        elif spec.name not in green and pregel:
+            cls, staleness = 4, 0
+        elif spec.oracle is not None:
+            cls, staleness = 0, 0
+        else:
+            cls, staleness = 1, 0
+        return (cls, staleness, 1 if spec.name in _SLOW else 0)
 
     specs = sorted(REGISTRY.values(), key=key)  # stable within class
 

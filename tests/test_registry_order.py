@@ -15,11 +15,12 @@ from ezbake_graph_spark import registry
 def _classes() -> list[tuple[str, int]]:
     keys = list(registry.queries())
     green = registry._driver_green()
+    checked = registry._checked_rounds()
     out = []
     for k in keys:
         spec = registry.REGISTRY[k]
         pregel = "pregel" in spec.tags
-        g = k in green
+        g = k in green or (spec.oracle is None and k in checked)
         if not g and pregel:
             c = 4
         elif not g and spec.oracle is not None:
@@ -71,6 +72,27 @@ def test_pregel_promotion_lands_in_driver_window():
         pos = keys.index(k)
         assert pos < registry._WINDOW, f"{k} at {pos} — outside driver window"
         assert pos >= registry._WINDOW - tail_len, f"{k} at {pos} — should sit at window tail"
+
+
+def test_green_keys_emit_stalest_round_first():
+    """VERDICT r6 #2: within the green classes, keys re-emit ordered by
+    the round of their latest green driver row (oldest first), so the
+    window's spare slots continuously re-validate the stalest records
+    (22 join/graph keys were last checked in r2, 4 rounds stale)."""
+    keys = list(registry.queries())
+    green = registry._driver_green()
+    rounds = registry._latest_green_round()
+    checked = registry._checked_rounds()
+    override = _tail_override()
+    seen = [
+        rounds.get(k, checked.get(k, 0))
+        for k in keys
+        if (k in green or (registry.REGISTRY[k].oracle is None and k in checked))
+        and k not in override
+        and "pregel" not in registry.REGISTRY[k].tags
+    ]
+    assert seen == sorted(seen), "green keys must emit oldest-green-round first"
+    assert min(rounds.values()) < max(rounds.values())  # rotation is non-trivial
 
 
 def test_green_set_reads_correctness_files():
