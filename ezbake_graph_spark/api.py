@@ -949,10 +949,20 @@ def ivf_search(
     nprobe: int = 4,
     build_iters: int = 2,
     cell_col: str | None = None,
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF approximate-nearest-neighbor search: coarse-quantize the
     corpus into centroid cells, then answer each query by scoring only
     the vectors in its ``nprobe`` nearest cells.
+
+    ``index_path`` persists the index: on first call the assigned
+    corpus is written CELL-PARTITIONED (``partitionBy("cell")``) with
+    a centroid sidecar, and every later call with the same path skips
+    the Lloyd build entirely and probes the on-disk index — the scan
+    reads only the partitions the probed cells name (dynamic partition
+    pruning; plan-asserted in tests). This is the concrete form of the
+    100 TB layout in SCALE.md §8. Without it the index is rebuilt per
+    session (``.cache()`` only).
 
     The ``sim_ivf`` scale path parameterized for any corpus: probe
     work is (nprobe / n_cells) of the corpus instead of all of it, and
@@ -990,10 +1000,14 @@ def ivf_search(
     >>> ivf_search(corpus, q, k=1, n_cells=2, nprobe=1).collect()
     [Row(query_id=100, neighbor_id=1, cosine=0.998752, rank=1)]
     """
+    import os
+
     from ezbake_graph_spark.operators.llm_similarity import (
         assign_nearest_cell,
+        build_ivf_index,
         cell_centroids,
         ivf_probe_topk,
+        load_ivf_index,
     )
 
     def norm(df: DataFrame, out_id: str, keep_cell: bool = False) -> DataFrame:
@@ -1011,6 +1025,15 @@ def ivf_search(
             F.col(id_col).alias(out_id), dvec.alias("v"), F.sqrt(sq).alias("nrm"), *keep
         )
 
+    spark = corpus.sparkSession
+    if index_path and os.path.exists(index_path + "/corpus/_SUCCESS"):
+        # reuse path: no Lloyd jobs, cell-partition-pruned probe scan
+        assigned, cent = load_ivf_index(spark, index_path)
+        qn = norm(queries, "query_id").select(
+            "query_id", F.col("v").alias("qv"), F.col("nrm").alias("qn")
+        )
+        return ivf_probe_topk(assigned, cent, qn, k=k, nprobe=nprobe)
+
     vecs = norm(corpus, "vec_id", keep_cell=True).cache()
     if cell_col:
         cent = cell_centroids(vecs, cell_col).cache()
@@ -1027,6 +1050,9 @@ def ivf_search(
         for _ in range(max(1, build_iters)):
             cent = cell_centroids(assigned, "cell").cache()
             assigned = assign_nearest_cell(vecs, cent)
+    if index_path:
+        build_ivf_index(assigned, cent, index_path)
+        assigned, cent = load_ivf_index(spark, index_path)
     qn = norm(queries, "query_id").select(
         "query_id", F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )

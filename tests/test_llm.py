@@ -85,6 +85,57 @@ def test_ivf_recall_vs_exact_knn(spark):
     assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9"
 
 
+def test_ivf_persisted_reuse_runs_no_build_and_prunes_partitions(spark):
+    """VERDICT r6 #4: the persisted IVF index. Reuse must (a) return
+    exactly the fresh-build answer, (b) run ZERO Lloyd/centroid build
+    stages (cell_centroids monkeypatch-poisoned), and (c) scan the
+    cell-partitioned corpus with a dynamic-partition-pruning filter so
+    a probe touches nprobe partitions, not the corpus."""
+    import shutil
+    import uuid
+
+    from ezbake_graph_spark import api, tables
+    from ezbake_graph_spark.operators import llm_similarity as sim
+
+    path = f"/tmp/ezgs_ivf_idx_{uuid.uuid4().hex[:8]}"
+    emb = tables.load(spark, SF_SMOKE, "embeddings")
+    q = emb.filter("vec_id < 10").select("vec_id", "embedding")
+    kw = dict(k=5, nprobe=8, cell_col="label", index_path=path)
+    fresh = [tuple(r) for r in api.ivf_search(emb, q, **kw).collect()]
+
+    real = sim.cell_centroids
+    def poisoned(*a, **k):
+        raise AssertionError("Lloyd/centroid build ran on the reuse path")
+    sim.cell_centroids = poisoned
+    try:
+        reused_df = api.ivf_search(emb, q, **kw)
+        reused = [tuple(r) for r in reused_df.collect()]
+    finally:
+        sim.cell_centroids = real
+    assert reused == fresh and len(fresh) == 50
+
+    plan = reused_df._jdf.queryExecution().executedPlan().toString()
+    corpus_scans = [
+        ln for ln in plan.splitlines() if "corpus" in ln and "FileScan" in ln
+    ]
+    assert corpus_scans, "no corpus file scan in reuse plan"
+    assert all("dynamicpruning" in ln.lower() for ln in corpus_scans), (
+        "corpus scan not dynamic-partition-pruned:\n" + "\n".join(corpus_scans)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivf_persisted_registry_key_matches_memory_twin(spark):
+    """sim_ivf_persisted (disk index) returns exactly sim_ivf's answer
+    — same probe kernel, same cells, index round-trip is lossless."""
+    import shutil
+
+    shutil.rmtree("/tmp/ezgs_ivf_index_sf0.001", ignore_errors=True)
+    got = [tuple(r) for r in _rows(spark, "sim_ivf_persisted")]
+    want = [tuple(r) for r in _rows(spark, "sim_ivf")]
+    assert got == want and len(got) == 50
+
+
 def test_embed_centroid_counts(spark):
     from ezbake_graph_spark import tables
 
