@@ -728,6 +728,28 @@ def _nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nation_trade_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation trade edges with order-line counts (src, dst, n) — the
+    weighted variant of ``_nation_trade_edges``, same broadcast-dims
+    derivation with the distinct replaced by a keyed count."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    cust_nation = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select(F.col("o_orderkey").alias("ok"), F.col("c_nationkey").alias("src"))
+    supp_nation = li.join(
+        F.broadcast(s), li.l_suppkey == s.s_suppkey
+    ).select(F.col("l_orderkey").alias("ok"), F.col("s_nationkey").alias("dst"))
+    return (
+        cust_nation.join(supp_nation, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 _SCC_SQL = """
 WITH RECURSIVE trade AS (
   SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
@@ -1613,4 +1635,159 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = betweenness_sampled(verts, edges, sources=[1, 3, 5], max_depth=6)
     return bc.select("id", F.round("betweenness", 4).alias("betweenness")).orderBy(
         "id"
+    )
+
+
+_BETWEENNESS_DEPTH = 6
+_BETWEENNESS_TOP_EDGES = 80
+
+_BETWEENNESS_EXACT_SQL = f"""
+WITH weighted AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+  GROUP BY src, dst
+), top_edges AS (
+  SELECT src, dst FROM weighted
+  ORDER BY n DESC, src, dst LIMIT {_BETWEENNESS_TOP_EDGES}
+), und AS (
+  SELECT src, dst FROM top_edges UNION SELECT dst, src FROM top_edges
+), verts AS (SELECT DISTINCT src AS v FROM und),
+w1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS cnt FROM und),
+w2 AS (SELECT w.src, e.dst, CAST(sum(w.cnt) AS BIGINT) AS cnt
+       FROM w1 w JOIN und e ON w.dst = e.src GROUP BY w.src, e.dst),
+w3 AS (SELECT w.src, e.dst, CAST(sum(w.cnt) AS BIGINT) AS cnt
+       FROM w2 w JOIN und e ON w.dst = e.src GROUP BY w.src, e.dst),
+w4 AS (SELECT w.src, e.dst, CAST(sum(w.cnt) AS BIGINT) AS cnt
+       FROM w3 w JOIN und e ON w.dst = e.src GROUP BY w.src, e.dst),
+w5 AS (SELECT w.src, e.dst, CAST(sum(w.cnt) AS BIGINT) AS cnt
+       FROM w4 w JOIN und e ON w.dst = e.src GROUP BY w.src, e.dst),
+w6 AS (SELECT w.src, e.dst, CAST(sum(w.cnt) AS BIGINT) AS cnt
+       FROM w5 w JOIN und e ON w.dst = e.src GROUP BY w.src, e.dst),
+walks AS (
+  SELECT src, dst, 1 AS d, cnt FROM w1 UNION ALL SELECT src, dst, 2, cnt FROM w2
+  UNION ALL SELECT src, dst, 3, cnt FROM w3 UNION ALL SELECT src, dst, 4, cnt FROM w4
+  UNION ALL SELECT src, dst, 5, cnt FROM w5 UNION ALL SELECT src, dst, 6, cnt FROM w6
+), dist AS (
+  SELECT src, dst, min(d) AS d FROM walks WHERE src <> dst GROUP BY src, dst
+), sigma AS (
+  SELECT di.src, di.dst, di.d, wa.cnt
+  FROM dist di JOIN walks wa
+    ON wa.src = di.src AND wa.dst = di.dst AND wa.d = di.d
+), terms AS (
+  SELECT sv.dst AS v, (1000000 * sv.cnt * vt.cnt) // st.cnt AS t_micro
+  FROM sigma st
+  JOIN sigma sv ON sv.src = st.src
+  JOIN sigma vt ON vt.src = sv.dst AND vt.dst = st.dst
+  WHERE sv.d + vt.d = st.d AND sv.dst <> st.src AND sv.dst <> st.dst
+)
+SELECT ve.v AS nation_id, CAST(coalesce(sum(t.t_micro), 0) AS BIGINT) AS bc_micro
+FROM verts ve LEFT JOIN terms t ON t.v = ve.v
+GROUP BY ve.v ORDER BY nation_id
+"""
+
+
+@register(
+    "graph_betweenness_exact",
+    oracle=_BETWEENNESS_EXACT_SQL,
+    tags=("ext", "iterative", "M155"),
+)
+def graph_betweenness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT betweenness centrality, full value-hash oracle (VERDICT r6
+    #5) — the bit-exact twin that pins ``graph_betweenness_sampled``'s
+    float Brandes kernel, the same regime as
+    ``graph_pagerank_exact``/``graph_ppr_exact``.
+
+    Graph: the top-80 nation trade edges by order-line count
+    (deterministic (n DESC, src, dst) cut — the complete trade graph
+    has every distance 1 and all-zero betweenness), symmetrized.
+    Formulation: the pair-counting identity instead of Brandes'
+    backward pass — sigma_st(v) = [d(s,v)+d(v,t)=d(s,t)] *
+    sigma_sv * sigma_vt, so bc(v) = sum over ordered pairs of
+    sigma_st(v)/sigma_st. Path counts come from 6 unrolled
+    aggregated walk-count levels (W_k = W_k-1 x A; a walk of length
+    d(s,t) is necessarily a shortest path), distances from the first
+    level with a nonzero count; both are exact integers, and each
+    pair term is quantized by INTEGER floor division
+    ((1000000 * s1 * s2) div s_st) — bit-identical across engines, no
+    float anywhere. Output bc_micro sums ORDERED pairs (= 2,000,000 x
+    the unordered-pair betweenness); the correlation of the sampled
+    Brandes kernel against this key is pinned in tests/test_graph.py.
+
+    Scale: every step is a keyed join + aggregate on a derived graph
+    bounded by the nation dimension; the heavy data-proportional work
+    is the 4-table edge derivation, same as graph_scc/graph_closeness.
+    For data-scale vertex sets use ``api.betweenness_sampled`` — the
+    O(|S| x diameter) Pregel path; this key exists to certify values.
+    """
+    w = _nation_trade_weighted(spark, sf_dir)
+    top = (
+        w.orderBy(F.col("n").desc(), "src", "dst")
+        .limit(_BETWEENNESS_TOP_EDGES)
+        .select("src", "dst")
+    )
+    und = (
+        top.unionByName(top.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # bounded (<= 2x top edges); truncate lineage
+    )
+    verts = und.select(F.col("src").alias("v")).distinct()
+    level = und.select("src", "dst", F.lit(1).cast("long").alias("cnt"))
+    walks = level.withColumn("d", F.lit(1))
+    for d in range(2, _BETWEENNESS_DEPTH + 1):
+        level = (
+            level.alias("w")
+            .join(und.alias("e"), F.col("w.dst") == F.col("e.src"))
+            .groupBy(F.col("w.src").alias("src"), F.col("e.dst").alias("dst"))
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()  # keep the unrolled-join lineage flat
+        )
+        walks = walks.unionByName(level.withColumn("d", F.lit(d)))
+    dist = (
+        walks.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("d").alias("d"))
+    )
+    sigma = dist.alias("di").join(
+        walks.alias("wa"),
+        (F.col("wa.src") == F.col("di.src"))
+        & (F.col("wa.dst") == F.col("di.dst"))
+        & (F.col("wa.d") == F.col("di.d")),
+    ).select(
+        F.col("di.src").alias("src"),
+        F.col("di.dst").alias("dst"),
+        F.col("di.d").alias("d"),
+        F.col("wa.cnt").alias("cnt"),
+    ).cache()
+    st = sigma.select(
+        F.col("src").alias("s"), F.col("dst").alias("t"),
+        F.col("d").alias("d_st"), F.col("cnt").alias("c_st"),
+    )
+    sv = sigma.select(
+        F.col("src").alias("s"), F.col("dst").alias("v"),
+        F.col("d").alias("d_sv"), F.col("cnt").alias("c_sv"),
+    )
+    vt = sigma.select(
+        F.col("src").alias("v"), F.col("dst").alias("t"),
+        F.col("d").alias("d_vt"), F.col("cnt").alias("c_vt"),
+    )
+    terms = (
+        st.join(sv, "s")
+        .join(vt, ["v", "t"])
+        .filter(
+            (F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+            & (F.col("v") != F.col("s"))
+            & (F.col("v") != F.col("t"))
+        )
+        .select(
+            "v",
+            F.expr("(1000000 * c_sv * c_vt) div c_st").alias("t_micro"),
+        )
+    )
+    return (
+        verts.join(terms, "v", "left")
+        .groupBy(F.col("v").alias("nation_id"))
+        .agg(F.coalesce(F.sum("t_micro"), F.lit(0)).cast("long").alias("bc_micro"))
+        .orderBy("nation_id")
     )

@@ -121,6 +121,7 @@ _SLOW: frozenset[str] = frozenset(
         "dedup_cluster_canonical",  # pair kernel + Pregel WCC, 3.6s
         "sql_recursive_cte",  # 4-table derivation + engine recursion, 2.1s
         "graph_betweenness_sampled",  # |S| x diameter checkpointed supersteps, ~18s
+        "graph_betweenness_exact",  # 6 unrolled walk levels + sigma joins, ~13s
     }
 )
 

@@ -458,6 +458,51 @@ def test_betweenness_sampled_matches_python_brandes(spark):
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
 
 
+def test_betweenness_sampled_agrees_with_exact_twin(spark):
+    """VERDICT r6 #5: the float Brandes Pregel kernel, run with ALL
+    sources on graph_betweenness_exact's own graph (top-80 nation
+    trade edges, symmetrized), must reproduce the integer-oracled
+    exact key: bc_micro sums ORDERED pairs in micro-units with
+    per-term floor division, so exact unordered bc = bc_micro/2e6 up
+    to #terms quantization ulps."""
+    from pyspark.sql import functions as F
+
+    from ezbake_graph_spark import api, registry
+    from ezbake_graph_spark.operators.graph import (
+        _BETWEENNESS_TOP_EDGES,
+        _nation_trade_weighted,
+    )
+
+    exact = {
+        r["nation_id"]: r["bc_micro"] / 2e6
+        for r in registry.queries()["graph_betweenness_exact"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    top = (
+        _nation_trade_weighted(spark, SF_SMOKE)
+        .orderBy(F.col("n").desc(), "src", "dst")
+        .limit(_BETWEENNESS_TOP_EDGES)
+        .select("src", "dst")
+    )
+    und = top.unionByName(
+        top.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    verts = und.select(F.col("src").alias("id")).distinct()
+    sources = sorted(r["id"] for r in verts.collect())
+    got = {
+        r["id"]: r["betweenness"]
+        for r in api.betweenness_sampled(
+            verts, und, sources=sources, max_depth=8
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        # per-pair floor quantization: <= n_pairs * 1e-6 absolute
+        assert abs(got[k] - exact[k]) < 1e-3, (k, got[k], exact[k])
+    assert sum(exact.values()) > 0  # non-degenerate fixture
+
+
 def test_betweenness_sampled_subset_scaling(spark):
     """With a source subset, the estimator is N/(2|S|) x the sampled
     dependency sum — check against the python reference restricted to
