@@ -253,11 +253,18 @@ def core_number(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     where H is the h-index: for neighbor values sorted descending,
     max_i min(i, v_i). Monotonically non-increasing and converges to
     the exact core number — the classic peeling algorithm is inherently
-    sequential; this formulation is keyed shuffles only (join + window
-    + agg per superstep). Returns (id, c).
-    """
-    from pyspark.sql import Window
+    sequential; this formulation is keyed shuffles only. Returns (id, c).
 
+    Hot-vertex posture (VERDICT r6 #6): the h-index is computed from
+    the per-(id, value) HISTOGRAM — whose first aggregate partial-
+    combines map-side — and a fold over the value-sorted histogram
+    (block of value c ending at cumulative count m contributes
+    min(c, m); H = max over blocks — identical to max_i min(i, v_i)
+    over the desc sort). The previous ``row_number`` window put all
+    deg(hub) neighbor rows in ONE task per hub; the histogram bounds
+    per-id work by #distinct neighbor values instead (star-fixture
+    timings in SCALE.md §7).
+    """
     with _superstep_env(edges) as sym:
         c = _truncate(
             sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("c")),
@@ -265,11 +272,27 @@ def core_number(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         )
         for step in range(max_iter):
             msgs = sym.join(c, sym.dst == c.id).select(sym.src.alias("id"), "c")
-            w = Window.partitionBy("id").orderBy(F.col("c").desc())
+            hist = msgs.groupBy("id", "c").agg(F.count(F.lit(1)).alias("n"))
+            acc0 = F.struct(
+                F.lit(0).cast("long").alias("cum"), F.lit(0).cast("long").alias("best")
+            )
+            h_of = F.aggregate(
+                F.reverse(F.array_sort(F.collect_list(F.struct("c", "n")))),
+                acc0,
+                lambda acc, x: F.struct(
+                    (acc.getField("cum") + x.getField("n")).alias("cum"),
+                    F.greatest(
+                        acc.getField("best"),
+                        F.least(
+                            x.getField("c"), acc.getField("cum") + x.getField("n")
+                        ),
+                    ).alias("best"),
+                ),
+                lambda acc: acc.getField("best"),
+            )
             h = (
-                msgs.withColumn("rn", F.row_number().over(w))
-                .groupBy("id")
-                .agg(F.max(F.least(F.col("rn"), F.col("c"))).alias("h"))
+                hist.groupBy("id")
+                .agg(h_of.alias("h"))
             )
             new_c = _truncate(
                 c.withColumnRenamed("c", "old")
@@ -292,9 +315,16 @@ def label_propagation(
     Labels start as vertex ids; each superstep every vertex adopts the
     most frequent neighbor label (ties → smallest label, so the whole
     run is deterministic). Returns (id, label).
-    """
-    from pyspark.sql import Window
 
+    Hot-vertex posture (VERDICT r6 #6): both aggregates partial-combine
+    map-side — the vote count on (id, label) and the winner selection
+    as ``max(struct(votes, -label))`` (lexicographic struct max =
+    highest vote count, then smallest label — the identical tie-break
+    the previous ``row_number`` window implemented). The window form
+    put all of a hub's distinct-label votes in ONE task; the struct-max
+    form reduces them map-side like any other combiner (star-fixture
+    timings in SCALE.md §7) and drops a whole sort stage per superstep.
+    """
     state = vertices.select("id", F.col("id").alias("label"))
     with _superstep_env(edges) as sym:
         for step in range(iterations):
@@ -303,13 +333,18 @@ def label_propagation(
                 .groupBy(F.col("dst").alias("id"), F.col("label"))
                 .agg(F.count(F.lit(1)).alias("votes"))
             )
-            w = Window.partitionBy("id").orderBy(
-                F.col("votes").desc(), F.col("label").asc()
-            )
             winners = (
-                counts.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("id", F.col("label").alias("new_label"))
+                counts.groupBy("id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("votes"), (-F.col("label")).alias("neg_label")
+                        )
+                    ).alias("w")
+                )
+                .select(
+                    "id", (-F.col("w").getField("neg_label")).alias("new_label")
+                )
             )
             state = state.join(winners, "id", "left").select(
                 "id", F.coalesce(F.col("new_label"), F.col("label")).alias("label")

@@ -458,6 +458,78 @@ def test_betweenness_sampled_matches_python_brandes(spark):
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
 
 
+def test_hot_vertex_label_and_core_aggs_are_two_phase(spark):
+    """VERDICT r6 #6: a hub vertex must not serialize one task. The
+    labelprop winner selection and the kcore h-index are agg-only
+    (map-side partial combine, no Window) and reproduce the window
+    forms exactly on a 5k-spoke star + ring fixture — where the hub
+    sees 5k distinct labels, the worst case for the old plan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ezbake_graph_spark.graph import pregel
+
+    n = 5000
+    verts = spark.range(n + 1).select(F.col("id"))
+    star = spark.range(1, n + 1).select(F.lit(0).alias("src"), F.col("id").alias("dst"))
+    ring = spark.range(1, n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    edges = star.unionByName(ring)
+
+    # labelprop: new struct-max winners == old window winners
+    sym = pregel.symmetrize(edges).cache()
+    state = verts.select("id", F.col("id").alias("label"))
+    counts = (
+        sym.join(state, sym.src == state.id)
+        .groupBy(F.col("dst").alias("id"), "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .cache()
+    )
+    w = Window.partitionBy("id").orderBy(F.col("votes").desc(), F.col("label").asc())
+    old = {
+        (r["id"], r["label"])
+        for r in counts.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("id", "label")
+        .collect()
+    }
+    winners = (
+        counts.groupBy("id")
+        .agg(F.max(F.struct("votes", (-F.col("label")).alias("neg_label"))).alias("w"))
+        .select("id", (-F.col("w").getField("neg_label")).alias("label"))
+    )
+    new = {(r["id"], r["label"]) for r in winners.collect()}
+    assert new == old and len(new) == n + 1
+    plan = winners._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "partial_max" in plan
+
+    # kcore on the same graph: histogram-fold h-index == python h-index
+    got = {r["id"]: r["c"] for r in pregel.core_number(edges).collect()}
+    # star+ring: spokes form a path among themselves plus hub edge ->
+    # every vertex has core number 2 except the path's end effects;
+    # check against a python recompute of the same fixpoint
+    import collections
+
+    adj = collections.defaultdict(set)
+    for r in edges.collect():
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+    c = {v: len(adj[v]) for v in adj}
+    for _ in range(64):
+        nxt = {}
+        for v in adj:
+            vals = sorted((c[u] for u in adj[v]), reverse=True)
+            h = max((min(i + 1, x) for i, x in enumerate(vals)), default=0)
+            nxt[v] = min(c[v], h)
+        if nxt == c:
+            break
+        c = nxt
+    assert got == c
+    counts.unpersist()
+    sym.unpersist()
+
+
 def test_betweenness_sampled_agrees_with_exact_twin(spark):
     """VERDICT r6 #5: the float Brandes Pregel kernel, run with ALL
     sources on graph_betweenness_exact's own graph (top-80 nation
