@@ -63,6 +63,46 @@ def _fake_decode(payload: bytes) -> tuple[int, float, int]:
     return n_pixels, mean_intensity, checksum16
 
 
+_PIL_CHECKED: bool | None = None
+
+
+def _pil_available() -> bool:
+    """Lazy once-per-process probe for an installed PIL — evaluated on
+    each WORKER process too (cloudpickle ships these helpers by
+    reference, so the check runs wherever the batch executes)."""
+    global _PIL_CHECKED
+    if _PIL_CHECKED is None:
+        import importlib.util
+
+        _PIL_CHECKED = importlib.util.find_spec("PIL") is not None
+    return _PIL_CHECKED
+
+
+def _decode_payload(payload: bytes) -> tuple[int, float, int]:
+    """Decode dispatch (VERDICT r6 #7): when PIL is installed AND the
+    payload is an actual decodable image, return real pixel stats —
+    (w*h pixels, grayscale mean, checksum16 of the first 16 RAW
+    bytes); otherwise fall back to the deterministic stub. On a
+    cluster with codecs the real branch runs; in this container (no
+    PIL) and for non-image payloads (the text fixture) the stub runs,
+    so the cross-engine oracle stays green in both environments. The
+    fallback on a PIL decode error is deliberate: a mixed table of
+    images and opaque blobs should not fail the whole batch — gate
+    rows upstream if corrupt images must be fatal."""
+    if _pil_available():
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                data = list(im.convert("L").getdata())
+                return len(data), sum(data) / len(data), sum(payload[:16]) % 65536
+        except Exception:
+            pass  # not a decodable image: deterministic stub below
+    return _fake_decode(payload)
+
+
 _DECODE_SQL = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_pixels,
@@ -80,12 +120,14 @@ ORDER BY doc_id
 @register("multimodal_decode_stub", oracle=_DECODE_SQL, tags=("K-extra",))
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode / feature-extract over binary columns via mapInPandas
-    (Arrow batches). The decode itself is the deterministic stub
-    above; the batch shape, schema, and partitioning are the real
-    100 TB plumbing. SQL-oracled: the fixture text is pure ASCII
-    (verified octet_length == length at every SF), so the oracle can
-    recompute byte sums with per-char ord() — the per-doc mean is one
-    exact integer division in both engines."""
+    (Arrow batches). The decode dispatches through ``_decode_payload``
+    — a real PIL branch when the library is installed and the payload
+    decodes, else the deterministic stub; the batch shape, schema, and
+    partitioning are the real 100 TB plumbing either way. SQL-oracled:
+    the fixture text is pure ASCII (verified octet_length == length at
+    every SF) and not an image, so both the no-PIL container and a
+    codec-equipped cluster take the stub branch here and the oracle
+    stays green in both modes (tests pin the dispatch)."""
     import pandas as pd
 
     d = tables.load(spark, sf_dir, "documents").select(
@@ -94,7 +136,7 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [_decode_payload(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,

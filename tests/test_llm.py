@@ -169,6 +169,56 @@ def test_multimodal_decode_stub_plumbing(spark):
     assert "doc_id" in names
 
 
+def test_multimodal_decode_dispatch_both_branches(spark):
+    """VERDICT r6 #7: the decode branches. (a) This container has no
+    PIL -> the stub branch runs and the oracle-shaped output is the
+    byte stats; (b) with a (faked) PIL installed, a decodable image
+    payload yields real pixel stats and a NON-image payload still
+    falls back to the stub — the same-oracle-both-modes property."""
+    import sys
+    import types
+
+    from ezbake_graph_spark.operators import multimodal as mm
+
+    payload = b"hello multimodal payload bytes"
+    assert not mm._pil_available()  # the container genuinely lacks PIL
+    assert mm._decode_payload(payload) == mm._fake_decode(payload)
+
+    # fake PIL: 2x3 grayscale image whose pixels are the first 6 bytes
+    class _FakeImg:
+        def __init__(self, data):
+            self._d = data
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+        def getdata(self):
+            return list(self._d[:6])
+
+    def _open(buf):
+        data = buf.getvalue()
+        if not data.startswith(b"FAKEIMG"):
+            raise OSError("cannot identify image file")
+        return _FakeImg(data[7:])
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=_open)
+    sys.modules["PIL"] = fake_pil
+    mm._PIL_CHECKED = True
+    try:
+        img = b"FAKEIMG" + bytes(range(10))
+        n, mean, ck = mm._decode_payload(img)
+        assert (n, mean, ck) == (6, sum(range(6)) / 6, sum(img[:16]) % 65536)
+        # non-image payload with PIL "installed": stub fallback
+        assert mm._decode_payload(payload) == mm._fake_decode(payload)
+    finally:
+        del sys.modules["PIL"]
+        mm._PIL_CHECKED = None
+
+
 def test_kmeans_clusters_align_with_labels(spark):
     """Seeded k-means on the embeddings beats random assignment:
     majority-label purity above the 1/10 random baseline (the synthetic
