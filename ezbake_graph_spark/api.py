@@ -1809,18 +1809,21 @@ def prepare_training_data(
 
 def check_constraints(df: DataFrame, rules: list) -> DataFrame:
     """Declarative data-quality audit: evaluate ``not_null`` /
-    ``unique`` / ``in_set`` / ``range`` / ``fk`` rules and return one
-    (rule_id, rule, violations) row per rule — the Deequ/dbt-test
-    surface. All aggregate rules fold into ONE scan; each ``unique``
-    adds one keyed agg, each ``fk`` one anti-join. See
+    ``unique`` / ``in_set`` / ``range`` / ``regex`` / ``dtype`` /
+    ``fk`` rules and return one (rule_id, rule, violations) row per
+    rule — the Deequ/dbt-test surface. All aggregate rules (including
+    regex full-match and try_cast dtype checks) fold into ONE scan;
+    each ``unique`` adds one keyed agg, each ``fk`` one anti-join. See
     ``operators.quality.check_constraints`` for the rule schema.
 
     >>> d = spark.createDataFrame(
     ...     [(1, "a"), (1, "b"), (2, None)], "id long, v string")
     >>> [(r["rule"], r["violations"]) for r in check_constraints(
     ...     d, [{"rule": "not_null", "column": "v"},
-    ...         {"rule": "unique", "columns": ["id"]}]).collect()]
-    [('not_null(v)', 1), ('unique(id)', 1)]
+    ...         {"rule": "unique", "columns": ["id"]},
+    ...         {"rule": "regex", "column": "v", "pattern": "[ab]"},
+    ...         {"rule": "dtype", "column": "v", "type": "bigint"}]).collect()]
+    [('not_null(v)', 1), ('unique(id)', 1), ('regex(v)', 0), ('dtype(v)', 2)]
     """
     from ezbake_graph_spark.operators import quality
 
@@ -1830,14 +1833,16 @@ def check_constraints(df: DataFrame, rules: list) -> DataFrame:
 def profile(df: DataFrame, columns: list) -> DataFrame:
     """Single-pass column profile: (col_name, n_nulls, n_distinct,
     min_value, max_value) per requested column, scanning the table
-    once however many columns are profiled. Restrict to int / string /
-    date-like columns (float min/max would need engine-identical
-    string rendering — quantize those first).
+    once however many columns are profiled. Array/map/struct columns
+    profile on their ``to_json`` rendering (nulls count normally;
+    distinct/min/max over the serialized value). Float min/max would
+    need engine-identical string rendering — quantize those first.
 
     >>> d = spark.createDataFrame(
-    ...     [(1, "x"), (2, None), (2, "y")], "id long, v string")
-    >>> [tuple(r) for r in profile(d, ["id", "v"]).orderBy("col_name").collect()]
-    [('id', 0, 2, '1', '2'), ('v', 1, 2, 'x', 'y')]
+    ...     [(1, "x", [1, 2]), (2, None, [1]), (2, "y", [1, 2])],
+    ...     "id long, v string, a array<int>")
+    >>> [tuple(r) for r in profile(d, ["id", "v", "a"]).orderBy("col_name").collect()]
+    [('a', 0, 2, '[1,2]', '[1]'), ('id', 0, 2, '1', '2'), ('v', 1, 2, 'x', 'y')]
     """
     from ezbake_graph_spark.operators import quality
 

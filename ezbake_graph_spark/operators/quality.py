@@ -42,6 +42,13 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
       values outside the allowed set.
     - ``{"rule": "range", "column": c, "min": lo, "max": hi}`` —
       non-NULL values outside [lo, hi].
+    - ``{"rule": "regex", "column": c, "pattern": p}`` — non-NULL
+      values that do not FULLY match ``p`` (the pattern is anchored as
+      ``^(?:p)$``; keep it in the RE2-compatible subset for
+      cross-engine parity, like the PII patterns).
+    - ``{"rule": "dtype", "column": c, "type": t}`` — non-NULL values
+      that do not losslessly cast to Spark type ``t`` (``try_cast``
+      NULL), e.g. stray text in a should-be-numeric string column.
     - ``{"rule": "fk", "columns": [...], "ref": DataFrame,
       "ref_columns": [...]}`` — rows (with non-NULL keys) that have no
       match in the reference table.
@@ -85,6 +92,37 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
                     F.when(
                         F.col(c).isNotNull()
                         & ~F.col(c).between(r["min"], r["max"]),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"v{i}")
+            )
+        elif kind == "regex":
+            c = r["column"]
+            pattern = r["pattern"]
+            if not pattern:
+                raise ValueError(f"rule {i}: regex needs a non-empty pattern")
+            labels[i] = f"regex({c})"
+            agg_exprs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull()
+                        & ~F.col(c).rlike(f"^(?:{pattern})$"),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"v{i}")
+            )
+        elif kind == "dtype":
+            c = r["column"]
+            t = r["type"]
+            # validate the type string at plan-build time (cast raises
+            # on junk) before splicing it into the try_cast expression
+            F.col(c).cast(t)
+            labels[i] = f"dtype({c})"
+            agg_exprs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull()
+                        & F.expr(f"try_cast(`{c}` AS {t})").isNull(),
                         1,
                     ).otherwise(0)
                 ).alias(f"v{i}")
@@ -165,15 +203,27 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     aggregate row over the table (null counts, exact distinct counts,
     min/max per column), exploded to one output row per column; the
     table is scanned once regardless of how many columns are profiled.
-    Restrict to int/string/date-like columns — float min/max would
-    need engine-identical string rendering."""
+
+    Array/map/struct columns profile on their canonical JSON rendering
+    (``to_json``): nulls count normally, distincts/min/max are over
+    the serialized value — deterministic, and the only total order a
+    nested value honestly has (a raw ``count_distinct`` on a map
+    column is an AnalysisException; round-6 self-review item). For
+    float columns, min/max would need engine-identical string
+    rendering — quantize first, as before."""
     aggs = []
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for c in columns:
+        v = (
+            F.to_json(F.col(c))
+            if by_name.get(c, "").startswith(("array<", "map<", "struct<"))
+            else F.col(c)
+        )
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_{c}"),
-            F.count_distinct(F.col(c)).alias(f"d_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+            F.count_distinct(v).alias(f"d_{c}"),
+            F.min(v).cast("string").alias(f"mn_{c}"),
+            F.max(v).cast("string").alias(f"mx_{c}"),
         ]
     one = df.agg(*aggs)
     stack = F.explode(
@@ -202,7 +252,13 @@ WITH agg AS (
     CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
               AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v1,
     CAST(sum(CASE WHEN o_orderkey IS NOT NULL
-              AND o_orderkey NOT BETWEEN 0 AND 30000 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+              AND o_orderkey NOT BETWEEN 0 AND 30000 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+              AND NOT regexp_full_match(o_orderpriority, '[1-3]-[A-Z ]+')
+              THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+              AND try_cast(o_orderstatus AS BIGINT) IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS v6
   FROM orders
 ), uniq AS (
   SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS v3
@@ -221,6 +277,10 @@ UNION ALL
 SELECT 3, 'unique(o_orderkey)', v3 FROM uniq
 UNION ALL
 SELECT 4, 'fk(o_custkey)', v4 FROM fk
+UNION ALL
+SELECT 5, 'regex(o_orderpriority)', v5 FROM agg
+UNION ALL
+SELECT 6, 'dtype(o_orderstatus)', v6 FROM agg
 ORDER BY rule_id
 """
 
@@ -228,8 +288,12 @@ ORDER BY rule_id
 @register("dq_constraint_audit", oracle=_DQ_AUDIT_SQL, tags=("ext", "dq"))
 def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint audit of the orders table: not-null,
-    in-set, range, uniqueness and an orders→customer foreign key, one
-    violation-count row per rule."""
+    in-set, range, uniqueness, an orders→customer foreign key, a
+    full-match regex on the priority format, and a castability check
+    — one violation-count row per rule (regex/dtype added in round 7;
+    the regex bound is deliberately [1-3] so it has real violations
+    on the fixture, and a VARCHAR status column is never BIGINT-
+    castable so dtype counts every non-null row)."""
     o = tables.load(spark, sf_dir, "orders")
     c = tables.load(spark, sf_dir, "customer")
     return check_constraints(
@@ -241,6 +305,9 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"rule": "unique", "columns": ["o_orderkey"]},
             {"rule": "fk", "columns": ["o_custkey"], "ref": c,
              "ref_columns": ["c_custkey"]},
+            {"rule": "regex", "column": "o_orderpriority",
+             "pattern": "[1-3]-[A-Z ]+"},
+            {"rule": "dtype", "column": "o_orderstatus", "type": "bigint"},
         ],
     )
 

@@ -295,6 +295,8 @@ def test_check_constraints_all_rule_types(spark):
             {"rule": "range", "column": "ok", "min": 1, "max": 2},
             {"rule": "fk", "columns": ["ck"], "ref": cust,
              "ref_columns": ["ck_ref"]},
+            {"rule": "regex", "column": "st", "pattern": "[OF]"},
+            {"rule": "dtype", "column": "st", "type": "bigint"},
         ],
     ).collect()}
     assert out == {
@@ -303,6 +305,8 @@ def test_check_constraints_all_rule_types(spark):
         "in_set(st)": 1,        # 'X'
         "range(ok)": 1,         # ok=3
         "fk(ck)": 1,            # ck=99 has no ref (NULL ck not counted)
+        "regex(st)": 1,         # 'X' doesn't full-match [OF]
+        "dtype(st)": 4,         # no status string casts to bigint
     }
     import pytest as _pytest
 
@@ -311,10 +315,31 @@ def test_check_constraints_all_rule_types(spark):
 
 
 def test_dq_registry_keys_match_api_kernels(spark):
-    got = {tuple(r) for r in _registry(spark, "dq_constraint_audit").collect()}
-    assert len(got) == 5 and all(v == 0 for *_, v in got)  # fixture is clean
+    got = {r["rule"]: r["violations"]
+           for r in _registry(spark, "dq_constraint_audit").collect()}
+    assert len(got) == 7
+    # fixture is clean under the structural rules ...
+    for rule in ("not_null(o_custkey)", "in_set(o_orderstatus)",
+                 "range(o_orderkey)", "unique(o_orderkey)", "fk(o_custkey)"):
+        assert got[rule] == 0
+    # ... while the round-7 rules are tuned to have real violations:
+    # priorities 4-NOT SPECIFIED / 5-LOW fall outside [1-3]-..., and a
+    # one-letter status is never bigint-castable.
+    assert got["regex(o_orderpriority)"] > 0
+    assert got["dtype(o_orderstatus)"] > 0
     prof = {tuple(r) for r in _registry(spark, "dq_profile_columns").collect()}
     assert {c for c, *_ in prof} == {"o_orderkey", "o_custkey", "o_orderstatus"}
+
+
+def test_profile_nested_columns_serialize_to_json(spark):
+    d = spark.createDataFrame(
+        [(1, [1, 2], {"k": 1}), (2, [1], None), (3, [1, 2], {"k": 2})],
+        "id long, a array<int>, m map<string,int>",
+    )
+    out = {r["col_name"]: tuple(r)[1:]
+           for r in api.profile(d, ["a", "m"]).collect()}
+    assert out["a"] == (0, 2, "[1,2]", "[1]")   # lexicographic on JSON
+    assert out["m"] == (1, 2, '{"k":1}', '{"k":2}')
 
 
 def test_check_constraints_rejects_empty_rules(spark):
