@@ -817,3 +817,101 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.9)
         .orderBy("doc1", "doc2")
     )
+
+
+SPAN_K = 8  # shingle width (tokens) for substring-level dedup
+
+_SPAN_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i : i+{SPAN_K}-1], ' ') AS shingle
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - {SPAN_K} + 1)) AS i) u
+),
+dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (shingle)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {SPAN_K}
+              THEN 0 ELSE 1 END AS b
+  FROM hits
+),
+grp AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {SPAN_K} - 1 AS span_end,
+       max(pos) + {SPAN_K} - min(pos) AS span_tokens
+FROM grp GROUP BY doc_id, g
+ORDER BY doc_id, span_start
+"""
+
+
+@register("dedup_substring_spans", oracle=_SPAN_SQL, tags=("ext", "M155"))
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (the Lee-et-al.-2021 'Deduplicating
+    Training Data' semantics, public arXiv:2107.06499): report every
+    MAXIMAL token span of length >= SPAN_K that also appears in at
+    least one OTHER document — the spans a pretraining pipeline would
+    cut out of the text rather than dropping whole documents.
+
+    Plan shape (suffix arrays do not distribute; the shingle inverted
+    index is the Spark-native equivalent):
+    1. Map-side: tokens array -> positioned SPAN_K-gram shingles via
+       transform(sequence(...)) + explode — no shuffle, and only the
+       md5 digest of each shingle leaves the mapper (32-byte key, not
+       the text), so the shuffle moves digests.
+    2. One keyed aggregation marks digests seen in >= 2 distinct docs
+       (count-distinct over a 2-level partial agg).
+    3. One keyed equi-join brings hit positions back (digest-keyed:
+       posting-list bounded, never all-pairs).
+    4. Gaps-and-islands per doc merges hits whose starts are within
+       SPAN_K tokens into maximal spans (two windows + one groupBy,
+       all partitioned by doc_id).
+    At 100 TB every stage is keyed on digest or doc_id; the known skew
+    lever is capping stop-shingle posting lists (same lever as K2).
+    DuckDB oracle joins on the shingle STRING — identical output
+    modulo md5 collision (2^-64; acceptable for a digest join and the
+    standard trade at scale). Positions are 1-based in both engines
+    (DuckDB 1-based list slicing == Spark 1-based slice())."""
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= SPAN_K,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - SPAN_K + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, SPAN_K))).alias(
+                            "dig"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.dig").alias("dig"))
+    dup = (
+        sh.groupBy("dig")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("dig")
+    )
+    hits = sh.join(dup, "dig").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = hits.withColumn(
+        "b",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= SPAN_K, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    grp = brk.withColumn("g", F.sum("b").over(w))
+    return (
+        grp.groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + SPAN_K - 1).alias("span_end"),
+            (F.max("pos") + SPAN_K - F.min("pos")).alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    )

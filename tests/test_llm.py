@@ -355,3 +355,44 @@ def test_grid_path_matches_narrow_path(spark):
         ls._BLOCK_ROWS = orig
     assert grid_topk == narrow_topk
     assert grid_dup == narrow_dup
+
+
+def test_substring_spans_are_real_cross_doc_duplicates(spark):
+    """Every reported span must (a) lie inside its document, (b) have
+    every SPAN_K-shingle it covers present in at least one OTHER doc
+    (that is what 'duplicated span' means), and (c) be maximal: the
+    shingle just before span_start and just after the last start must
+    NOT be cross-doc duplicated (else the island merge missed a hit)."""
+    from collections import defaultdict
+
+    from ezbake_graph_spark.operators.llm_dedup import SPAN_K, dedup_substring_spans
+    from ezbake_graph_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load(spark, sf, "documents").collect()
+    }
+    owners = defaultdict(set)
+    for did, toks in docs.items():
+        for i in range(len(toks) - SPAN_K + 1):
+            owners[" ".join(toks[i : i + SPAN_K])].add(did)
+
+    def dup_at(did, i):  # 0-based shingle start; True = cross-doc duplicated
+        toks = docs[did]
+        if i < 0 or i > len(toks) - SPAN_K:
+            return False
+        return len(owners[" ".join(toks[i : i + SPAN_K])] - {did}) > 0
+
+    rows = dedup_substring_spans(spark, sf).collect()
+    assert rows, "fixture is known to contain duplicated spans"
+    for r in rows:
+        did, s, e = r["doc_id"], r["span_start"] - 1, r["span_end"] - 1
+        assert 0 <= s and e < len(docs[did])
+        assert r["span_tokens"] == e - s + 1
+        assert dup_at(did, s) and dup_at(did, e - SPAN_K + 1)
+        # maximality: no duplicated shingle start within SPAN_K before
+        # the span, none after the last covered start
+        assert not any(dup_at(did, j) for j in range(max(0, s - SPAN_K), s))
+        last = e - SPAN_K + 1
+        assert not any(dup_at(did, j) for j in range(last + 1, last + SPAN_K + 1))
