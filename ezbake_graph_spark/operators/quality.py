@@ -347,3 +347,95 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         o, ["o_orderkey", "o_custkey", "o_orderstatus"]
     ).orderBy("col_name")
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of one numeric
+    column, fixed-width binning, Laplace add-one smoothing (keeps every
+    log finite without dropping bins that exist in only one snapshot).
+
+    Returns one row per observed bin: (bin, ref_count, cur_count,
+    psi_term) with psi_term = (p - q) * ln(p / q), p = (cr+1)/(tr+nb),
+    q = (cc+1)/(tc+nb). Total PSI = sum(psi_term); emitted per-bin so
+    the only float math is a fixed per-row expression tree over exact
+    ints — no cross-row float accumulation whose order could differ
+    between engines (SURVEY §5.3 rule 2), round6 for the contract.
+
+    Scale shape: each snapshot aggregates map-side to (bin, count) —
+    one partial-agg shuffle per input, then the bins table (at most a
+    few hundred rows for any sane width) is a single-partition
+    broadcast-joined constant. 100 TB cost = two scans + two keyed
+    partial aggs; nothing else grows with the data."""
+    b_ref = ref.select(
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin")
+    )
+    b_cur = cur.select(
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin")
+    )
+    cnt = (
+        b_ref.withColumn("is_ref", F.lit(1))
+        .unionAll(b_cur.withColumn("is_ref", F.lit(0)))
+        .groupBy("bin")
+        .agg(
+            F.sum("is_ref").alias("cr"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("cc"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("cr").alias("tr"), F.sum("cc").alias("tc"), F.count(F.lit(1)).alias("nb")
+    )
+    p = (F.col("cr") + 1).cast("double") / (F.col("tr") + F.col("nb"))
+    q = (F.col("cc") + 1).cast("double") / (F.col("tc") + F.col("nb"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("cr").alias("ref_count"),
+            F.col("cc").alias("cur_count"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+_DQ_DRIFT_SQL = """
+WITH binned AS (
+  SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bin,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS is_ref
+  FROM orders
+),
+cnt AS (
+  SELECT bin,
+         CAST(sum(is_ref) AS BIGINT) AS cr,
+         CAST(sum(1 - is_ref) AS BIGINT) AS cc
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(cc) AS BIGINT) AS tc,
+         count(*) AS nb
+  FROM cnt
+)
+SELECT bin, cr AS ref_count, cc AS cur_count,
+   round((CAST(cr + 1 AS DOUBLE) / (tr + nb) - CAST(cc + 1 AS DOUBLE) / (tc + nb))
+       * ln((CAST(cr + 1 AS DOUBLE) / (tr + nb)) / (CAST(cc + 1 AS DOUBLE) / (tc + nb))), 6)
+       AS psi_term
+FROM cnt, tot ORDER BY bin
+"""
+
+
+@register("dq_drift_psi", oracle=_DQ_DRIFT_SQL, tags=("ext", "dq"))
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: PSI of o_totalprice between orders
+    placed before vs after 1998-01-01 (20k-wide bins). The monitoring
+    primitive a 100 TB ingest pipeline runs per batch to catch upstream
+    distribution shifts before they poison training data. Declared on
+    the generic `psi_drift` kernel."""
+    o = tables.load(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    cur = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    return psi_drift(ref, cur, "o_totalprice", 20000.0)
