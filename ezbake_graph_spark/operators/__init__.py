@@ -17,6 +17,7 @@ from ezbake_graph_spark.operators import (  # noqa: F401
     llm_filter,
     llm_similarity,
     llm_text,
+    llm_tokenize,
     llm_url,
     multimodal,
     projection,

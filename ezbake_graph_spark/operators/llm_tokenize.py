@@ -1,0 +1,164 @@
+"""BPE tokenizer training and encoding — the tokenizer-fitting step of
+a training-data pipeline, distributed.
+
+Classic byte-pair encoding (public algorithm: Sennrich/Haddow/Birch,
+"Neural Machine Translation of Rare Words with Subword Units", ACL
+2016): start from characters, repeatedly merge the most frequent
+adjacent symbol pair. The key structural fact for scale is that BPE
+statistics live on the DISTINCT-WORD frequency table, not the corpus:
+at 100 TB the corpus is billions of documents but the weighted word
+table is orders of magnitude smaller, and it is the only thing the
+merge loop ever touches. The corpus is scanned exactly once (one
+map-side explode + one keyed count); each merge round is then
+
+  1. one keyed aggregation over adjacent symbol pairs (partial
+     map-side combine — hot pairs reduce before the shuffle), and
+  2. one argmax collect of a SINGLE row (bounded, same class as the
+     documented O(1)-row convergence collects in graph.py), and
+  3. one map-side fold that applies the merge to every word's symbol
+     array — no shuffle.
+
+Determinism: counts are exact ints; the argmax tie-break is
+(count DESC, left, right), so reruns and engines agree bit-for-bit.
+Rows-only keys by the same §2 rule as graph_pagerank: the merge
+recursion is not SQL-expressible (each round's input depends on the
+previous round's data-dependent argmax); a from-scratch python golden
+recomputation pins the values in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ezbake_graph_spark import tables
+from ezbake_graph_spark.registry import register
+
+END_OF_WORD = "</w>"
+N_MERGES = 20
+
+
+def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over whitespace-split text — the only
+    corpus-proportional stage. Returns symbols as char arrays with the
+    end-of-word marker appended (the marker keeps merges from crossing
+    word boundaries and distinguishes suffix from prefix units)."""
+    words = docs.select(F.explode(F.split(text_col, " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    return wf.select(
+        "word",
+        "freq",
+        F.concat(F.split("word", ""), F.array(F.lit(END_OF_WORD))).alias("syms"),
+    )
+
+
+def _pair_counts(wf: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the word table: zip each
+    symbol array with its own tail, explode, aggregate. Overlap
+    convention matches the reference algorithm: every adjacent
+    occurrence counts (a word 'aaa' contributes ('a','a') twice)."""
+    pairs = wf.select(
+        "freq",
+        F.explode(
+            F.zip_with(
+                F.slice("syms", 1, F.size("syms") - 1),
+                F.slice("syms", 2, F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right")).agg(
+        F.sum("freq").alias("c")
+    )
+
+
+def _merge_expr(left: str, right: str) -> Column:
+    """Fold that rewrites a symbol array applying one merge
+    left-to-right. No overlap flag is needed: a merged token is
+    strictly longer than ``left``, so it can never immediately
+    re-match as the left half of the same pair."""
+    lit_l, lit_r = F.lit(left), F.lit(right)
+    merged = F.lit(left + right)
+    return F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            # try_element_at: the accumulator starts EMPTY (ANSI mode
+            # would raise on element_at(acc, -1)); NULL != lit_l keeps
+            # the first symbol on the append branch
+            (F.try_element_at(acc, F.lit(-1)) == lit_l) & (s == lit_r),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = N_MERGES
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``n_merges`` BPE merges. Returns (merges, encoded_words):
+    merges as an ordered [(left, right), ...] list; encoded_words the
+    final (word, freq, syms) table with all merges applied — ready to
+    broadcast as an encode dictionary.
+
+    The word table is cached once and localCheckpointed every few
+    rounds so the fold-upon-fold lineage stays flat (same posture as
+    the Pregel loops)."""
+    wf = _word_freq(docs, text_col).cache()
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(wf)
+            .orderBy(F.col("c").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < 2:
+            break  # nothing left worth merging
+        left, right = top[0]["left"], top[0]["right"]
+        merges.append((left, right))
+        wf = wf.withColumn("syms", _merge_expr(left, right))
+        if (i + 1) % 5 == 0:
+            wf = wf.localCheckpoint()
+    return merges, wf
+
+
+@register("text_bpe_train", oracle=None, tags=("ext", "rows-only", "iterative"))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table over the documents corpus: one row
+    per merge, (rank, left, right, merged). Rows-only (iterative
+    data-dependent argmax is not SQL-expressible); a from-scratch
+    python BPE recomputation pins every row in tests/test_llm.py."""
+    d = tables.load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, "text", N_MERGES)
+    rows = [
+        (i + 1, left, right, left + right) for i, (left, right) in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, "rank INT, left STRING, right STRING, merged STRING").orderBy(
+        "rank"
+    )
+
+
+@register("text_bpe_encode", oracle=None, tags=("ext", "rows-only", "iterative"))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts under the learned merges — the
+    real 'how many tokens is this corpus' measurement (whitespace and
+    regex counts bound it from below/above; this one is the
+    tokenizer's own answer). The encode dictionary (distinct word ->
+    token count) is broadcast-joined against the exploded corpus, then
+    one keyed sum per doc: two shuffles total, both keyed, regardless
+    of corpus size. Rows-only with the training key; the python golden
+    in tests/test_llm.py re-encodes documents from scratch."""
+    d = tables.load(spark, sf_dir, "documents")
+    _, wf = bpe_train(d, "text", N_MERGES)
+    dic = wf.select("word", F.size("syms").alias("n_word_tokens"))
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(dic), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_word_tokens").alias("n_bpe_tokens"))
+        .orderBy("doc_id")
+    )

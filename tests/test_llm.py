@@ -418,3 +418,56 @@ def test_pq_adc_recall_vs_exact_knn(spark):
         assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
         cos = [c for _, c in rows]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_bpe_train_and_encode_match_python_golden(spark):
+    """From-scratch python BPE (word-freq table, most-frequent adjacent
+    pair, (count DESC, left, right) tie-break, left-to-right merge
+    application) must reproduce every learned merge row and every
+    per-doc encoded token count."""
+    from collections import Counter
+
+    from ezbake_graph_spark.operators.llm_tokenize import (
+        END_OF_WORD,
+        N_MERGES,
+        text_bpe_encode,
+        text_bpe_train,
+    )
+    from ezbake_graph_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    texts = {
+        r["doc_id"]: [w for w in r["text"].split(" ") if w]
+        for r in load(spark, sf, "documents").collect()
+    }
+    wf = Counter(w for toks in texts.values() for w in toks)
+    syms = {w: list(w) + [END_OF_WORD] for w in wf}
+
+    golden = []
+    for _ in range(N_MERGES):
+        pc = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (left, right), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        golden.append((left, right))
+        for w in syms:
+            s, out = syms[w], []
+            for tok in s:
+                if out and out[-1] == left and tok == right:
+                    out[-1] = left + right
+                else:
+                    out.append(tok)
+            syms[w] = out
+
+    got = [(r["left"], r["right"]) for r in text_bpe_train(spark, sf).collect()]
+    assert got == golden
+
+    enc = {r["doc_id"]: r["n_bpe_tokens"] for r in text_bpe_encode(spark, sf).collect()}
+    want = {d: sum(len(syms[w]) for w in toks) for d, toks in texts.items()}
+    assert enc == want
