@@ -843,7 +843,7 @@ ORDER BY doc_id, span_start
 """
 
 
-@register("dedup_substring_spans", oracle=_SPAN_SQL, tags=("ext", "M155"))
+@register("dedup_substring_spans", oracle=_SPAN_SQL, tags=("ext", "M159"))
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup (the Lee-et-al.-2021 'Deduplicating
     Training Data' semantics, public arXiv:2107.06499): report every
