@@ -939,3 +939,44 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+_QUANTILE_BINS_SQL = """
+WITH t AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM t GROUP BY decile ORDER BY decile
+"""
+
+
+@register("agg_quantile_bins", oracle=_QUANTILE_BINS_SQL, tags=("ext", "feature"))
+def agg_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of o_totalprice — the feature
+    discretization step (quantile bucketizer) with per-bin counts and
+    edges. The ntile ORDER BY carries the unique o_orderkey tie-break
+    so bin membership at boundary ties is deterministic cross-engine;
+    lo/hi are raw column values (no float arithmetic).
+
+    Scale note: a single-partition global ntile is the declared-exact
+    form; at 100 TB the same result comes from approx_percentile edges
+    + a map-side bucket assignment, or a range-partitioned rank (the
+    distributed prefix-sum pattern in multimodal_shard_manifest) —
+    this key pins the semantics those approximations target."""
+    from pyspark.sql import Window
+
+    o = tables.load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("decile")
+    )

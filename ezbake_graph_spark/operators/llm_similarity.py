@@ -1016,25 +1016,13 @@ def pq_train_encode(
     return codes, codebook
 
 
-def pq_adc_topk(
-    codes: DataFrame,
-    codebook: DataFrame,
-    queries: DataFrame,
-    dim: int,
-    k: int,
-    m_sub: int = _PQ_M,
-    k_codes: int = _PQ_K,
+def _pq_lut(
+    queries: DataFrame, codebook: DataFrame, dim: int, m_sub: int, k_codes: int
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k: the query stays exact, the
-    corpus is its PQ codes. Per query build the (m_sub x k_codes)
-    dot-product lookup table as a TINY DataFrame aggregation, broadcast
-    it, then score = one zip_with over the code array per corpus row —
-    the corpus is scanned exactly once, map-side, no shuffle except
-    the final per-query top-k window. Approximate cosine =
-    LUT-summed dot / (query_norm * reconstructed_norm).
-
-    ``queries``: (query_id, qv, qn). Output matches sim_knn's contract:
-    (query_id, neighbor_id, cosine, rank), self-matches excluded."""
+    """Per-query ADC lookup table: (query_id, lut array<array<double>>)
+    with lut[m][code] = dot(query subvector m, codebook centroid).
+    Built as a tiny DataFrame aggregation (n_queries x m_sub x k_codes
+    rows) against the broadcast codebook."""
     qsv = _pq_subvectors(
         queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v")),
         dim,
@@ -1043,7 +1031,7 @@ def pq_adc_topk(
     part = F.aggregate(
         F.zip_with("sv", "cv", lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
     )
-    lut = (
+    return (
         qsv.join(F.broadcast(codebook), "m")
         .select("query_id", "m", "code", part.alias("p"))
         .groupBy("query_id", "m")
@@ -1068,6 +1056,28 @@ def pq_adc_topk(
             "query_id", F.transform("mr", lambda s: s.getField("row")).alias("lut")
         )
     )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int,
+    m_sub: int = _PQ_M,
+    k_codes: int = _PQ_K,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact, the
+    corpus is its PQ codes. Per query build the (m_sub x k_codes)
+    dot-product lookup table as a TINY DataFrame aggregation, broadcast
+    it, then score = one zip_with over the code array per corpus row —
+    the corpus is scanned exactly once, map-side, no shuffle except
+    the final per-query top-k window. Approximate cosine =
+    LUT-summed dot / (query_norm * reconstructed_norm).
+
+    ``queries``: (query_id, qv, qn). Output matches sim_knn's contract:
+    (query_id, neighbor_id, cosine, rank), self-matches excluded."""
+    lut = _pq_lut(queries, codebook, dim, m_sub, k_codes)
     q_side = queries.select("query_id", "qn").join(lut, "query_id")
     approx_dot = F.aggregate(
         F.zip_with(
@@ -1146,3 +1156,117 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     return pq_search(vecs, queries, dim=64, k=5)
+
+
+def ivfpq_search(
+    vecs: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int,
+    nprobe: int = _NPROBE,
+    m_sub: int = _PQ_M,
+    k_codes: int = _PQ_K,
+    shortlist: int = _PQ_SHORTLIST,
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF x PQ — the standard IVFADC layout (SCALE.md §8): the IVF
+    coarse quantizer prunes WHICH cells a query reads, the PQ codes
+    shrink WHAT each cell holds, and the exact kernel re-ranks only
+    the shortlist. At 100 TB the corpus table is partitioned by cell
+    and each partition stores 16-byte codes: a query touches
+    nprobe/n_cells of the partitions and scans them at code (not
+    vector) width — the two pruning axes compose multiplicatively.
+
+    Pipeline (every stage keyed or broadcast):
+    1. coarse-assign the corpus to centroid cells (broadcast argmin),
+    2. PQ-encode the full vectors once (one shared codebook — raw
+       vectors, not residuals; the exact re-rank step absorbs the
+       extra quantization error the residual trick would remove),
+    3. per query pick the ``nprobe`` nearest cells (broadcast centroid
+       table), build ONE ADC LUT (cell-independent because codes
+       encode raw vectors),
+    4. score codes ONLY in probed cells: the probe table is the
+       broadcast side of a join keyed on ``cell`` — with a persisted
+       cell-partitioned code table this is the same dynamic-partition-
+       pruning shape as ``sim_ivf_persisted``,
+    5. exact cosine re-rank of the per-query shortlist (keyed join on
+       vec_id against the full vectors).
+
+    ``vecs``: (vec_id, v, nrm, <cell_col>); ``queries``: (query_id,
+    qv, qn). Output: (query_id, neighbor_id, cosine, rank) like
+    sim_knn, self-matches excluded."""
+    cent = cell_centroids(vecs, cell_col).cache()
+    assigned = assign_nearest_cell(vecs, cent)
+    codes, codebook = pq_train_encode(vecs.select("vec_id", "v"), dim, m_sub, k_codes)
+    codes = codes.join(assigned.select("vec_id", "cell"), "vec_id")
+
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "cell",
+        _cosine(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn")).alias("sim"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    lut = _pq_lut(queries, codebook, dim, m_sub, k_codes)
+    q_side = (
+        probes.join(lut, "query_id")
+        .join(queries.select("query_id", "qn"), "query_id")
+    )
+    approx_dot = F.aggregate(
+        F.zip_with(
+            "codes", "lut", lambda c, row: F.element_at(row, c.cast("int") + 1)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cand = (
+        codes.join(F.broadcast(q_side), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.try_divide(approx_dot, F.col("qn") * F.col("recon_n")), 6
+            ).alias("adc"),
+        )
+        .filter(F.col("adc").isNotNull())
+    )
+    w_short = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
+    short = (
+        cand.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    exact = short.join(
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"), "neighbor_id"
+    ).join(F.broadcast(queries), "query_id")
+    scored = exact.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")), 6).alias(
+            "cosine"
+        ),
+    ).filter(F.col("cosine").isNotNull())
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register("sim_ivfpq", oracle=None, tags=("K-extra", "rows-only"))
+def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC over the embeddings fixture: label-centroid coarse cells,
+    nprobe=8, 16x64 PQ codes, top-20 ADC shortlist, exact re-rank to
+    k=5 for queries 0..9. Rows-only like its parents (sim_ivf /
+    sim_pq_adc); recall vs exact kNN pinned in tests/test_llm.py."""
+    vecs = _vectors(spark, sf_dir).select("vec_id", "label", "v", "nrm").cache()
+    queries = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    return ivfpq_search(vecs, queries, dim=64, k=5)
