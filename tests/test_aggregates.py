@@ -123,3 +123,41 @@ def test_sketch_merge_tracks_exact_distinct(spark):
     )
     assert abs(row["est_distinct_customers"] - exact) <= max(2, 0.05 * exact)
     assert row["n_orders"] == tables.load(spark, SF_SMOKE, "orders").count()
+
+
+def test_psi_terms_are_nonnegative_and_symmetric(spark):
+    """Every PSI contribution is >= 0 ((p-q) and ln(p/q) always share
+    sign), swapping ref and cur leaves each bin's term unchanged
+    (the formula is symmetric), and counts reconcile with the inputs."""
+    from ezbake_graph_spark.operators.quality import psi_drift
+    from tests.conftest import SF_SMOKE
+    from ezbake_graph_spark.tables import load
+    from pyspark.sql import functions as F
+
+    o = load(spark, SF_SMOKE, "orders")
+    ref = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    cur = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    fwd = psi_drift(ref, cur, "o_totalprice", 20000.0).collect()
+    assert fwd and all(r["psi_term"] >= 0.0 for r in fwd)
+    assert sum(r["ref_count"] for r in fwd) == ref.count()
+    assert sum(r["cur_count"] for r in fwd) == cur.count()
+    rev = {r["bin"]: r for r in psi_drift(cur, ref, "o_totalprice", 20000.0).collect()}
+    for r in fwd:
+        assert rev[r["bin"]]["psi_term"] == r["psi_term"]
+        assert rev[r["bin"]]["ref_count"] == r["cur_count"]
+
+
+def test_quantile_bins_partition_the_table(spark):
+    """Decile sizes differ by at most 1, cover the full table, and bin
+    edges are non-overlapping and ordered."""
+    from ezbake_graph_spark.operators.aggregates import agg_quantile_bins
+    from tests.conftest import SF_SMOKE
+    from ezbake_graph_spark.tables import load
+
+    rows = agg_quantile_bins(spark, SF_SMOKE).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(sizes) == load(spark, SF_SMOKE, "orders").count()
+    for a, b in zip(rows, rows[1:]):
+        assert a["lo"] <= a["hi"] <= b["lo"] <= b["hi"]
