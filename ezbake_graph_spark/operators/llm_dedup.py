@@ -843,6 +843,54 @@ ORDER BY doc_id, span_start
 """
 
 
+def duplicated_spans(d: DataFrame, span_k: int = SPAN_K) -> DataFrame:
+    """Maximal cross-document duplicated token spans over a
+    (doc_id, toks array<string>) table. Returns (doc_id, span_start,
+    span_end, span_tokens), positions 1-based. The distributable
+    kernel behind ``dedup_substring_spans`` / ``dedup_cut_spans``."""
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= span_k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - span_k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, span_k))).alias(
+                            "dig"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.dig").alias("dig"))
+    dup = (
+        sh.groupBy("dig")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("dig")
+    )
+    hits = sh.join(dup, "dig").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = hits.withColumn(
+        "b",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= span_k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    grp = brk.withColumn("g", F.sum("b").over(w))
+    return (
+        grp.groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + span_k - 1).alias("span_end"),
+            (F.max("pos") + span_k - F.min("pos")).alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        )
+
+
 @register("dedup_substring_spans", oracle=_SPAN_SQL, tags=("ext", "M159"))
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup (the Lee-et-al.-2021 'Deduplicating
@@ -873,45 +921,95 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("toks") >= SPAN_K,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - SPAN_K + 1),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, SPAN_K))).alias(
-                            "dig"
-                        ),
-                    ),
-                ),
-            ).otherwise(F.array())
-        ).alias("s"),
-    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.dig").alias("dig"))
-    dup = (
-        sh.groupBy("dig")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("dig")
+    return duplicated_spans(d).orderBy("doc_id", "span_start")
+
+
+_CUT_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i : i+{SPAN_K}-1], ' ') AS shingle
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - {SPAN_K} + 1)) AS i) u
+),
+dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (shingle)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {SPAN_K}
+              THEN 0 ELSE 1 END AS b
+  FROM hits
+),
+grp AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_K} - 1 AS e
+  FROM grp GROUP BY doc_id, g
+),
+tok AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.s AND sp.e)
+)
+SELECT d.doc_id,
+       coalesce((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS clean_text,
+       len(d.toks) - coalesce((SELECT count(*) FROM kept k
+                               WHERE k.doc_id = d.doc_id), 0) AS n_tokens_cut
+FROM d
+ORDER BY d.doc_id
+"""
+
+
+@register("dedup_cut_spans", oracle=_CUT_SQL, tags=("ext", "M166"))
+def dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remediation step behind ``dedup_substring_spans``: REMOVE
+    every cross-document duplicated span from the text (the
+    substring-level alternative to dropping whole documents; declared
+    semantics cut ALL occurrences — keep-one-copy needs a global
+    occurrence order and is a policy layered on top). Returns every
+    doc with (clean_text, n_tokens_cut); a fully-duplicated doc comes
+    back with empty text, ready for a length gate.
+
+    Plan: the span kernel (see dedup_substring_spans) + one
+    doc_id-keyed LEFT ANTI range join (equi on doc_id, pos-between
+    residual — sort-merge on the doc key, never cartesian) + one
+    doc-keyed rebuild (sort_array over collected (pos, tok) structs).
+    All shuffles keyed on digest or doc_id."""
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
     )
-    hits = sh.join(dup, "dig").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    brk = hits.withColumn(
-        "b",
-        F.when(F.col("pos") - F.lag("pos").over(w) <= SPAN_K, F.lit(0)).otherwise(
-            F.lit(1)
-        ),
+    spans = duplicated_spans(d).select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
     )
-    grp = brk.withColumn("g", F.sum("b").over(w))
+    tok = d.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok.join(
+        spans,
+        (F.col("doc_id") == F.col("s_doc"))
+        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x.getField("tok"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
     return (
-        grp.groupBy("doc_id", "g")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + SPAN_K - 1).alias("span_end"),
-            (F.max("pos") + SPAN_K - F.min("pos")).alias("span_tokens"),
+        d.select("doc_id", F.size("toks").alias("n_toks"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_toks") - F.coalesce("n_kept", F.lit(0))).alias("n_tokens_cut"),
         )
-        .select("doc_id", "span_start", "span_end", "span_tokens")
-        .orderBy("doc_id", "span_start")
+        .orderBy("doc_id")
     )
