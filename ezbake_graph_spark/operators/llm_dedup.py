@@ -963,7 +963,7 @@ ORDER BY d.doc_id
 """
 
 
-@register("dedup_cut_spans", oracle=_CUT_SQL, tags=("ext", "M166"))
+@register("dedup_cut_spans", oracle=_CUT_SQL, tags=("ext", "M166", "bench2"))
 def dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remediation step behind ``dedup_substring_spans``: REMOVE
     every cross-document duplicated span from the text (the
