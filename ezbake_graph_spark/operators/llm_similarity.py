@@ -953,21 +953,26 @@ def _pq_centroids(assigned_sv: DataFrame) -> DataFrame:
 def _pq_assign(sv_tbl: DataFrame, cent: DataFrame) -> DataFrame:
     """Assign every subvector to its nearest (L2) centroid in its own
     subspace. Broadcast the m_sub*k_codes centroid table; the argmin
-    is a map-side window over k_codes candidate rows per subvector."""
+    is ``min(struct(d2, code))`` — an ordinary aggregate that
+    partial-combines map-side over the k_codes candidate rows (same
+    agg-only posture as the Pregel labelprop winners: a row_number
+    window here would SORT the n*m_sub*k_codes candidate table every
+    Lloyd iteration). The struct min is lexicographic, so the tie-break
+    is (smallest d2, then smallest code) — deterministic. ``sv`` rides
+    back in via one keyed join against the cached subvector table."""
     dist = F.aggregate(
         F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    cand = sv_tbl.join(F.broadcast(cent), "m").select(
-        "vec_id", "m", "sv", "code", dist.alias("d2")
+    best = (
+        sv_tbl.join(F.broadcast(cent), "m")
+        .select("vec_id", "m", dist.alias("d2"), "code")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("w"))
+        .select("vec_id", "m", F.col("w").getField("code").alias("code"))
     )
-    w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "sv", "code")
-    )
+    return sv_tbl.join(best, ["vec_id", "m"]).select("vec_id", "m", "sv", "code")
 
 
 def pq_train_encode(
