@@ -1275,3 +1275,63 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     return ivfpq_search(vecs, queries, dim=64, k=5)
+
+
+def build_pq_index(codes: DataFrame, codebook: DataFrame, index_path: str) -> None:
+    """Persist a PQ index: the 16-byte code table plus the tiny
+    codebook sidecar. Unlike the IVF index there is no partition key —
+    the ADC scan reads ALL codes by design (that is what the 16x
+    compression buys: a full-corpus scan at code width) — so the win
+    of persistence is skipping the Lloyd training, and at 100 TB the
+    code table is the thing small enough to keep cached or even
+    replicated. Compose with IVF (``ivfpq_search``) when partition
+    pruning is also wanted."""
+    codes.write.mode("overwrite").parquet(index_path + "/codes")
+    codebook.write.mode("overwrite").parquet(index_path + "/codebook")
+
+
+def load_pq_index(spark: SparkSession, index_path: str):
+    """Load a persisted PQ index -> (codes, codebook)."""
+    return (
+        spark.read.parquet(index_path + "/codes"),
+        spark.read.parquet(index_path + "/codebook"),
+    )
+
+
+@register("sim_pq_persisted", oracle=None, tags=("K-extra", "rows-only"))
+def sim_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_pq_adc`` through a PERSISTED code table: train + encode
+    once to /tmp (keyed by the sf dir name), answer from the on-disk
+    codes — the reuse path runs ZERO Lloyd/encode jobs (asserted in
+    tests, same regime as sim_ivf_persisted). Output contract and
+    recall floor identical to sim_pq_adc."""
+    import os
+
+    index_path = f"/tmp/ezgs_pq_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    vecs = _vectors(spark, sf_dir).cache()
+    if not os.path.exists(index_path + "/codes/_SUCCESS"):
+        codes, codebook = pq_train_encode(vecs, dim=64)
+        build_pq_index(codes, codebook, index_path)
+    codes, codebook = load_pq_index(spark, index_path)
+    queries = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = pq_adc_topk(
+        codes, codebook, queries, dim=64, k=_PQ_SHORTLIST
+    ).select("query_id", "neighbor_id")
+    exact = cand.join(
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"), "neighbor_id"
+    ).join(F.broadcast(queries), "query_id")
+    scored = exact.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")), 6).alias(
+            "cosine"
+        ),
+    ).filter(F.col("cosine").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )

@@ -485,3 +485,28 @@ def test_ivfpq_recall_vs_exact_knn(spark):
     pq = {(r.query_id, r.neighbor_id) for r in sim_ivfpq(spark, sf).collect()}
     ex = {(r.query_id, r.neighbor_id) for r in sim_knn(spark, sf).collect()}
     assert len(pq & ex) / len(ex) >= 0.75
+
+
+def test_pq_persisted_reuse_runs_no_train_and_matches_memory_twin(spark):
+    """The persisted PQ index: reuse must return exactly the in-memory
+    sim_pq_adc answer and run ZERO Lloyd/encode jobs (pq_train_encode
+    monkeypatch-poisoned on the reuse path)."""
+    import shutil
+
+    from ezbake_graph_spark.operators import llm_similarity as sim
+
+    shutil.rmtree("/tmp/ezgs_pq_index_sf0.001", ignore_errors=True)
+    fresh = [tuple(r) for r in sim.sim_pq_persisted(spark, "/root/testdata/sf0.001").collect()]
+    want = [tuple(r) for r in sim.sim_pq_adc(spark, "/root/testdata/sf0.001").collect()]
+    assert fresh == want and len(fresh) == 50
+
+    real = sim.pq_train_encode
+    def poisoned(*a, **k):
+        raise AssertionError("PQ training ran on the reuse path")
+    sim.pq_train_encode = poisoned
+    try:
+        reused = [tuple(r) for r in sim.sim_pq_persisted(spark, "/root/testdata/sf0.001").collect()]
+    finally:
+        sim.pq_train_encode = real
+    assert reused == fresh
+    shutil.rmtree("/tmp/ezgs_pq_index_sf0.001", ignore_errors=True)
