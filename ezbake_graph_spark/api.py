@@ -1939,3 +1939,95 @@ def betweenness_sampled(
     from ezbake_graph_spark.graph.pregel import betweenness_sampled as _bc
 
     return _bc(vertices, edges, sources, max_depth, scale_to_population)
+
+
+def cut_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_k: int = 8,
+) -> DataFrame:
+    """Substring-level dedup remediation (Lee et al. 2021, public
+    arXiv:2107.06499): find every maximal token span of length >=
+    ``span_k`` that appears in more than one document and return each
+    doc with those spans REMOVED — (<id_col>, clean_text,
+    n_tokens_cut). Fully-duplicated docs come back with empty text,
+    ready for a downstream length gate. All-occurrence removal is the
+    declared semantics; keep-one-copy is a policy layered on top.
+
+    The ``dedup_substring_spans`` / ``dedup_cut_spans`` kernels: only
+    shingle DIGESTS shuffle (never text), the hit join is keyed on the
+    digest, the rebuild on the doc id — linear end to end.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "a b c d e f g h x"), (2, "a b c d e f g h y"),
+    ...      (3, "totally unrelated text here")],
+    ...     "doc_id long, text string")
+    >>> sorted(tuple(r) for r in cut_duplicated_spans(d).collect())
+    [(1, 'x', 8), (2, 'y', 8), (3, 'totally unrelated text here', 0)]
+    """
+    from ezbake_graph_spark.operators.llm_dedup import duplicated_spans
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("toks")
+    )
+    spans = duplicated_spans(d, span_k).select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    tok = d.select("doc_id", F.posexplode("toks").alias("pos0", "tok")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    kept = tok.join(
+        spans,
+        (F.col("doc_id") == F.col("s_doc"))
+        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x.getField("tok"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        d.select("doc_id", F.size("toks").alias("__n_toks"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("__n_toks") - F.coalesce("__n_kept", F.lit(0))).alias(
+                "n_tokens_cut"
+            ),
+        )
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+):
+    """Learn a BPE merge list over a corpus (Sennrich et al. 2016) —
+    returns (merges, encoded_words): the ordered [(left, right), ...]
+    merge list and the final (word, freq, syms) table, ready to
+    broadcast as an encode dictionary (``text_bpe_encode`` shows the
+    join). Deterministic: exact integer pair counts, (count DESC,
+    left, right) tie-break, no RNG.
+
+    The loop lives on the distinct-word frequency table — the corpus
+    is scanned once, then never again (the 100 TB posture; see
+    SCALE.md §8).
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "low low low lower lower")], "doc_id long, text string")
+    >>> merges, words = train_bpe(d, n_merges=2)
+    >>> merges
+    [('l', 'o'), ('lo', 'w')]
+    """
+    from ezbake_graph_spark.operators.llm_tokenize import bpe_train
+
+    return bpe_train(docs, text_col, n_merges)
