@@ -34,6 +34,13 @@ def get_session(app_name: str = "ezbake-graph-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # The bench harness materializes via toPandas(), and the pair-
+        # dense dedup fixtures return ~1 GiB of rows at the scale-curve
+        # 4x point — the 1g default tripped there (a HARNESS transfer,
+        # not an operator collect; the operators themselves never ship
+        # data-proportional results to the driver — enforced by the
+        # collect audit in VERDICT and scale_lint).
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark

@@ -93,8 +93,13 @@ def run_bench(sf_dir: str, runs: int) -> dict:
         text=True,
         timeout=3600,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    if not lines:
+        raise RuntimeError(
+            f"bench produced no stdout at {sf_dir} (rc={out.returncode}); "
+            "stderr tail:\n" + "\n".join(out.stderr.splitlines()[-15:])
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -124,6 +129,18 @@ def main() -> None:
         + " | ".join(f"{v:.3f}" for v in tot)
         + f" | {tot[-1] / tot[0]:.2f}x |"
     )
+    t2base = results[scales[0]].get("tier2_queries") or {}
+    if t2base:
+        print()
+        print(hdr.replace("{max}", str(scales[-1])))
+        print("|" + "---|" * (len(scales) + 2))
+        for k in sorted(t2base):
+            row = [
+                (results[s].get("tier2_queries") or {}).get(k, float("nan"))
+                for s in scales
+            ]
+            ratio = row[-1] / row[0] if row[0] else float("nan")
+            print(f"| {k} | " + " | ".join(f"{v:.3f}" for v in row) + f" | {ratio:.2f}x |")
 
 
 if __name__ == "__main__":
