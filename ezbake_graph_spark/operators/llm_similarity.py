@@ -1111,6 +1111,32 @@ def pq_adc_topk(
     )
 
 
+def _exact_rerank(
+    cand: DataFrame, vecs: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Shared tail of every shortlist ANN path (PQ, persisted PQ,
+    IVFADC): exact cosine over just the (query_id, neighbor_id)
+    candidates — one keyed join on vec_id against the full vectors,
+    one broadcast of the query batch — then the per-query top-k.
+    Output: (query_id, neighbor_id, cosine, rank), sim_knn contract."""
+    exact = cand.select("query_id", "neighbor_id").join(
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"), "neighbor_id"
+    ).join(F.broadcast(queries), "query_id")
+    scored = exact.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")), 6).alias(
+            "cosine"
+        ),
+    ).filter(F.col("cosine").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def pq_search(
     vecs: DataFrame,
     queries: DataFrame,
@@ -1129,23 +1155,8 @@ def pq_search(
     codes, codebook = pq_train_encode(vecs, dim, m_sub, k_codes)
     cand = pq_adc_topk(
         codes, codebook, queries, dim, k=shortlist, m_sub=m_sub, k_codes=k_codes
-    ).select("query_id", "neighbor_id")
-    exact = cand.join(
-        vecs.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"), "neighbor_id"
-    ).join(F.broadcast(queries), "query_id")
-    scored = exact.select(
-        "query_id",
-        "neighbor_id",
-        F.round(_cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")), 6).alias(
-            "cosine"
-        ),
-    ).filter(F.col("cosine").isNotNull())
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
+    return _exact_rerank(cand, vecs, queries, k)
 
 
 @register("sim_pq_adc", oracle=None, tags=("K-extra", "rows-only"))
@@ -1246,22 +1257,7 @@ def ivfpq_search(
         .filter(F.col("rn") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    exact = short.join(
-        vecs.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"), "neighbor_id"
-    ).join(F.broadcast(queries), "query_id")
-    scored = exact.select(
-        "query_id",
-        "neighbor_id",
-        F.round(_cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")), 6).alias(
-            "cosine"
-        ),
-    ).filter(F.col("cosine").isNotNull())
-    w_rank = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _exact_rerank(short, vecs, queries, k)
 
 
 @register("sim_ivfpq", oracle=None, tags=("K-extra", "rows-only"))
@@ -1316,22 +1312,5 @@ def sim_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = vecs.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    cand = pq_adc_topk(
-        codes, codebook, queries, dim=64, k=_PQ_SHORTLIST
-    ).select("query_id", "neighbor_id")
-    exact = cand.join(
-        vecs.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"), "neighbor_id"
-    ).join(F.broadcast(queries), "query_id")
-    scored = exact.select(
-        "query_id",
-        "neighbor_id",
-        F.round(_cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")), 6).alias(
-            "cosine"
-        ),
-    ).filter(F.col("cosine").isNotNull())
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .orderBy("query_id", "rank")
-    )
+    cand = pq_adc_topk(codes, codebook, queries, dim=64, k=_PQ_SHORTLIST)
+    return _exact_rerank(cand, vecs, queries, k=5)
