@@ -543,3 +543,92 @@ def sample_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     every rep 1)."""
     d = tables.load(spark, sf_dir, "documents")
     return epoch_mix(d, "lang", "doc_id").orderBy("doc_id", "epoch")
+
+
+PERPLEXITY_NLL_MICRO_MAX = 3_420_000  # ~e^3.42 ≈ 30.6 ppl on the 31-word fixture
+
+_PPL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), ref AS (
+  SELECT term, count(*) AS c FROM tok WHERE doc_id % 5 = 0 GROUP BY term
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM ref),
+profile AS (
+  SELECT term,
+         CAST(round(ln(CAST(c AS DOUBLE) / total) * 1000000) AS BIGINT) AS micro_logp
+  FROM ref, tot
+),
+oov AS (
+  SELECT CAST(round(ln(0.5 / total) * 1000000) AS BIGINT) AS floor_logp FROM tot
+),
+scored AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         CAST((-sum(coalesce(p.micro_logp, o.floor_logp))) // count(*) AS BIGINT)
+           AS nll_micro
+  FROM tok t LEFT JOIN profile p USING (term), oov o
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, nll_micro,
+       (nll_micro <= {PERPLEXITY_NLL_MICRO_MAX}) AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
+@register("filter_perplexity", oracle=_PPL_SQL, tags=("ext", "filter"))
+def filter_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style language-model quality gate (public: Wenzek et
+    al. 2020, "CCNet: Extracting High Quality Monolingual Datasets"):
+    score every document's mean negative log-likelihood under a
+    REFERENCE LM — here a unigram LM trained on the held-out
+    doc_id%5==0 slice, the stand-in for "train KenLM on Wikipedia" —
+    and keep the low-perplexity band. Distinct from
+    text_unigram_logprob, which scores the corpus under ITSELF
+    (self-scoring cannot gate: the corpus defines its own normal).
+
+    Float determinism: per-term log-probs quantize to exact micro-int
+    BEFORE summing (the langid regime), OOV terms take a floor of
+    ln(0.5/total) in the same micro units, and the per-doc mean is one
+    INTEGER division — bit-identical cross-engine, no rounding step.
+
+    Scale: the reference profile is Zipf-bounded and broadcasts; the
+    corpus explodes once, left-joins the broadcast profile map-side,
+    and aggregates per doc — one keyed shuffle, linear. The threshold
+    is the declared fixture constant; production recalibrates it per
+    reference corpus (CCNet uses per-language percentiles)."""
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    ref = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = ref.agg(F.sum("c").cast("long").alias("total"))
+    profile = ref.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log(F.col("c").cast("double") / F.col("total")) * 1_000_000)
+        .cast("long")
+        .alias("micro_logp"),
+    )
+    floor = tot.select(
+        F.round(F.log(F.lit(0.5) / F.col("total")) * 1_000_000)
+        .cast("long")
+        .alias("floor_logp")
+    )
+    scored = (
+        tok.join(F.broadcast(profile), "term", "left")
+        .crossJoin(F.broadcast(floor))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(
+                "CAST((-sum(coalesce(micro_logp, floor_logp))) div count(1) AS BIGINT)"
+            ).alias("nll_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "nll_micro",
+        (F.col("nll_micro") <= PERPLEXITY_NLL_MICRO_MAX).alias("keep"),
+    ).orderBy("doc_id")
