@@ -980,3 +980,63 @@ def agg_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_CONCENTRATION_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, cents,
+         ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM spend
+), tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM spend)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       CAST((CAST(sum(cents) AS BIGINT) * 1000000) // total AS BIGINT) AS share_micro
+FROM ranked, tot GROUP BY decile, total ORDER BY decile
+"""
+
+
+@register("agg_revenue_concentration", oracle=_CONCENTRATION_SQL, tags=("ext", "feature"))
+def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/concentration curve of customer revenue: customers ranked
+    by total spend into spend deciles, each decile's revenue share in
+    exact micro-units — the 80/20 audit (top decile holds 17% on the
+    uniform TPC-H-ish fixture; a real book is far more skewed, which is
+    exactly what this measures). The analysis behind hot-key decisions:
+    a heavy top decile is the salting / broadcast-side trigger.
+
+    All-integer math end to end: money quantized to cents before ANY
+    sum (exact BIGINT), shares one integer floor-division per decile —
+    hash-identical cross-engine with no rounding step. Plan: one keyed
+    agg (map-side combined), a 10-bucket ntile over the CUSTOMER
+    table (dimension-sized, not fact-sized — the single-partition
+    window holds n_customers rows, never order rows; at true data
+    scale swap in the range-partitioned rank from the shard-manifest
+    pattern), one broadcast 1-row total, one 10-group agg."""
+    from pyspark.sql import Window
+
+    o = tables.load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = spend.select("o_custkey", "cents", F.ntile(10).over(w).alias("decile"))
+    tot = spend.agg(F.sum("cents").cast("long").alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "cents",
+            F.expr("CAST((cents * 1000000) div total AS BIGINT)").alias("share_micro"),
+        )
+        .orderBy("decile")
+    )
