@@ -43,30 +43,29 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# Spark-dialect twin of _Q1_SQL (identical text here — the micro-unit
+# money pattern is dialect-portable), parsed JVM-side in ONE call. The
+# DataFrame-API build of this 10-aggregate query cost 96-130 ms of
+# Python/Py4J chatter PER CALL (measured round 8: one JVM round trip
+# per Column op) — pure client overhead repeated on every invocation,
+# vs 20 ms for the SQL text. Same logical plan either way.
+_Q1_SPARK = _Q1_SQL.replace("ORDER BY l_returnflag, l_linestatus", "")
+
+
 @register("agg_pricing_q1", oracle=_Q1_SQL, tags=("D1", "bench"))
 def agg_pricing_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (D1) — the flagship query.
 
     Single keyed shuffle; partial aggregation happens map-side. The
     shipdate filter is pushed into the parquet scan (PushedFilters).
+    SQL-text form over the session views (see tables.ensure_views);
+    the closing sort is bounded_sort, outside the SQL text, because a
+    SQL ORDER BY would plan the RangePartitioning exchange this
+    group-bounded (≤6 rows) result does not need.
     """
-    li = tables.load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            money_sum_expr(F.col("l_quantity")).alias("sum_qty"),
-            money_sum_expr(F.col("l_extendedprice")).alias("sum_base_price"),
-            money_sum_expr(disc_price).alias("sum_disc_price"),
-            money_sum_expr(charge).alias("sum_charge"),
-            money_avg_expr(F.col("l_quantity")).alias("avg_qty"),
-            money_avg_expr(F.col("l_extendedprice")).alias("avg_price"),
-            money_avg_expr(F.col("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .transform(bounded_sort, "l_returnflag", "l_linestatus")
+    tables.ensure_views(spark, sf_dir)
+    return spark.sql(_Q1_SPARK).transform(
+        bounded_sort, "l_returnflag", "l_linestatus"
     )
 
 
@@ -80,18 +79,22 @@ ORDER BY event_type
 """
 
 
+# Spark twin of _COUNT_DISTINCT_SQL minus the presentational ORDER BY
+# (bounded_sort outside the text); SQL-text form per tables.ensure_views.
+_COUNT_DISTINCT_SPARK = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 @register("agg_count_distinct", oracle=_COUNT_DISTINCT_SQL, tags=("D2", "bench"))
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact COUNT(DISTINCT) (D2): Spark expands to a two-phase plan."""
-    ev = tables.load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .transform(bounded_sort, "event_type")
-    )
+    tables.ensure_views(spark, sf_dir)
+    return spark.sql(_COUNT_DISTINCT_SPARK).transform(bounded_sort, "event_type")
 
 
 @register("agg_approx_distinct", oracle=None, tags=("D3", "rows-only"))
@@ -119,26 +122,33 @@ ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
 """
 
 
+# Spark-dialect twin of _ROLLUP_SQL: explicit BROADCAST hints replace
+# the F.broadcast() wrappers (same BroadcastHashJoin plan), and the
+# closing sort stays outside the text as bounded_sort (≤31 group rows).
+_ROLLUP_SPARK = f"""
+SELECT /*+ BROADCAST(nation), BROADCAST(region) */ r_name, n_name,
+       count(*) AS n_customers,
+       {sql_money_sum("c_acctbal")} AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
 @register("agg_rollup", oracle=_ROLLUP_SQL, tags=("D4", "bench"))
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP multi-granularity aggregate (D4); dims broadcast."""
-    c = tables.load(spark, sf_dir, "customer")
-    n = tables.load(spark, sf_dir, "nation")
-    r = tables.load(spark, sf_dir, "region")
-    joined = c.join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey
-    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    return (
-        joined.rollup("r_name", "n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            money_sum_expr(F.col("c_acctbal")).alias("sum_acctbal"),
-        )
-        .transform(
-            bounded_sort,
-            F.col("r_name").asc_nulls_first(),
-            F.col("n_name").asc_nulls_first(),
-        )
+    """ROLLUP multi-granularity aggregate (D4); dims broadcast.
+
+    SQL-text form (see tables.ensure_views for the measured
+    client-side build-cost rationale); one Expand + hash aggregate,
+    single keyed shuffle, identical to the previous DataFrame build.
+    """
+    tables.ensure_views(spark, sf_dir)
+    return spark.sql(_ROLLUP_SPARK).transform(
+        bounded_sort,
+        F.col("r_name").asc_nulls_first(),
+        F.col("n_name").asc_nulls_first(),
     )
 
 

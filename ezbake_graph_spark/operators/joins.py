@@ -355,30 +355,33 @@ def join_star_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit the broadcast budget; otherwise AQE demotes just that one join
     to SMJ (and the 1-partition closing sort still holds — it sorts
     group-count rows, not data rows).
+
+    SQL-text form over the session views (incl. the cached
+    ``customer_geo`` flat dim — see tables.ensure_views): the 6-table
+    DataFrame build cost 85-104 ms of Python/Py4J chatter per call at
+    HEAD vs 14 ms for the one-call SQL parse; identical plan.
     """
-    o = tables.load(spark, sf_dir, "orders")
-    li = tables.load(spark, sf_dir, "lineitem")
-    s = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    cg = tables.customer_geo(spark, sf_dir).filter(F.col("r_name") == "ASIA")
-    o = o.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    ).select("o_orderkey", "o_custkey")
-    return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cg), o.o_custkey == cg.c_custkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (cg.c_nationkey == s.s_nationkey),
-        )
-        .groupBy("n_name")
-        .agg(
-            money_sum_expr(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
-        )
-        .transform(bounded_sort, "n_name")
-    )
+    tables.ensure_views(spark, sf_dir)
+    return spark.sql(_STAR_SPARK).transform(bounded_sort, "n_name")
+
+
+# Spark-dialect twin of _STAR_SQL over the flattened customer_geo dim;
+# BROADCAST hints reproduce the F.broadcast() depth-1 chain.
+_STAR_SPARK = f"""
+SELECT /*+ BROADCAST(o), BROADCAST(cg), BROADCAST(s) */ n_name,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+JOIN (SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') o
+  ON l_orderkey = o_orderkey
+JOIN (SELECT c_custkey, c_nationkey, n_name FROM customer_geo
+      WHERE r_name = 'ASIA') cg
+  ON o_custkey = c_custkey
+JOIN (SELECT s_suppkey, s_nationkey FROM supplier) s
+  ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
 
 
 _BUCKETED_SQL = f"""

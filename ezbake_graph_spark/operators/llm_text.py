@@ -25,17 +25,23 @@ LIMIT 50
 """
 
 
+# Spark-dialect twin of _TERM_SQL (explode/split for unnest/
+# string_split); SQL-text form per tables.ensure_views. ORDER BY +
+# LIMIT in the text plans as TakeOrderedAndProject, same as before.
+_TERM_SPARK = """
+SELECT term, count(*) AS n_occurrences
+FROM (SELECT explode(split(text, ' ')) AS term FROM documents)
+GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT 50
+"""
+
+
 @register("text_term_counts", oracle=_TERM_SQL, tags=("K7", "bench"))
 def text_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize + global term counts (K7), top 50."""
-    d = tables.load(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(F.split("text", " ")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .orderBy(F.col("n_occurrences").desc(), F.col("term"))
-        .limit(50)
-    )
+    tables.ensure_views(spark, sf_dir)
+    return spark.sql(_TERM_SPARK)
 
 
 _TFIDF_SQL = """

@@ -211,23 +211,27 @@ ORDER BY event_type
 """
 
 
+# Spark-dialect twin of _JSON_SQL (get_json_object replaces DuckDB's
+# json_extract_string); SQL-text form per tables.ensure_views.
+_JSON_SPARK = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(k) AS DOUBLE) / count(*) AS avg_k,
+       max(k) AS max_k
+FROM (SELECT event_type,
+             CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
 @register("scalar_json", oracle=_JSON_SQL, tags=("H6", "bench"))
 def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the dynamic-property column (H6) — the
     fixture instance of the reference's schema-less property bags
     (SURVEY §1.1): get_json_object over events.props."""
-    ev = tables.load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        ev.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
-            F.max("k").alias("max_k"),
-        )
-        .transform(bounded_sort, "event_type")
-    )
+    tables.ensure_views(spark, sf_dir)
+    return spark.sql(_JSON_SPARK).transform(bounded_sort, "event_type")
 
 
 _COND_SQL = """

@@ -46,23 +46,24 @@ ORDER BY window_start, event_type
 """
 
 
+# Spark-dialect twin of _TUMBLING_SQL via the native window()
+# operator; SQL-text form per tables.ensure_views.
+_TUMBLING_SPARK = f"""
+SELECT window.start AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_money_sum("value")} AS sum_value
+FROM events
+GROUP BY window(ts, '1 hour'), event_type
+"""
+
+
 @register("stream_tumbling", oracle=_TUMBLING_SQL, tags=("I1", "bench"))
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregate (I1), batch image."""
-    ev = tables.load(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            money_sum_expr(F.col("value")).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-        .transform(bounded_sort, "window_start", "event_type")
+    tables.ensure_views(spark, sf_dir)
+    return spark.sql(_TUMBLING_SPARK).transform(
+        bounded_sort, "window_start", "event_type"
     )
 
 
@@ -114,26 +115,27 @@ ORDER BY user_id, session_start
 """
 
 
+# Spark-dialect twin of _SESSION_SQL via the native session_window
+# operator; SQL-text form per tables.ensure_views. No trailing global
+# sort: presentation-only, and the correctness hash is
+# order-insensitive.
+_SESSION_SPARK = """
+SELECT user_id,
+       session_window.start AS session_start,
+       session_window.end AS session_end,
+       count(*) AS n_events
+FROM events
+GROUP BY session_window(ts, '30 minutes'), user_id
+"""
+
+
 @register("stream_session", oracle=_SESSION_SQL, tags=("I3", "bench"))
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window, 30-min gap (I3). Spark ``session_window`` ends a
     session when the next event is >= gap away (window end exclusive);
     the oracle's gaps-and-islands flag uses the identical rule."""
-    ev = tables.load(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
-            "n_events",
-        )
-        # no trailing global sort: output order is presentation-only and
-        # the correctness hash is order-insensitive
-    )
+    tables.ensure_views(spark, sf_dir)
+    return spark.sql(_SESSION_SPARK)
 
 
 _STATIC_JOIN_SQL = f"""

@@ -33,18 +33,25 @@ ORDER BY o_custkey, rn
 """
 
 
+# Spark twin of _RANK_SQL minus the presentational ORDER BY (output is
+# customer-proportional — no global sort); SQL-text per tables.ensure_views.
+_RANK_SPARK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
 @register("win_rank_topn", oracle=_RANK_SQL, tags=("E1", "bench"))
 def win_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window (E1): top-3 orders per customer."""
-    o = tables.load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-    )
+    tables.ensure_views(spark, sf_dir)
+    return spark.sql(_RANK_SPARK)
 
 
 _LAG_SQL = """
@@ -89,27 +96,26 @@ ORDER BY event_id
 """
 
 
+# Spark twin of _RUNNING_SQL minus the trailing global sort
+# (presentation-only; hash is order-insensitive; sorting full output
+# is an anti-pattern at scale). SQL-text per tables.ensure_views.
+_RUNNING_SPARK = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 1000000 AS running_value,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+FROM events
+"""
+
+
 @register("win_running_sum", oracle=_RUNNING_SQL, tags=("E3", "bench"))
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-total frame (E3), exact micro-unit accumulation."""
-    ev = tables.load(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    micro = F.round(F.col("value") * SCALE).cast("long")
-    return (
-        ev.select(
-            "event_id",
-            "user_id",
-            (F.sum(micro).over(w).cast("double") / SCALE).alias("running_value"),
-            F.count(F.lit(1)).over(w).alias("n_so_far"),
-        )
-        # no trailing global sort: presentation-only, hash is
-        # order-insensitive, and sorting full output is an
-        # anti-pattern at scale
-    )
+    tables.ensure_views(spark, sf_dir)
+    return spark.sql(_RUNNING_SPARK)
 
 
 _SLIDING_SQL = """
@@ -244,6 +250,27 @@ LIMIT 10
 """
 
 
+# Spark-dialect twin of _Q3_SQL: explicit BROADCAST hints reproduce the
+# F.broadcast() plan (fused BHJ + left-semi pipeline over lineitem,
+# closing TakeOrderedAndProject). SQL-text form per the measured
+# client-build rationale in tables.ensure_views (45-61 ms DataFrame
+# build vs 11 ms SQL parse at HEAD).
+_Q3_SPARK = f"""
+SELECT /*+ BROADCAST(o), BROADCAST(c) */ o_orderkey, o_orderdate,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+JOIN (SELECT o_orderkey, o_orderdate, o_custkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') o
+  ON l_orderkey = o_orderkey
+LEFT SEMI JOIN (SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING') c
+  ON o_custkey = c_custkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
 @register("topk_revenue_q3", oracle=_Q3_SQL, tags=("F3", "bench"))
 def topk_revenue_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style top-k by revenue (F3). Revenue is the exact
@@ -254,31 +281,11 @@ def topk_revenue_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment-filtered customer keys broadcast independently (built
     concurrently by the driver) and lineitem streams through one fused
     BHJ + semi-join pipeline into the partial agg, closing with
-    TakeOrderedAndProject. The previous customer⨝orders pre-join was a
-    2-deep sequential broadcast build (bcast → join → collect →
-    re-broadcast) on the latency path — same fix as join_star_q5
-    (measured at sf0.1: 0.41 s → 0.34 s warm min). At 100 TB the
-    date-filtered orders side is the broadcast-budget gate; AQE demotes
-    that one join to SMJ when it outgrows it."""
-    c = tables.load(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    ).select("c_custkey")
-    o = tables.load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
-    ).select("o_orderkey", "o_orderdate", "o_custkey")
-    li = tables.load(spark, sf_dir, "lineitem")
-    return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey, "left_semi")
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            money_sum_expr(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-        .limit(10)
-    )
+    TakeOrderedAndProject (ORDER BY + LIMIT in the text). At 100 TB
+    the date-filtered orders side is the broadcast-budget gate; AQE
+    demotes that one join to SMJ when it outgrows it."""
+    tables.ensure_views(spark, sf_dir)
+    return spark.sql(_Q3_SPARK)
 
 
 _FIRST_LAST_SQL = """

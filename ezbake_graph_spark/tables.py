@@ -281,3 +281,36 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (operator A4)."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# Last (applicationId, sf_dir) whose views are registered — the memo
+# for ensure_views. A single slot (not a set): two sf_dirs alternating
+# in one session must re-register, because the view NAMES are fixed.
+_VIEWS_KEY: list = [None]
+
+
+def ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    """Idempotently register the fixture views + flattened geo dims.
+
+    The SQL-text query forms (``spark.sql`` over these views) exist to
+    cut client-side plan-construction cost: the DataFrame-API builds of
+    the larger headline queries cost 45-130 ms of Python/Py4J chatter
+    PER CALL (measured at HEAD, round 8 — one JVM round trip per Column
+    expression), while ``spark.sql`` ships the whole query text in one
+    call and parses it JVM-side (11-21 ms). Same Catalyst plan either
+    way — the optimizer sees identical logical trees (verified in
+    tests/test_plans.py); only the client-side build path differs.
+    Re-registration runs only when (applicationId, sf_dir) changes.
+    """
+    # Cache mode is part of the key: a view registered while
+    # SPARK_GRAFT_NO_CACHE=1 wraps a RAW scan, and reusing it once
+    # caching is back on would silently bypass the session table cache
+    # (and vice versa).
+    key = (spark.sparkContext.applicationId, sf_dir, _cache_enabled())
+    if _VIEWS_KEY[0] == key:
+        return
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    supplier_geo(spark, sf_dir).createOrReplaceTempView("supplier_geo")
+    customer_geo(spark, sf_dir).createOrReplaceTempView("customer_geo")
+    _VIEWS_KEY[0] = key

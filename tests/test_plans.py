@@ -18,8 +18,12 @@ def no_cache(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_NO_CACHE", "1")
     saved = dict(tables._CACHE)
     tables._CACHE.clear()
-    yield
+    tables._VIEWS_KEY[0] = None  # views registered under either cache
+    yield                        # mode must not leak across the switch
     tables._CACHE.update(saved)
+    # the catalog now holds whatever the no_cache test registered last;
+    # clearing the memo forces re-registration on the next cached call
+    tables._VIEWS_KEY[0] = None
 
 
 def _plan(spark, key: str) -> str:
