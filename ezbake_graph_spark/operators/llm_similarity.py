@@ -895,6 +895,200 @@ def sim_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("vec_id", sig.alias("sig")).orderBy("vec_id")
 
 
+# --- RP-sketch SEARCH: the candidate-generation + rerank path the sketch
+# promises. Runs over hashing-TF document vectors, NOT the embeddings
+# fixture: LSH is a near-duplicate tool, and the embeddings fixture has
+# no near-dup structure (its global top pair is cos 0.51, where a 16-bit
+# sketch cannot separate signal from noise), while `documents` carries
+# planted near-dups whose TF-cosines sit at 0.99+ against a 0.7
+# background. Corpus-CENTERING (y = N*x - Σx, exact integers) moves that
+# background to ~0 so the per-bit collision probability 1 - θ/π does the
+# separating: measured on the fixtures, hamming ≤ 2 keeps 2.6-3.0% of
+# all pairs as candidates at recall 1.0 (sf0.001) / 0.9 (sf0.01) of the
+# exact top-20.
+
+_RP_SEARCH_RADIUS = 2
+_RP_SEARCH_K = 20
+_RP_TF_BUCKETS = 64
+
+_RP_SEARCH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 4))::BIGINT % {_RP_TF_BUCKETS} AS bucket,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, bucket
+), dense AS (
+  SELECT d.doc_id, r.j, COALESCE(tf.tf, 0) AS x
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range({_RP_TF_BUCKETS})) AS j) r
+  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.bucket = r.j
+), tot AS (
+  SELECT j, CAST(sum(x) AS BIGINT) AS sx FROM dense GROUP BY j
+), n AS (
+  SELECT count(DISTINCT doc_id) AS nd FROM documents
+), w AS (
+  SELECT b, j,
+         ('0x' || substr(md5(b || '-' || j), 1, 4))::BIGINT - 32768 AS wt
+  FROM (SELECT unnest(range({_RP_BITS})) AS b),
+       (SELECT unnest(range({_RP_TF_BUCKETS})) AS j)
+), dots AS (
+  SELECT doc_id, b,
+         sum(wt * ((SELECT nd FROM n) * x - sx)) AS dot
+  FROM dense JOIN tot USING (j) JOIN w USING (j)
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY doc_id
+), vec AS (
+  SELECT doc_id, list(CAST(x AS DOUBLE) ORDER BY j) AS v FROM dense GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS did1, b.doc_id AS did2
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= {_RP_SEARCH_RADIUS}
+)
+SELECT c.did1, c.did2,
+       round(list_cosine_similarity(q.v, t.v), 6) AS cosine
+FROM cand c JOIN vec q ON q.doc_id = c.did1 JOIN vec t ON t.doc_id = c.did2
+ORDER BY cosine DESC, did1, did2
+LIMIT {_RP_SEARCH_K}
+"""
+
+
+def _rp_probe_masks(radius: int) -> list[int]:
+    """All XOR masks within hamming ``radius`` of 0 over _RP_BITS bits
+    (radius 2 -> 1 + 16 + 120 = 137 masks)."""
+    return [m for m in range(1 << _RP_BITS) if bin(m).count("1") <= radius]
+
+
+def _tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-TF document vectors as dense BIGINT arrays: token ->
+    md5-prefix bucket (same bucketing as ``text_hashing_tf``), per-doc
+    counts densified to a fixed _RP_TF_BUCKETS-wide array. One explode
+    + one keyed agg; map-side combinable; state bounded by docs x 64."""
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long")
+        % _RP_TF_BUCKETS
+    ).alias("bucket")
+    sparse = tok.groupBy("doc_id", bucket).agg(F.count(F.lit(1)).alias("tf"))
+    m = F.map_from_entries(F.collect_list(F.struct("bucket", "tf")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(_RP_TF_BUCKETS - 1)),
+        lambda j: F.coalesce(
+            F.element_at(F.col("m"), j.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    return (
+        sparse.groupBy("doc_id")
+        .agg(m.alias("m"))
+        .select("doc_id", dense.alias("x"))
+    )
+
+
+@register("sim_rp_search", oracle=_RP_SEARCH_SQL, tags=("ext", "M90b"))
+def sim_rp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-LSH near-duplicate SEARCH over the RP sketch: the
+    registered completion of ``sim_rp_sketch``'s promised pipeline —
+    bucket-join candidate generation on the 16-bit signature with
+    multi-probe hamming ≤ 2, exact cosine rerank of CANDIDATES ONLY,
+    global top-20. Every stage is integer-exact or round6-gridded, so
+    unlike IVF/PQ this ANN path carries a FULL value-hash oracle: the
+    DuckDB twin derives the identical signatures (md5 integer
+    hyperplanes, exact centered dots) and takes candidates via
+    bit_count(xor) ≤ 2 over pairs — the same SET the probe join emits.
+
+    Input vectors are hashing-TF counts of `documents` (the corpus
+    with planted near-dups), corpus-centered WITHOUT leaving integer
+    arithmetic: y_j = N·x_j − Σx_j flips no dot-product sign vs true
+    mean-centering (positive scaling by N) and keeps the sketch exact
+    cross-engine. Magnitude bound: |wt·y| ≤ 2^15·N·max_tf·64 per dot —
+    overflows BIGINT only past N·max_tf ≈ 4e12; shrink the weight
+    scale or center per-partition-sample beyond that.
+
+    100 TB shape: TF build + sketch are one explode + keyed aggs (the
+    1-row totals/weights ride in as broadcasts); candidate generation
+    explodes each signature row (2-col, ~10 B) into 137 probe keys and
+    hash-joins probe = sig — shuffle is 137× a 2-column table, NOT the
+    pair space; each qualifying pair is emitted exactly once (the mask
+    that matches is uniquely sig_a XOR sig_b). Rerank joins the dense
+    vectors back by doc id (two keyed joins, candidates-only) and the
+    closing orderBy().limit() is a TakeOrderedAndProject merge of ~k
+    rows per task. Measured on the fixtures: 2.6-3.0% of pairs survive
+    to rerank at recall 1.0 (sf0.001) / 0.9 (sf0.01) vs exact top-20
+    (pinned in tests/test_llm.py)."""
+    tfv = _tf_vectors(spark, sf_dir)
+
+    # corpus totals (1 row) + hyperplane weights (1 row) as broadcasts
+    tots = tfv.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.array(
+            *[
+                F.sum(F.element_at("x", j + 1)).alias(f"s{j}")
+                for j in range(_RP_TF_BUCKETS)
+            ]
+        ).alias("sx"),
+    )
+    wdf = spark.createDataFrame([(_rp_weights(),)], "w: array<array<bigint>>")
+    df = tfv.crossJoin(F.broadcast(tots)).crossJoin(F.broadcast(wdf))
+    centered = F.zip_with(
+        "x", "sx", lambda xv, sv: F.col("nd") * xv - sv
+    ).alias("y")
+    df = df.select("doc_id", "x", centered, "w")
+
+    def dot(b):
+        return F.aggregate(
+            F.zip_with("y", F.element_at("w", (b + 1).cast("int")), lambda y, w: y * w),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    sig = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_RP_BITS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            dot(b) >= 0, F.pow(F.lit(2.0), b.cast("double")).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sigs = df.select("doc_id", sig.alias("sig"))
+
+    masks = F.array(*[F.lit(m) for m in _rp_probe_masks(_RP_SEARCH_RADIUS)])
+    probes = sigs.select(
+        F.col("doc_id").alias("did1"),
+        F.explode(masks).alias("mask"),
+        F.col("sig").alias("sig1"),
+    ).select("did1", F.col("sig1").bitwiseXOR(F.col("mask")).alias("probe"))
+    cand = probes.join(
+        sigs.select(F.col("doc_id").alias("did2"), F.col("sig").alias("sig2")),
+        (F.col("probe") == F.col("sig2")) & (F.col("did1") < F.col("did2")),
+    ).select("did1", "did2")
+
+    dv = F.transform("x", lambda v: v.cast("double"))
+    vec = tfv.select("doc_id", dv.alias("v"))
+    sq = F.aggregate(
+        F.transform("v", lambda v: v * v), F.lit(0.0), lambda acc, v: acc + v
+    )
+    vec = vec.select("doc_id", "v", F.sqrt(sq).alias("nrm"))
+    q = vec.select(
+        F.col("doc_id").alias("did1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
+    )
+    t = vec.select(
+        F.col("doc_id").alias("did2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
+    )
+    cos = _cosine(F.col("v1"), F.col("n1"), F.col("v2"), F.col("n2"))
+    return (
+        cand.join(q, "did1")
+        .join(t, "did2")
+        .select("did1", "did2", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "did1", "did2")
+        .limit(_RP_SEARCH_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the memory-compression ANN path. IVF
 # shrinks the SEARCH (probe nprobe cells); PQ shrinks the STORAGE: a
