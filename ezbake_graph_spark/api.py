@@ -1966,43 +1966,13 @@ def cut_duplicated_spans(
     >>> sorted(tuple(r) for r in cut_duplicated_spans(d).collect())
     [(1, 'x', 8), (2, 'y', 8), (3, 'totally unrelated text here', 0)]
     """
-    from ezbake_graph_spark.operators.llm_dedup import duplicated_spans
+    from ezbake_graph_spark.operators.llm_dedup import cut_spans
 
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("toks")
     )
-    spans = duplicated_spans(d, span_k).select(
-        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
-    )
-    tok = d.select("doc_id", F.posexplode("toks").alias("pos0", "tok")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
-    )
-    kept = tok.join(
-        spans,
-        (F.col("doc_id") == F.col("s_doc"))
-        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
-        "left_anti",
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x.getField("tok"),
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("__n_kept"),
-    )
-    return (
-        d.select("doc_id", F.size("toks").alias("__n_toks"))
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            F.col("doc_id").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (F.col("__n_toks") - F.coalesce("__n_kept", F.lit(0))).alias(
-                "n_tokens_cut"
-            ),
-        )
+    return cut_spans(d, span_k).select(
+        F.col("doc_id").alias(id_col), "clean_text", "n_tokens_cut"
     )
 
 

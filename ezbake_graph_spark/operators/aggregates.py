@@ -1004,7 +1004,8 @@ WITH spend AS (
 ), tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM spend)
 SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
        CAST(sum(cents) AS BIGINT) AS cents,
-       CAST((CAST(sum(cents) AS BIGINT) * 1000000) // total AS BIGINT) AS share_micro
+       CAST((CAST(sum(cents) AS HUGEINT) * 1000000) // total AS BIGINT)
+         AS share_micro
 FROM ranked, tot GROUP BY decile, total ORDER BY decile
 """
 
@@ -1020,7 +1021,13 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All-integer math end to end: money quantized to cents before ANY
     sum (exact BIGINT), shares one integer floor-division per decile —
-    hash-identical cross-engine with no rounding step. Plan: one keyed
+    hash-identical cross-engine with no rounding step. The share
+    multiply widens to 128-bit first (ADVICE r7): in BIGINT, cents*1e6
+    overflows past ~9.2e12 cents (~$92B per decile) and raises under
+    ANSI mode — plausible at the 100 TB posture this docstring claims.
+    Spark widens via DECIMAL(38,0) (`div` stays exact integral);
+    DuckDB via HUGEINT (its DECIMAL `//` degrades to DOUBLE and
+    rounds, off-by-one vs exact floor — measured). Plan: one keyed
     agg (map-side combined), a 10-bucket ntile over the CUSTOMER
     table (dimension-sized, not fact-sized — the single-partition
     window holds n_customers rows, never order rows; at true data
@@ -1046,7 +1053,9 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_customers",
             "cents",
-            F.expr("CAST((cents * 1000000) div total AS BIGINT)").alias("share_micro"),
+            F.expr(
+                "CAST((CAST(cents AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)"
+            ).alias("share_micro"),
         )
         .orderBy("decile")
     )

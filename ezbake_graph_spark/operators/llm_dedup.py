@@ -924,6 +924,51 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(d).orderBy("doc_id", "span_start")
 
 
+def cut_spans(d: DataFrame, span_k: int = SPAN_K) -> DataFrame:
+    """Shared span-cut kernel (the body of ``dedup_cut_spans`` and
+    ``api.cut_duplicated_spans`` — single source so the two surfaces
+    cannot drift; ADVICE r7): given (doc_id, toks array<string>),
+    remove every cross-document duplicated span of >= ``span_k``
+    tokens and return (doc_id, clean_text, n_tokens_cut), unordered.
+
+    Plan: the span kernel (see dedup_substring_spans) + one
+    doc_id-keyed LEFT ANTI range join (equi on doc_id, pos-between
+    residual — sort-merge on the doc key, never cartesian) + one
+    doc-keyed rebuild (sort_array over collected (pos, tok) structs).
+    All shuffles keyed on digest or doc_id."""
+    spans = duplicated_spans(d, span_k).select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    tok = d.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok.join(
+        spans,
+        (F.col("doc_id") == F.col("s_doc"))
+        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x.getField("tok"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        d.select("doc_id", F.size("toks").alias("n_toks"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_toks") - F.coalesce("n_kept", F.lit(0))).alias("n_tokens_cut"),
+        )
+    )
+
+
 _CUT_SQL = f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh AS (
@@ -973,43 +1018,9 @@ def dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc with (clean_text, n_tokens_cut); a fully-duplicated doc comes
     back with empty text, ready for a length gate.
 
-    Plan: the span kernel (see dedup_substring_spans) + one
-    doc_id-keyed LEFT ANTI range join (equi on doc_id, pos-between
-    residual — sort-merge on the doc key, never cartesian) + one
-    doc-keyed rebuild (sort_array over collected (pos, tok) structs).
-    All shuffles keyed on digest or doc_id."""
+    Declared on the shared ``cut_spans`` kernel (plan shape documented
+    there)."""
     d = tables.load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    spans = duplicated_spans(d).select(
-        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
-    )
-    tok = d.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = tok.join(
-        spans,
-        (F.col("doc_id") == F.col("s_doc"))
-        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
-        "left_anti",
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x.getField("tok"),
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return (
-        d.select("doc_id", F.size("toks").alias("n_toks"))
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (F.col("n_toks") - F.coalesce("n_kept", F.lit(0))).alias("n_tokens_cut"),
-        )
-        .orderBy("doc_id")
-    )
+    return cut_spans(d).orderBy("doc_id")

@@ -567,6 +567,7 @@ scored AS (
          CAST((-sum(coalesce(p.micro_logp, o.floor_logp))) // count(*) AS BIGINT)
            AS nll_micro
   FROM tok t LEFT JOIN profile p USING (term), oov o
+  WHERE t.doc_id % 5 <> 0
   GROUP BY t.doc_id
 )
 SELECT doc_id, n_tokens, nll_micro,
@@ -585,6 +586,10 @@ def filter_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and keep the low-perplexity band. Distinct from
     text_unigram_logprob, which scores the corpus under ITSELF
     (self-scoring cannot gate: the corpus defines its own normal).
+    Scored docs EXCLUDE the doc_id%5==0 training slice (same held-out
+    discipline as the langid key; ADVICE r7): reference-slice docs can
+    never hit the OOV floor, so scoring them would systematically
+    favor the very docs the LM was fit on.
 
     Float determinism: per-term log-probs quantize to exact micro-int
     BEFORE summing (the langid regime), OOV terms take a floor of
@@ -616,7 +621,8 @@ def filter_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("floor_logp")
     )
     scored = (
-        tok.join(F.broadcast(profile), "term", "left")
+        tok.filter(F.col("doc_id") % 5 != 0)
+        .join(F.broadcast(profile), "term", "left")
         .crossJoin(F.broadcast(floor))
         .groupBy("doc_id")
         .agg(

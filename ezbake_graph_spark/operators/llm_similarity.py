@@ -603,6 +603,34 @@ def build_ivf_index(assigned: DataFrame, cent: DataFrame, index_path: str) -> No
     ).parquet(index_path + "/centroids")
 
 
+def append_ivf_index(new_vecs: DataFrame, index_path: str) -> None:
+    """Incremental IVF maintenance (VERDICT r7 #3): encode NEW vectors
+    with the index's FROZEN centroids and append them to the existing
+    cell partitions — zero Lloyd jobs, zero rewrite of resident data.
+    This is the daily-ingest path a growing corpus actually runs: the
+    coarse quantizer is fixed at build time (re-training it would
+    silently re-cell the resident corpus and invalidate every cached
+    probe), so an append is one broadcast-argmin assignment pass over
+    just the new rows plus a ``mode("append")`` cell-partitioned write
+    that creates files only under the cells the new vectors land in.
+    Search over the appended index is IDENTICAL to batch-encoding the
+    union corpus with the same frozen centroid table (equivalence and
+    zero-Lloyd both pinned in tests/test_llm.py). Re-train only on
+    drift (dq_drift_psi is the monitor), which is a rebuild by design.
+
+    ``new_vecs``: (vec_id, v, nrm) — caller guarantees ids disjoint
+    from the resident corpus (dedup upstream; the index does not
+    upsert)."""
+    spark = new_vecs.sparkSession
+    cent = spark.read.parquet(index_path + "/centroids").withColumn(
+        "cell", F.col("cell").cast("string")
+    )
+    assigned = assign_nearest_cell(new_vecs.select("vec_id", "v", "nrm"), cent)
+    assigned.withColumn("cell", F.col("cell").cast("string")).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(index_path + "/corpus")
+
+
 def load_ivf_index(spark: SparkSession, index_path: str):
     """Load a persisted IVF index -> (assigned, cent). The corpus scan
     keeps its partition columns; probing joins on ``cell`` then prune
@@ -639,6 +667,41 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vec_id is not a partition predicate, so deriving the query batch
     # from the index scan would read every cell partition just to find
     # 10 rows and defeat the pruning the index exists for
+    queries = _vectors(spark, sf_dir).filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    return ivf_probe_topk(assigned, cent, queries, k=5, nprobe=_NPROBE)
+
+
+@register("sim_ivf_append", oracle=None, tags=("K-extra", "rows-only"))
+def sim_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest IVF path: build the index over the FIRST
+    80% of the corpus (vec_id < 400), then APPEND the remaining 20%
+    encoded with the frozen base centroids (``append_ivf_index``), then
+    probe — the answer covers the FULL corpus though the quantizer
+    never saw the appended slice at training time. Idempotent across
+    invocations via an ``appended`` marker written LAST (the ADVICE r7
+    ordering lesson: gate reuse on the final artifact, so a crash
+    mid-sequence retriggers the build instead of serving a half-built
+    index); the reuse path runs zero Lloyd AND zero assignment jobs.
+    Rows-only like its IVF siblings (ANN cell ranking is not
+    SQL-expressible); append-vs-batch equivalence and the zero-Lloyd
+    poison check are pinned in tests/test_llm.py."""
+    import os
+
+    index_path = f"/tmp/ezgs_ivf_app_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(index_path + "/appended/_SUCCESS"):
+        vecs = _vectors(spark, sf_dir).cache()
+        base = vecs.filter(F.col("vec_id") < 400)
+        cent = cell_centroids(base, "label").cache()
+        build_ivf_index(assign_nearest_cell(base, cent), cent, index_path)
+        append_ivf_index(vecs.filter(F.col("vec_id") >= 400), index_path)
+        spark.createDataFrame([(1,)], "ok int").write.mode("overwrite").parquet(
+            index_path + "/appended"
+        )
+    assigned, cent = load_ivf_index(spark, index_path)
     queries = _vectors(spark, sf_dir).filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -1199,7 +1262,27 @@ def pq_train_encode(
         cent = _pq_centroids(assigned)
         assigned = _pq_assign(sv_tbl, cent)
     codebook = _pq_centroids(assigned).cache()
-    codes = (
+    # Encode via pq_encode against the RETURNED codebook (ADVICE r7):
+    # encoding the loop's last `assigned` directly would emit codes
+    # that are nearest-neighbors under the PREVIOUS iteration's
+    # centroids, so the ADC LUT and recon_n would use centroids the
+    # codes were never assigned against.
+    return pq_encode(vecs, codebook, dim, m_sub), codebook
+
+
+def pq_encode(
+    vecs: DataFrame, codebook: DataFrame, dim: int, m_sub: int = _PQ_M
+) -> DataFrame:
+    """Encode (vec_id, v) rows with a FROZEN codebook — the zero-Lloyd
+    path shared by ``pq_train_encode``'s tail, the 100 TB full-corpus
+    encode after sample training, and incremental index appends
+    (``append_pq_index``). One map-side subvector explode + one
+    broadcast-argmin assignment + one vec_id-keyed agg; nothing
+    shuffles the vectors themselves twice. Returns (vec_id, codes
+    array<int>, recon_n)."""
+    sv_tbl = _pq_subvectors(vecs.select("vec_id", "v"), dim, m_sub)
+    assigned = _pq_assign(sv_tbl, codebook)
+    return (
         assigned.join(F.broadcast(codebook.select("m", "code", "cn2")), ["m", "code"])
         .groupBy("vec_id")
         .agg(
@@ -1212,7 +1295,22 @@ def pq_train_encode(
             "recon_n",
         )
     )
-    return codes, codebook
+
+
+def append_pq_index(new_vecs: DataFrame, index_path: str, dim: int) -> None:
+    """Incremental PQ maintenance (VERDICT r7 #3): encode NEW vectors
+    with the persisted index's FROZEN codebook (``pq_encode`` — zero
+    Lloyd jobs) and append their 16-byte codes to the code table. The
+    codebook is fixed at build time for the same reason as the IVF
+    centroids: re-training would re-code the resident corpus. Appended
+    codes are byte-identical to what a batch encode of the union with
+    the same codebook emits (pinned in tests). ``new_vecs``: (vec_id,
+    v) with ids disjoint from the resident codes."""
+    spark = new_vecs.sparkSession
+    codebook = spark.read.parquet(index_path + "/codebook")
+    pq_encode(new_vecs, codebook, dim).write.mode("append").parquet(
+        index_path + "/codes"
+    )
 
 
 def _pq_lut(
@@ -1499,7 +1597,14 @@ def sim_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index_path = f"/tmp/ezgs_pq_index_{os.path.basename(sf_dir.rstrip('/'))}"
     vecs = _vectors(spark, sf_dir).cache()
-    if not os.path.exists(index_path + "/codes/_SUCCESS"):
+    # Reuse gate requires BOTH _SUCCESS markers: build_pq_index writes
+    # codes BEFORE the codebook, so gating on codes alone would accept
+    # an index whose codebook write crashed mid-flight and then fail
+    # load_pq_index forever without ever retraining (ADVICE r7).
+    if not (
+        os.path.exists(index_path + "/codes/_SUCCESS")
+        and os.path.exists(index_path + "/codebook/_SUCCESS")
+    ):
         codes, codebook = pq_train_encode(vecs, dim=64)
         build_pq_index(codes, codebook, index_path)
     codes, codebook = load_pq_index(spark, index_path)

@@ -529,6 +529,84 @@ def test_ivfpq_recall_vs_exact_knn(spark):
     assert len(pq & ex) / len(ex) >= 0.75
 
 
+def test_ivf_append_equals_batch_encode_with_frozen_centroids(spark):
+    """VERDICT r7 #3: appending new vectors to a persisted IVF index
+    (frozen centroids, zero re-training) must answer queries EXACTLY
+    like batch-encoding the union corpus with the same frozen centroid
+    table in one pass."""
+    import shutil
+
+    from ezbake_graph_spark.operators import llm_similarity as sim
+
+    shutil.rmtree("/tmp/ezgs_ivf_app_sf0.001", ignore_errors=True)
+    got = [tuple(r) for r in _rows(spark, "sim_ivf_append")]
+
+    vecs = sim._vectors(spark, SF_SMOKE).cache()
+    base = vecs.filter("vec_id < 400")
+    cent = sim.cell_centroids(base, "label").cache()
+    assigned = sim.assign_nearest_cell(vecs, cent)
+    queries = vecs.filter("vec_id < 10").selectExpr(
+        "vec_id AS query_id", "v AS qv", "nrm AS qn"
+    )
+    want = [
+        tuple(r)
+        for r in sim.ivf_probe_topk(assigned, cent, queries, k=5, nprobe=8).collect()
+    ]
+    assert got == want and len(got) == 50
+    # appended slice must actually be served: some neighbor >= 400
+    assert any(r[1] >= 400 for r in got), "no appended vector ever retrieved"
+
+
+def test_ivf_append_reuse_runs_no_build_jobs(spark):
+    """The reuse path of sim_ivf_append (marker present) must run zero
+    Lloyd/centroid AND zero assignment/append jobs."""
+    from ezbake_graph_spark.operators import llm_similarity as sim
+
+    first = [tuple(r) for r in _rows(spark, "sim_ivf_append")]
+
+    def poisoned(*a, **k):
+        raise AssertionError("build/append ran on the reuse path")
+
+    saved = (sim.cell_centroids, sim.assign_nearest_cell, sim.append_ivf_index)
+    sim.cell_centroids = sim.assign_nearest_cell = sim.append_ivf_index = poisoned
+    try:
+        reused = [tuple(r) for r in _rows(spark, "sim_ivf_append")]
+    finally:
+        sim.cell_centroids, sim.assign_nearest_cell, sim.append_ivf_index = saved
+    assert reused == first
+
+
+def test_pq_append_codes_match_batch_encode(spark):
+    """append_pq_index must produce a code table identical to batch
+    pq_encode of the union corpus under the same frozen codebook."""
+    import shutil
+    import uuid
+
+    from ezbake_graph_spark.operators import llm_similarity as sim
+
+    path = f"/tmp/ezgs_pq_app_{uuid.uuid4().hex[:8]}"
+    vecs = sim._vectors(spark, SF_SMOKE).cache()
+    base = vecs.filter("vec_id < 400").select("vec_id", "v")
+    codes, codebook = sim.pq_train_encode(base, dim=64)
+    sim.build_pq_index(codes, codebook, path)
+    sim.append_pq_index(vecs.filter("vec_id >= 400").select("vec_id", "v"), path, 64)
+
+    on_disk = {
+        r["vec_id"]: (tuple(r["codes"]), r["recon_n"])
+        for r in spark.read.parquet(path + "/codes").collect()
+    }
+    batch = {
+        r["vec_id"]: (tuple(r["codes"]), r["recon_n"])
+        for r in sim.pq_encode(vecs.select("vec_id", "v"), codebook, 64).collect()
+    }
+    assert set(on_disk) == set(batch) and len(on_disk) == vecs.count()
+    for vid, (c, n) in batch.items():
+        dc, dn = on_disk[vid]
+        assert dc == c, f"codes drift for vec {vid}"
+        assert abs(dn - n) < 1e-9, f"recon_n drift for vec {vid}"
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def test_pq_persisted_reuse_runs_no_train_and_matches_memory_twin(spark):
     """The persisted PQ index: reuse must return exactly the in-memory
     sim_pq_adc answer and run ZERO Lloyd/encode jobs (pq_train_encode
