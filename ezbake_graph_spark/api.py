@@ -1059,6 +1059,79 @@ def ivf_search(
     return ivf_probe_topk(assigned, cent, qn, k=k, nprobe=nprobe)
 
 
+def near_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-duplicate dedup: per-row MinHash signature
+    (map-side ``array_min`` over the token array — no stream-side
+    shuffle), banded into ``n_bands`` LSH keys, then ``n_bands``
+    chained ``dropDuplicatesWithinWatermark`` stages — a document is
+    dropped as soon as ANY earlier-seen surviving document occupied
+    one of its band buckets within the watermark. The survivor-stream
+    twin of the ``stream_near_dedup`` registry key (which reports the
+    deterministic bucket-cardinality aggregate; survivors here are
+    arrival-order canon, as in any streaming dedup).
+
+    Chained stages are the greedy streaming form of K3's batch LSH:
+    stage b keeps the first occupant of each band-b bucket AMONG the
+    docs stages 0..b-1 let through. It can under-drop relative to
+    batch LSH (a doc colliding only with an already-dropped doc
+    survives) — re-run batch ``minhash_near_dup_pairs`` periodically
+    to catch the residue; it never over-drops (every dropped doc
+    shared a full band with a retained doc). State: one entry per
+    occupied bucket per stage within the watermark (SCALE.md §6).
+
+    On a batch frame (Spark rejects the watermark variant) each stage
+    degrades to ``dropDuplicates`` — same greedy semantics, order
+    unspecified; use the batch LSH kernels when order matters.
+
+    >>> d = spark.createDataFrame(
+    ...     [(1, "a b c d e", "2024-01-01 00:00:00"),
+    ...      (2, "a b c d e", "2024-01-01 00:01:00"),
+    ...      (3, "x y z w q", "2024-01-01 00:02:00")],
+    ...     "doc_id long, text string, ts string")
+    >>> near_dedup_stream(
+    ...     d.select("doc_id", "text", F.col("ts").cast("timestamp"))).count()
+    2
+    """
+    toks = F.array_distinct(F.split(text_col, " "))
+
+    def mh(seed: int):
+        return F.array_min(
+            F.transform(
+                toks,
+                lambda t: F.conv(
+                    F.substring(F.md5(F.concat(t, F.lit(f"#{seed}"))), 1, 8), 16, 10
+                ).cast("long"),
+            )
+        )
+
+    band_cols = [
+        F.concat_ws(
+            "|",
+            *[
+                mh(b * rows_per_band + r).cast("string")
+                for r in range(rows_per_band)
+            ],
+        ).alias(f"__band_{b}")
+        for b in range(n_bands)
+    ]
+    keyed = stream.select("*", *band_cols)
+    if stream.isStreaming:
+        keyed = keyed.withWatermark(ts_col, delay)
+        for b in range(n_bands):
+            keyed = keyed.dropDuplicatesWithinWatermark([f"__band_{b}"])
+    else:
+        for b in range(n_bands):
+            keyed = keyed.dropDuplicates([f"__band_{b}"])
+    return keyed.drop(*[f"__band_{b}" for b in range(n_bands)])
+
+
 def watermark_dedup(
     stream: DataFrame,
     id_cols: list[str],

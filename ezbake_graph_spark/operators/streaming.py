@@ -371,6 +371,122 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents as a file-stream source: each doc carries a synthetic
+    deterministic event time (epoch 2024-01-01 + doc_id seconds), the
+    arrival-order stand-in for a live ingest feed. One materialization
+    per sf_dir, content deterministic."""
+    tag = f"docs_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = os.path.join(_STREAM_TMP, "src", tag)
+    done = os.path.join(path, "_EZGS_READY")
+    if not os.path.exists(done):
+        d = tables.load(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+        )
+        d.coalesce(2).write.mode("overwrite").parquet(path)
+        open(done, "w").close()
+    _PENDING_SRC_BYTES[0] += _dir_bytes(path)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+_NEAR_DEDUP_N_BANDS = 4
+
+_NEAR_DEDUP_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), seeds AS (
+  SELECT unnest(range(0, 8)) AS seed
+), mh AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(token || '#' || CAST(seed AS VARCHAR)), 1, 8))::BIGINT)
+           AS m
+  FROM tok CROSS JOIN seeds GROUP BY doc_id, seed
+), sig AS (
+  SELECT doc_id, list(m ORDER BY seed) AS s FROM mh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b,
+         CAST(s[2*b+1] AS VARCHAR) || '|' || CAST(s[2*b+2] AS VARCHAR) AS band_key
+  FROM sig, (SELECT unnest(range(0, 4)) AS b) u
+)
+SELECT CAST(b AS INT) AS band_id,
+       count(DISTINCT band_key) AS n_emitted,
+       count(DISTINCT band_key) AS n_buckets
+FROM bands GROUP BY b ORDER BY band_id
+"""
+
+
+@register("stream_near_dedup", oracle=_NEAR_DEDUP_SQL, tags=("ext", "stream"))
+def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate dedup (VERDICT r7 #4): the composition
+    a live LLM-ingest pipeline actually runs — per-doc MinHash
+    signature computed MAP-SIDE (array_min over the token array per
+    seed: no shuffle, no stream-side groupBy, so it needs no extra
+    watermark state), banded 4x2, then
+    ``dropDuplicatesWithinWatermark`` on the (band_id, band_key) LSH
+    bucket: the first doc to occupy a bucket is emitted, later
+    near-duplicates (same band signature within the watermark) are
+    dropped. The stream twin of K3's batch LSH: same md5 signature
+    algebra as the hash-green ``dedup_minhash_signature`` key.
+
+    SQL-oracled like I4/I5: one availableNow batch never advances the
+    watermark mid-data, so emitted rows are EXACTLY one per distinct
+    band bucket; which doc survives is arrival-order-dependent (true
+    of any streaming dedup), so the registered aggregate reports the
+    deterministic part — bucket cardinality per band, with
+    n_emitted == n_buckets doubling as the no-duplicate-leak check
+    (the I5 pattern). Pipelines that accept arrival-order canon get
+    the survivor stream itself from ``api.near_dedup_stream``.
+
+    State at scale: one entry per OCCUPIED bucket seen within the
+    trailing watermark — bounded by distinct-signature count per
+    window, not stream length; eviction follows the watermark
+    (SCALE.md §6)."""
+    sdf = _read_docs_stream(spark, sf_dir)
+    toks = F.array_distinct(F.split("text", " "))
+
+    def mh(seed: int):
+        return F.array_min(
+            F.transform(
+                toks,
+                lambda t: F.conv(
+                    F.substring(F.md5(F.concat(t, F.lit(f"#{seed}"))), 1, 8), 16, 10
+                ).cast("long"),
+            )
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", mh(2 * b).cast("string"), mh(2 * b + 1).cast("string")
+                ).alias("band_key"),
+            )
+            for b in range(_NEAR_DEDUP_N_BANDS)
+        ]
+    )
+    rows = sdf.select("doc_id", "ts", F.explode(bands).alias("bk")).select(
+        "doc_id", "ts", F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    dedup = rows.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["band_id", "band_key"]
+    )
+    out = _run_to_memory(spark, dedup, "near_dedup", "append")
+    return (
+        out.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_emitted"),
+            F.countDistinct("band_key").alias("n_buckets"),
+        )
+        .orderBy("band_id")
+    )
+
+
 _STATEFUL_SQL = f"""
 SELECT user_id,
        count(*) AS n_events,
