@@ -117,22 +117,13 @@ ORDER BY doc_id
 """
 
 
-@register("multimodal_decode_stub", oracle=_DECODE_SQL, tags=("K-extra",))
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode / feature-extract over binary columns via mapInPandas
-    (Arrow batches). The decode dispatches through ``_decode_payload``
-    — a real PIL branch when the library is installed and the payload
-    decodes, else the deterministic stub; the batch shape, schema, and
-    partitioning are the real 100 TB plumbing either way. SQL-oracled:
-    the fixture text is pure ASCII (verified octet_length == length at
-    every SF) and not an image, so both the no-PIL container and a
-    codec-equipped cluster take the stub branch here and the oracle
-    stays green in both modes (tests pin the dispatch)."""
+def decode_images(d: DataFrame) -> DataFrame:
+    """Shared decode stage: (doc_id, payload binary) -> (doc_id,
+    n_pixels, mean_intensity, checksum16) via ``mapInPandas`` Arrow
+    batches, dispatching through ``_decode_payload`` (real PIL branch
+    when installed and decodable, deterministic stub otherwise). Used
+    by the registered decode key and the ``curate_images`` composite."""
     import pandas as pd
-
-    d = tables.load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -147,7 +138,24 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     schema = "doc_id bigint, n_pixels int, mean_intensity double, checksum16 int"
-    return d.mapInPandas(decode_batches, schema).orderBy("doc_id")
+    return d.select("doc_id", "payload").mapInPandas(decode_batches, schema)
+
+
+@register("multimodal_decode_stub", oracle=_DECODE_SQL, tags=("K-extra",))
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract over binary columns via mapInPandas
+    (Arrow batches). The decode dispatches through ``_decode_payload``
+    — a real PIL branch when the library is installed and the payload
+    decodes, else the deterministic stub; the batch shape, schema, and
+    partitioning are the real 100 TB plumbing either way. SQL-oracled:
+    the fixture text is pure ASCII (verified octet_length == length at
+    every SF) and not an image, so both the no-PIL container and a
+    codec-equipped cluster take the stub branch here and the oracle
+    stays green in both modes (tests pin the dispatch)."""
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return decode_images(d).orderBy("doc_id")
 
 
 _FRAME_SAMPLE_SQL = """
@@ -475,4 +483,187 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("shard_id")
+    )
+
+
+# ------------------------------------------------------------- curate_images
+
+_IMG_GATE_MIN = 60
+_IMG_GATE_MAX = 500
+_IMG_HAMMING_MAX = 28
+_IMG_SHARD_BYTES = 16384
+
+_CURATE_IMAGES_SQL = f"""
+WITH RECURSIVE dec AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_pixels,
+         CAST(list_aggregate(list_transform(str_split(substr(text, 1, 16), ''),
+                                            c -> ord(c)), 'sum') % 65536
+              AS BIGINT) AS checksum16,
+         md5(text) AS sig
+  FROM documents
+), gated AS (
+  SELECT *, (n_pixels BETWEEN {_IMG_GATE_MIN} AND {_IMG_GATE_MAX}) AS keep
+  FROM dec
+), ph AS (
+  SELECT doc_id, substr(sig, 1, 2) AS band,
+         ('0x' || substr(sig,  1, 4))::BIGINT AS h0,
+         ('0x' || substr(sig,  5, 4))::BIGINT AS h1,
+         ('0x' || substr(sig,  9, 4))::BIGINT AS h2,
+         ('0x' || substr(sig, 13, 4))::BIGINT AS h3
+  FROM gated WHERE keep
+), pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM ph a JOIN ph b ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+      + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+      <= {_IMG_HAMMING_MAX}
+), sym AS (
+  SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM ph
+  UNION
+  SELECT s.dst AS node, r.label
+  FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.label < s.dst
+), clus AS (
+  SELECT node AS doc_id, min(label) AS canonical FROM reach GROUP BY node
+), csz AS (
+  SELECT canonical, count(*) AS cluster_size FROM clus GROUP BY canonical
+), canon AS (
+  SELECT c.doc_id, g.n_pixels,
+         COALESCE(sum(g.n_pixels)
+                  OVER (ORDER BY c.doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS bytes_before
+  FROM clus c JOIN gated g USING (doc_id)
+  WHERE c.doc_id = c.canonical
+)
+SELECT g.doc_id, g.n_pixels, g.checksum16, g.keep,
+       c.canonical AS canonical_img_id,
+       z.cluster_size,
+       CASE WHEN c.doc_id IS NULL THEN NULL
+            ELSE c.doc_id = c.canonical END AS is_canonical,
+       CAST(n.bytes_before // {_IMG_SHARD_BYTES} AS BIGINT) AS shard_id
+FROM gated g
+LEFT JOIN clus c USING (doc_id)
+LEFT JOIN csz z ON z.canonical = c.canonical
+LEFT JOIN canon n ON n.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@register("curate_images", oracle=_CURATE_IMAGES_SQL, tags=("ext", "curate", "bench2"))
+def curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE curation composite (VERDICT r7 #5): decode ->
+    size gate -> perceptual-hash near-dup clustering -> canonical
+    selection -> shard assignment, with full per-image provenance —
+    the image twin of ``curate_corpus``. One output row per input
+    payload: decode stats (n_pixels, checksum16), the gate verdict,
+    the pHash cluster (canonical_img_id, cluster_size, is_canonical;
+    NULL for gated-out images), and the training-shard id for
+    canonical survivors (NULL otherwise).
+
+    Pipeline (each stage the registered primitive's kernel):
+    1. DECODE via ``decode_images`` — Arrow-batched mapInPandas over
+       the binary payload column (PIL branch on a codec-equipped
+       cluster, deterministic ASCII stub here — which is what makes
+       the whole chain SQL-oracle-able end to end);
+    2. GATE on decoded size ({_IMG_GATE_MIN}..{_IMG_GATE_MAX} bytes —
+       the too-small-icon / too-large-outlier cut; both tails are
+       nonempty on the fixtures);
+    3. NEAR-DUP pairs on the 64-bit pHash (md5-stub): band-bucketed
+       candidate join + exact Hamming <= {_IMG_HAMMING_MAX} on
+       candidates only (the ``multimodal_phash_near_dup`` kernel);
+    4. CLUSTER via the Pregel min-label WCC over the pair graph only
+       (oracle: recursive-CTE label propagation), canonical = min id;
+    5. SHARD canonical survivors by running byte offset into
+       ~{_IMG_SHARD_BYTES}-byte training shards (the
+       ``multimodal_shard_manifest`` budget; per-image assignment
+       here, manifest aggregation there).
+
+    Scale: decode/gate are one linear Arrow pass; the pair stage
+    shuffles band keys, never all-pairs; WCC runs on the pair graph
+    (vastly smaller than the corpus); the shard prefix sum is over
+    canonical survivors ordered by id — swap in the distributed
+    bucket prefix sum of ``multimodal_shard_manifest`` when the
+    survivor set outgrows one window partition."""
+    from pyspark.sql import Window
+
+    from ezbake_graph_spark.graph.pregel import connected_components
+
+    d = tables.load(spark, sf_dir, "documents")
+    dec = decode_images(
+        d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+    gated = dec.select(
+        "doc_id",
+        "n_pixels",
+        "checksum16",
+        F.col("n_pixels").between(_IMG_GATE_MIN, _IMG_GATE_MAX).alias("keep"),
+    )
+
+    sig = F.md5(F.col("text"))
+    ph = (
+        d.join(gated.filter("keep").select("doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            F.substring(sig, 1, 2).alias("band"),
+            *[
+                F.conv(F.substring(sig, 1 + 4 * i, 4), 16, 10)
+                .cast("long")
+                .alias(f"h{i}")
+                for i in range(4)
+            ],
+        )
+    )
+    a, b = ph.alias("a"), ph.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.h{i}").bitwiseXOR(F.col(f"b.h{i}"))) for i in range(4)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= _IMG_HAMMING_MAX)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    verts = ph.select(F.col("doc_id").alias("id"))
+    clus = connected_components(verts, pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("canonical_img_id")
+    )
+    w_sz = Window.partitionBy("canonical_img_id")
+    clus = clus.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz)).withColumn(
+        "is_canonical", F.col("doc_id") == F.col("canonical_img_id")
+    )
+
+    canon = clus.filter("is_canonical").join(
+        gated.select("doc_id", "n_pixels"), "doc_id"
+    )
+    w_off = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    shards = canon.select(
+        "doc_id",
+        (
+            F.coalesce(F.sum("n_pixels").over(w_off), F.lit(0))
+            / F.lit(_IMG_SHARD_BYTES)
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return (
+        gated.join(clus, "doc_id", "left")
+        .join(shards, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_pixels",
+            "checksum16",
+            "keep",
+            "canonical_img_id",
+            "cluster_size",
+            "is_canonical",
+            "shard_id",
+        )
+        .orderBy("doc_id")
     )
