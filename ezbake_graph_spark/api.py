@@ -2053,6 +2053,7 @@ def train_bpe(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 20,
+    batch_k: int = 1,
 ):
     """Learn a BPE merge list over a corpus (Sennrich et al. 2016) —
     returns (merges, encoded_words): the ordered [(left, right), ...]
@@ -2063,7 +2064,10 @@ def train_bpe(
 
     The loop lives on the distinct-word frequency table — the corpus
     is scanned once, then never again (the 100 TB posture; see
-    SCALE.md §8).
+    SCALE.md §8). ``batch_k`` > 1 accepts up to k non-conflicting
+    merges per driver round trip (batched BPE), cutting the rounds a
+    real 32k-merge vocabulary needs from 32k to ~32k/k; ``batch_k=1``
+    is the exact classic algorithm (see ``bpe_train``).
 
     >>> d = spark.createDataFrame(
     ...     [(1, "low low low lower lower")], "doc_id long, text string")
@@ -2073,4 +2077,4 @@ def train_bpe(
     """
     from ezbake_graph_spark.operators.llm_tokenize import bpe_train
 
-    return bpe_train(docs, text_col, n_merges)
+    return bpe_train(docs, text_col, n_merges, batch_k)

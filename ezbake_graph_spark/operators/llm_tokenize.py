@@ -95,32 +95,68 @@ def _merge_expr(left: str, right: str) -> Column:
 
 
 def bpe_train(
-    docs: DataFrame, text_col: str = "text", n_merges: int = N_MERGES
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+    batch_k: int = 1,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges. Returns (merges, encoded_words):
     merges as an ordered [(left, right), ...] list; encoded_words the
     final (word, freq, syms) table with all merges applied — ready to
     broadcast as an encode dictionary.
 
+    ``batch_k`` is the batched-BPE round-trip reducer (VERDICT r7 #8):
+    each Spark round fetches the top-4k pair rows and greedily accepts
+    up to ``batch_k`` NON-CONFLICTING pairs — a pair is skipped if its
+    left or right symbol was touched by an earlier accept in the same
+    batch, because applying that merge changes the skipped pair's
+    count. Accepted merges apply as chained lazy folds, so driver
+    round trips drop from ``n_merges`` to ~``n_merges / batch_k``
+    (the real-vocabulary ceiling: 32k merges at k=64 is ~500 rounds
+    instead of 32k sequential jobs). ``batch_k=1`` is EXACTLY the
+    classic sequential algorithm (pinned by the python golden);
+    batched runs match a python golden implementing the same greedy
+    rule. Batched merge LISTS can differ from sequential ones — the
+    standard batched-BPE trade (the per-batch counts are stale by at
+    most the batch's own merges); both are valid BPE vocabularies.
+
     The word table is cached once and localCheckpointed every few
     rounds so the fold-upon-fold lineage stays flat (same posture as
     the Pregel loops)."""
+    if batch_k < 1:
+        raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     wf = _word_freq(docs, text_col).cache()
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
+    applied_since_ckpt = 0
+    while len(merges) < n_merges:
+        k = min(batch_k, n_merges - len(merges))
         top = (
             _pair_counts(wf)
             .orderBy(F.col("c").desc(), "left", "right")
-            .limit(1)
+            .limit(max(1, 4 * k))
             .collect()
         )
-        if not top or top[0]["c"] < 2:
+        touched: set[str] = set()
+        batch: list[tuple[str, str]] = []
+        for row in top:
+            if row["c"] < 2:
+                break
+            left, right = row["left"], row["right"]
+            if left in touched or right in touched:
+                continue  # stale count once an accepted merge lands
+            batch.append((left, right))
+            touched.update((left, right))
+            if len(batch) == k:
+                break
+        if not batch:
             break  # nothing left worth merging
-        left, right = top[0]["left"], top[0]["right"]
-        merges.append((left, right))
-        wf = wf.withColumn("syms", _merge_expr(left, right))
-        if (i + 1) % 5 == 0:
+        for left, right in batch:
+            wf = wf.withColumn("syms", _merge_expr(left, right))
+        merges.extend(batch)
+        applied_since_ckpt += len(batch)
+        if applied_since_ckpt >= 5:
             wf = wf.localCheckpoint()
+            applied_since_ckpt = 0
     return merges, wf
 
 
