@@ -137,6 +137,27 @@ _WINDOW = 50
 # round.
 _ROTATE_PREGEL = ("graph_wcc", "graph_bfs")
 
+# Keys whose IMPLEMENTATION changed since their latest driver row
+# (VERDICT r7 #7: a changed key must never carry a stale green row for
+# more than one round). Maintained per round by hand: list every green
+# key the round's commits touched; they jump to the FRONT of the
+# driver window regardless of how fresh their last row is, then leave
+# this list next round once the driver re-verifies them. Brand-new
+# keys need no entry (never-green keys already sort first).
+_RECENTLY_CHANGED = (
+    # round 8 edits over green rows:
+    "dq_drift_psi",              # single-scan is_ref plan
+    "filter_perplexity",         # held-out scoring slice (semantics)
+    "agg_revenue_concentration", # 128-bit share arithmetic
+    "dedup_cut_spans",           # shared cut_spans kernel
+    "multimodal_decode_stub",    # shared decode_images kernel
+    "sim_pq_adc",                # final-assignment encode fix
+    "sim_ivfpq",                 # final-assignment encode fix
+    "sim_pq_persisted",          # dual _SUCCESS gate + encode fix
+    "text_bpe_train",            # batched-loop refactor (k=1 path)
+    "text_bpe_encode",           # batched-loop refactor (k=1 path)
+)
+
 
 def _promoted_pregel() -> list[str]:
     """SQL-oracled Pregel fixpoints with no driver row anywhere —
@@ -243,6 +264,10 @@ def _ordered_specs() -> list[QuerySpec]:
 
     def key(spec: QuerySpec) -> tuple[int, int, int]:
         pregel = "pregel" in spec.tags
+        if spec.name in _RECENTLY_CHANGED:
+            # code changed since the last driver row: re-verify FIRST
+            # (VERDICT r7 #7), ahead of even first-time keys
+            return (-1, 0, 1 if spec.name in _SLOW else 0)
         if spec.name in green:
             cls = 2 if pregel else 3
             staleness = last_round.get(spec.name, 0)

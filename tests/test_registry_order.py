@@ -21,6 +21,10 @@ def _classes() -> list[tuple[str, int]]:
         spec = registry.REGISTRY[k]
         pregel = "pregel" in spec.tags
         g = k in green or (spec.oracle is None and k in checked)
+        if k in registry._RECENTLY_CHANGED:
+            c = -1  # code changed since last driver row: re-verify first
+            out.append((k, c))
+            continue
         if not g and pregel:
             c = 4
         elif not g and spec.oracle is not None:
@@ -89,6 +93,7 @@ def test_green_keys_emit_stalest_round_first():
         for k in keys
         if (k in green or (registry.REGISTRY[k].oracle is None and k in checked))
         and k not in override
+        and k not in registry._RECENTLY_CHANGED
         and "pregel" not in registry.REGISTRY[k].tags
     ]
     assert seen == sorted(seen), "green keys must emit oldest-green-round first"
@@ -101,3 +106,17 @@ def test_green_set_reads_correctness_files():
     assert "agg_pricing_q1" in green
     assert "join_star_q5" in green
     assert len(green) >= 52
+
+
+def test_recently_changed_keys_emit_at_window_front():
+    """VERDICT r7 #7: a key whose implementation changed since its
+    last driver row must be re-verified in the NEXT round — such keys
+    jump to the very front of the emission order, ahead of even
+    first-time keys."""
+    keys = list(registry.queries())
+    changed = [k for k in registry._RECENTLY_CHANGED if k in registry.REGISTRY]
+    assert changed, "round with no changed keys: empty the list instead"
+    front = keys[: len(changed)]
+    assert set(front) == set(changed), (
+        f"changed keys not at window front: {front} vs {changed}"
+    )
