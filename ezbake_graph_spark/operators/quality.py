@@ -478,3 +478,129 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0).alias("is_ref"),
     )
     return psi_drift_flagged(flagged, "o_totalprice", "is_ref", 20000.0)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    hash_col: str = "content_hash",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two corpus snapshots by key: one row per key with
+    ``status`` in {added, removed, changed, unchanged} — the
+    incremental-ingest audit a pipeline runs between corpus versions
+    before re-triggering downstream dedup/training.
+
+    Both inputs must already carry a content digest in ``hash_col``
+    (hash BEFORE the join so the full-outer shuffle moves a 32-byte
+    digest plus keys, never document bodies). ``carry_cols`` are
+    attribute columns surfaced on the output, coalesced new-side-first
+    so added docs read their new attributes and removed docs their old
+    ones.
+
+    Scale: ONE keyed shuffle (full outer join on the key columns);
+    both sides project to keys + digest + carried attrs before the
+    exchange. Linear in snapshot size, no skew hazard beyond the key
+    distribution itself.
+    """
+    carry = carry_cols or []
+    o = old.select(
+        *key_cols,
+        F.col(hash_col).alias("_old_hash"),
+        *[F.col(c).alias(f"_old_{c}") for c in carry],
+    )
+    n = new.select(
+        *key_cols,
+        F.col(hash_col).alias("_new_hash"),
+        *[F.col(c).alias(f"_new_{c}") for c in carry],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_old_hash").isNull(), F.lit("added"))
+        .when(F.col("_new_hash").isNull(), F.lit("removed"))
+        .when(F.col("_old_hash") == F.col("_new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        *key_cols,
+        status.alias("status"),
+        *[
+            F.coalesce(F.col(f"_new_{c}"), F.col(f"_old_{c}")).alias(c)
+            for c in carry
+        ],
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old_snap AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 7 = 1 THEN text || ' [v1]' ELSE text END) AS h
+  FROM documents WHERE doc_id % 7 <> 5
+),
+new_snap AS (
+  SELECT doc_id, source, md5(text) AS h
+  FROM documents WHERE doc_id % 7 <> 3
+),
+d AS (
+  SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+         coalesce(n.source, o.source) AS source,
+         CASE WHEN o.h IS NULL THEN 'added'
+              WHEN n.h IS NULL THEN 'removed'
+              WHEN o.h = n.h THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+)
+SELECT source, status, count(*) AS n,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM d GROUP BY source, status ORDER BY source, status
+"""
+
+
+@register("dq_snapshot_diff", oracle=_SNAPSHOT_DIFF_SQL, tags=("ext", "dq"))
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff (``snapshot_diff`` kernel): which documents
+    were added, removed, or changed between two snapshot versions,
+    summarized per source — the audit that decides whether an
+    incremental ingest re-triggers dedup/index-append downstream.
+
+    Fixture construction (both snapshots derive deterministically from
+    the one documents table, like the PSI key's before/after split):
+    the OLD snapshot lacks doc_id%7==5 (not yet ingested) and carries
+    a ' [v1]' variant of doc_id%7==1 bodies (since edited); the NEW
+    snapshot dropped doc_id%7==3 (deleted upstream). Modulus 7 is
+    coprime with the fixture's source assignment (doc_id%20), so every
+    source sees every status — 80 summary rows, not a degenerate
+    one-status-per-source alignment. The kernel never
+    sees that provenance — it full-outer-joins two digest projections,
+    exactly what it would do for genuinely distinct snapshot tables.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 5).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.encode(
+                F.when(
+                    F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(" [v1]"))
+                ).otherwise(F.col("text")),
+                "UTF-8",
+            )
+        ).alias("content_hash"),
+    )
+    new = d.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id",
+        "source",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("content_hash"),
+    )
+    diff = snapshot_diff(old, new, ["doc_id"], carry_cols=["source"])
+    return (
+        diff.groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "status")
+    )

@@ -161,3 +161,35 @@ def test_quantile_bins_partition_the_table(spark):
     assert sum(sizes) == load(spark, SF_SMOKE, "orders").count()
     for a, b in zip(rows, rows[1:]):
         assert a["lo"] <= a["hi"] <= b["lo"] <= b["hi"]
+
+
+def test_snapshot_diff_statuses_partition_the_key_union(spark):
+    """snapshot_diff assigns every key in old ∪ new exactly one status;
+    added/removed counts reconcile with the set differences, swapping
+    the snapshots swaps added<->removed and preserves changed, and
+    carried attributes coalesce new-side-first."""
+    from ezbake_graph_spark.operators.quality import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "h1", "a"), (2, "h2", "a"), (3, "h3", "b")],
+        "k long, content_hash string, src string",
+    )
+    new = spark.createDataFrame(
+        [(2, "h2", "a2"), (3, "hX", "b2"), (4, "h4", "c")],
+        "k long, content_hash string, src string",
+    )
+    rows = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, ["k"], carry_cols=["src"]).collect()
+    }
+    assert {k: r["status"] for k, r in rows.items()} == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "added",
+    }
+    # new-side-first attribute coalesce: changed/unchanged read new attrs,
+    # removed falls back to old.
+    assert rows[3]["src"] == "b2" and rows[1]["src"] == "a" and rows[4]["src"] == "c"
+    rev = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(new, old, ["k"], carry_cols=["src"]).collect()
+    }
+    assert rev == {1: "added", 2: "unchanged", 3: "changed", 4: "removed"}
