@@ -857,3 +857,222 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def nb_train(
+    train: DataFrame, label_col: str, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train a multinomial naive-Bayes text classifier: returns
+    ``(class_stats, delta_profile)`` in exact micro-log units.
+
+    - ``class_stats``: one row per class — ``(label, prior_micro,
+      floor_micro, total_c)``. ``prior_micro`` = round(ln(n_docs_c /
+      n_docs)·1e6); ``floor_micro`` = round(ln(1/(total_c+V))·1e6),
+      the Laplace-smoothed log-prob of a train-vocab term the class
+      never saw (and of any OOV term).
+    - ``delta_profile``: sparse ``(label, term, dlt)`` rows for terms
+      each class OBSERVED, where ``dlt`` = micro_logp(term|class) −
+      floor_micro. Scoring then needs only the sparse profile:
+      score(doc, c) = prior_c + n_tokens·floor_c + Σ dlt over matched
+      (term, c) — the dense classes×vocab table is never materialized.
+
+    Determinism: every log quantizes to micro-int BEFORE any sum
+    (the langid/perplexity regime), so scores and the argmax are
+    bit-identical cross-engine. Scale: both outputs are bounded by
+    classes × observed vocab (Zipf-bounded) and broadcast at scoring
+    time; training is two keyed aggs over the exploded train slice.
+    """
+    tok = train.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.split(text_col, " ")).alias("term"),
+    )
+    cnts = tok.groupBy("label", "term").agg(F.count(F.lit(1)).alias("c"))
+    totals = cnts.groupBy("label").agg(F.sum("c").cast("long").alias("total_c"))
+    vocab = cnts.select("term").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    ndocs = train.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    ntr = ndocs.agg(F.sum("nd").cast("long").alias("n"))
+    class_stats = (
+        totals.join(ndocs, "label")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "label",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("n")) * SCALE
+            ).cast("long").alias("prior_micro"),
+            F.round(
+                F.log(F.lit(1.0) / (F.col("total_c") + F.col("v"))) * SCALE
+            ).cast("long").alias("floor_micro"),
+            "total_c",
+        )
+    )
+    delta_profile = (
+        cnts.join(class_stats, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            "term",
+            (
+                F.round(
+                    F.log(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("total_c") + F.col("v"))
+                    )
+                    * SCALE
+                ).cast("long")
+                - F.col("floor_micro")
+            ).alias("dlt"),
+        )
+    )
+    return class_stats, delta_profile
+
+
+def nb_predict(
+    test: DataFrame,
+    class_stats: DataFrame,
+    delta_profile: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ``test`` docs under an ``nb_train`` model and return
+    ``(<id_col>, predicted, micro_score)`` — argmax class per doc,
+    ties broken by label ascending.
+
+    Scale: one explode of the test text, one BROADCAST join against
+    the sparse delta profile, one keyed agg per (doc, matched class),
+    then a constant-width cross join against the class spine (a
+    bounded dimension, like the hours×types spines elsewhere) — OOV
+    terms never join and are priced by n_tokens·floor_micro exactly.
+    """
+    tok = test.select(
+        F.col(id_col), F.explode(F.split(text_col, " ")).alias("term")
+    )
+    sd = (
+        tok.join(F.broadcast(delta_profile), "term")
+        .groupBy(id_col, "label")
+        .agg(F.sum("dlt").cast("long").alias("sd"))
+    )
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    scores = (
+        dl.crossJoin(F.broadcast(class_stats.select("label", "prior_micro", "floor_micro")))
+        .join(sd, [id_col, "label"], "left")
+        .select(
+            id_col,
+            "label",
+            (
+                F.col("prior_micro")
+                + F.col("n_tokens") * F.col("floor_micro")
+                + F.coalesce(F.col("sd"), F.lit(0))
+            ).alias("micro_score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("micro_score").desc(), F.col("label")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("label").alias("predicted"), "micro_score")
+    )
+
+
+_NB_DOMAIN_SQL = """
+WITH tok_tr AS (
+  SELECT source AS label, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id % 5 = 0
+),
+cnts AS (SELECT label, term, count(*) AS c FROM tok_tr GROUP BY label, term),
+totals AS (
+  SELECT label, CAST(sum(c) AS BIGINT) AS total_c FROM cnts GROUP BY label
+),
+vocab AS (SELECT count(DISTINCT term) AS v FROM tok_tr),
+ndocs AS (
+  SELECT source AS label, count(*) AS nd
+  FROM documents WHERE doc_id % 5 = 0 GROUP BY source
+),
+ntr AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM ndocs),
+cstats AS (
+  SELECT t.label,
+         CAST(round(ln(CAST(d.nd AS DOUBLE) / n.n) * 1000000) AS BIGINT)
+           AS prior_micro,
+         CAST(round(ln(1.0 / (t.total_c + v.v)) * 1000000) AS BIGINT)
+           AS floor_micro,
+         t.total_c
+  FROM totals t, vocab v, ndocs d, ntr n WHERE d.label = t.label
+),
+delta AS (
+  SELECT c.label, c.term,
+         CAST(round(ln(CAST(c.c + 1 AS DOUBLE) / (s.total_c + v.v)) * 1000000)
+              AS BIGINT) - s.floor_micro AS dlt
+  FROM cnts c JOIN cstats s ON c.label = s.label, vocab v
+),
+tok_te AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id % 5 <> 0
+),
+sd AS (
+  SELECT t.doc_id, d.label, CAST(sum(d.dlt) AS BIGINT) AS sd
+  FROM tok_te t JOIN delta d ON t.term = d.term
+  GROUP BY t.doc_id, d.label
+),
+dl AS (SELECT doc_id, count(*) AS n_tokens FROM tok_te GROUP BY doc_id),
+scores AS (
+  SELECT dl.doc_id, s.label,
+         s.prior_micro + dl.n_tokens * s.floor_micro + coalesce(sd.sd, 0)
+           AS micro_score
+  FROM dl CROSS JOIN cstats s
+  LEFT JOIN sd ON sd.doc_id = dl.doc_id AND sd.label = s.label
+),
+pred AS (
+  SELECT doc_id, label AS predicted, micro_score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY micro_score DESC, label) AS rn
+  FROM scores
+)
+SELECT p.doc_id, d.source AS actual, p.predicted,
+       (p.predicted = d.source) AS hit, p.micro_score
+FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+WHERE p.rn = 1 ORDER BY p.doc_id
+"""
+
+
+@register("text_nb_domain", oracle=_NB_DOMAIN_SQL, tags=("ext", "text", "ml"))
+def text_nb_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes DOMAIN classifier (``nb_train`` +
+    ``nb_predict``): the fastText-style data-mixing tool — train on a
+    labeled slice (doc_id%5==0, label = ``source``), score the held-out
+    corpus, and use the per-domain posteriors to up/down-sample
+    sources. Distinct from ``text_langid``'s heuristic: this is the
+    FULL model — class priors, Laplace(+1) smoothing over the train
+    vocabulary, and an OOV floor, so every (doc, class) score is
+    defined even when no token matches.
+
+    Exactness: all logs quantize to micro-int before summation; the
+    score decomposition prior + n_tokens·floor + Σdelta keeps the
+    profile SPARSE (observed (class, term) pairs only) while pricing
+    unseen terms exactly — dense classes×vocab never materializes.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("source"), F.col("text")
+    )
+    class_stats, delta_profile = nb_train(train, "source")
+    pred = nb_predict(
+        d.filter(F.col("doc_id") % 5 != 0), class_stats, delta_profile
+    )
+    actual = d.select("doc_id", F.col("source").alias("actual"))
+    return (
+        pred.join(actual, "doc_id")
+        .select(
+            "doc_id",
+            "actual",
+            "predicted",
+            (F.col("predicted") == F.col("actual")).alias("hit"),
+            "micro_score",
+        )
+        .orderBy("doc_id")
+    )

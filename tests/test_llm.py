@@ -685,3 +685,48 @@ def test_pq_persisted_reuse_runs_no_train_and_matches_memory_twin(spark):
         sim.pq_train_encode = real
     assert reused == fresh
     shutil.rmtree("/tmp/ezgs_pq_index_sf0.001", ignore_errors=True)
+
+
+def test_nb_train_predict_tiny_corpus(spark):
+    """NB classifies obviously-separable docs correctly, prices OOV
+    terms via the floor exactly (score decomposition check), and
+    breaks exact ties by label ascending."""
+    from ezbake_graph_spark.operators.llm_text import nb_predict, nb_train
+    import math
+
+    train = spark.createDataFrame(
+        [
+            ("pets", "cat dog cat fur"),
+            ("pets", "dog cat paw"),
+            ("cars", "engine wheel engine oil"),
+            ("cars", "wheel brake oil"),
+        ],
+        "source string, text string",
+    )
+    stats, delta = nb_train(train, "source")
+    srows = {r["label"]: r for r in stats.collect()}
+    # priors: 2/4 docs each -> ln(0.5)*1e6 rounded
+    assert srows["pets"]["prior_micro"] == round(math.log(0.5) * 1e6)
+    # vocab = 8 distinct train terms; pets total_c = 7, cars total_c = 7
+    assert srows["pets"]["total_c"] == 7 and srows["cars"]["total_c"] == 7
+    floor = round(math.log(1.0 / (7 + 8)) * 1e6)
+    assert srows["pets"]["floor_micro"] == floor
+    test = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "engine brake"), (3, "zebra")],
+        "doc_id long, text string",
+    )
+    pred = {r["doc_id"]: r for r in nb_predict(test, stats, delta).collect()}
+    assert pred[1]["predicted"] == "pets" and pred[2]["predicted"] == "cars"
+    # doc 3 is all-OOV: both classes score prior + 1*floor (equal here),
+    # tie broken by label ascending -> "cars"; score decomposes exactly.
+    assert pred[3]["predicted"] == "cars"
+    assert pred[3]["micro_score"] == srows["cars"]["prior_micro"] + floor
+    # matched-term score decomposition: doc 1 = prior + 3*floor + deltas
+    drows = {(r["label"], r["term"]): r["dlt"] for r in delta.collect()}
+    want = (
+        srows["pets"]["prior_micro"]
+        + 3 * floor
+        + 2 * drows[("pets", "cat")]
+        + drows[("pets", "dog")]
+    )
+    assert pred[1]["micro_score"] == want
