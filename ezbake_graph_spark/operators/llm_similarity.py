@@ -1613,3 +1613,143 @@ def sim_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = pq_adc_topk(codes, codebook, queries, dim=64, k=_PQ_SHORTLIST)
     return _exact_rerank(cand, vecs, queries, k=5)
+
+
+def pca_fit(
+    vecs: DataFrame, dim: int, k: int
+) -> tuple[list, list, list, int]:
+    """Fit a top-``k`` PCA of (vec_id, v:array<double>) rows the way
+    distributed PCA is always done when dim is small and N is huge:
+
+    1. **Per-batch partials** (``mapInPandas``, BLAS): each Arrow batch
+       emits ONE row — (n, Σv : dim, ΣvᵀV : dim² Gram, flattened).
+       No shuffle sees a vector; tasks stream batches and emit
+       constant-size summaries (the same posture as the block-pair
+       cosine kernel above).
+    2. **Element-wise reduce**: posexplode the partial arrays and sum
+       per position — two keyed aggs whose GROUP count is dim and dim²
+       (constant), so the exchange carries ≤ (dim² + dim) rows per
+       task regardless of N.
+    3. **Driver eigendecomposition** of the dim×dim covariance
+       (``numpy.linalg.eigh`` — dim² is a constant; this is the one
+       place driver-side math is the scale-correct choice, like the
+       25-node fixpoint checks in graph.py).
+
+    Covariance uses the unbiased (n-1) denominator. Eigenvector sign
+    is fixed deterministically (largest-|entry| coordinate made
+    positive, lowest index on ties) so downstream projections are
+    reproducible run to run. Returns (mean, components[k][dim],
+    eigvals[k] desc, n).
+    """
+    import numpy as np
+
+    def partials(it):
+        import numpy as _np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _np.stack(pdf["v"].to_numpy()).astype(_np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    part = vecs.select(F.col("v")).mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    )
+    part = part.persist()
+    try:
+        n = part.agg(F.sum("n")).collect()[0][0] or 0
+        if n < 2:
+            raise ValueError("pca_fit needs at least 2 vectors")
+        srows = (
+            part.select(F.posexplode("s").alias("pos", "x"))
+            .groupBy("pos").agg(F.sum("x").alias("x")).collect()
+        )
+        grows = (
+            part.select(F.posexplode("g").alias("pos", "x"))
+            .groupBy("pos").agg(F.sum("x").alias("x")).collect()
+        )
+    finally:
+        part.unpersist()
+    s = np.zeros(dim)
+    for r in srows:
+        s[r["pos"]] = r["x"]
+    g = np.zeros(dim * dim)
+    for r in grows:
+        g[r["pos"]] = r["x"]
+    mean = s / n
+    cov = (g.reshape(dim, dim) - n * np.outer(mean, mean)) / (n - 1)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues, columns = vecs
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for idx in order:
+        c = v[:, idx]
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c = -c
+        comps.append(c.tolist())
+    return mean.tolist(), comps, [float(w[i]) for i in order], int(n)
+
+
+def pca_project(
+    vecs: DataFrame, mean: list, components: list
+) -> DataFrame:
+    """Project (vec_id, v) rows onto fitted components: map-side
+    ``mapInPandas`` matmul against the CLOSURE-captured (k×dim)
+    component matrix — constant-size, shipped with the task like a
+    broadcast; zero shuffle, linear scan. Returns (vec_id,
+    proj:array<double> length k, round6)."""
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        mu = np.asarray(mean)
+        w = np.asarray(components)  # k x dim
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            proj = np.round((m - mu) @ w.T, 6)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "proj": list(map(list, proj))}
+            )
+
+    return vecs.select("vec_id", "v").mapInPandas(
+        run, "vec_id long, proj array<double>"
+    )
+
+
+_PCA_K = 8
+
+
+@register("embed_pca", oracle=None, tags=("ext", "ml", "rows-only"))
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction of the embedding corpus
+    (``pca_fit`` + ``pca_project``): 64-d float vectors → top-8
+    principal scores — the standard pre-step before clustering /
+    visualization / cheap-ANN over embedding columns, and the
+    whitening transform SemDeDup-style pipelines apply first.
+
+    Rows-only by design (eigenvectors are float-iterative and
+    platform-LAPACK-dependent; cross-engine bit parity is not
+    defined): orthonormality, variance capture, centering, and
+    determinism across runs are pinned in tests/test_llm.py. Output:
+    one row per vector, proj = 8 principal scores (round6), plus pc1
+    for a quick scan, ordered by vec_id.
+    """
+    e = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mean, comps, _eigvals, _n = pca_fit(e, dim=64, k=_PCA_K)
+    return (
+        pca_project(e, mean, comps)
+        .select("vec_id", "proj", F.col("proj")[0].alias("pc1"))
+        .orderBy("vec_id")
+    )

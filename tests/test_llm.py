@@ -730,3 +730,39 @@ def test_nb_train_predict_tiny_corpus(spark):
         + drows[("pets", "dog")]
     )
     assert pred[1]["micro_score"] == want
+
+
+def test_pca_fit_properties(spark):
+    """Components are orthonormal, eigenvalues are the projected
+    variances in descending order, the projection is centered, and
+    two fits of the same data agree exactly (deterministic sign fix)."""
+    import numpy as np
+    from ezbake_graph_spark.operators.llm_similarity import pca_fit, pca_project
+    from ezbake_graph_spark.tables import load
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    e = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mean, comps, eigvals, n = pca_fit(e, dim=64, k=4)
+    w = np.asarray(comps)
+    assert np.allclose(w @ w.T, np.eye(4), atol=1e-9)
+    assert eigvals == sorted(eigvals, reverse=True)
+    assert all(v >= -1e-12 for v in eigvals)
+    proj = np.array(
+        [r["proj"] for r in pca_project(e, mean, comps).collect()]
+    )
+    assert len(proj) == n
+    # centered: mean of each projected coordinate ~ 0 (round6 output)
+    assert np.abs(proj.mean(axis=0)).max() < 1e-4
+    # projected variance per component matches its eigenvalue
+    pv = proj.var(axis=0, ddof=1)
+    assert np.allclose(pv, eigvals, rtol=1e-3)
+    # total variance is bounded by the full trace
+    mat = np.stack([r["v"] for r in e.collect()])
+    assert sum(eigvals) <= mat.var(axis=0, ddof=1).sum() + 1e-9
+    # determinism across fits
+    mean2, comps2, eigvals2, _ = pca_fit(e, dim=64, k=4)
+    assert mean2 == mean and eigvals2 == eigvals
+    assert np.allclose(np.asarray(comps2), w)
