@@ -1024,3 +1024,118 @@ def dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("toks")
     )
     return cut_spans(d).orderBy("doc_id")
+
+
+def semdedup(
+    assigned: DataFrame, cent: DataFrame, tau: float
+) -> DataFrame:
+    """SemDeDup (public: Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): semantic
+    near-duplicate removal over an embedding corpus, with the paper's
+    scale trick — pairwise cosine is computed only WITHIN coarse
+    clusters, never across the whole corpus.
+
+    ``assigned``: (vec_id, v, nrm, cell) — vectors already quantized
+    to a coarse cell (the IVF assignment kernel); ``cent``: (cell,
+    cv, cn) centroids. Pipeline: (1) per-member cosine to its own
+    cell centroid (broadcast join, map-side); (2) within-cell pair
+    graph at cosine >= ``tau`` — a self-join CO-PARTITIONED on cell,
+    so the shuffle is one exchange and the quadratic term is bounded
+    by cluster size (n/k), exactly the paper's complexity argument;
+    (3) connected components over the dup-pair graph (the engine's
+    Pregel loop, running on the reduced edge set only); (4) keep rule:
+    per semantic-dup group keep the member LEAST similar to its
+    centroid (the paper's diversity-keep; ties broken by min vec_id).
+
+    Returns (vec_id, cell, group_id, centroid_sim, group_size, keep).
+    Cross-cell near-dups are the documented approximation miss (the
+    paper accepts them; raise k-probe clustering quality, not pair
+    scope, to shrink the miss rate). Zero-norm vectors have no defined
+    cosine and pass through as singleton groups.
+    """
+    from ezbake_graph_spark.graph.pregel import connected_components
+    from ezbake_graph_spark.operators.llm_similarity import _cosine
+
+    member = assigned.join(F.broadcast(cent), "cell").select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cell",
+        F.round(
+            _cosine(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")), 6
+        ).alias("centroid_sim"),
+    )
+    a = member.select(
+        "cell",
+        F.col("vec_id").alias("vid1"),
+        F.col("v").alias("v1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = member.select(
+        "cell",
+        F.col("vec_id").alias("vid2"),
+        F.col("v").alias("v2"),
+        F.col("nrm").alias("n2"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vid1") < F.col("vid2"))
+        .select(
+            F.col("vid1").alias("src"),
+            F.col("vid2").alias("dst"),
+            F.round(
+                _cosine(F.col("v1"), F.col("n1"), F.col("v2"), F.col("n2")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+        .select("src", "dst")
+    )
+    verts = assigned.select(F.col("vec_id").alias("id"))
+    comp = connected_components(verts, pairs).select(
+        F.col("id").alias("vec_id"), F.col("component").alias("group_id")
+    )
+    grouped = member.select("vec_id", "cell", "centroid_sim").join(
+        comp, "vec_id"
+    )
+    w_grp = Window.partitionBy("group_id")
+    w_keep = Window.partitionBy("group_id").orderBy(
+        F.col("centroid_sim").asc_nulls_last(), F.col("vec_id")
+    )
+    return (
+        grouped.withColumn("group_size", F.count(F.lit(1)).over(w_grp))
+        .withColumn("rn", F.row_number().over(w_keep))
+        .select(
+            "vec_id",
+            "cell",
+            "group_id",
+            "centroid_sim",
+            "group_size",
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )
+
+
+@register("dedup_semdedup", oracle=None, tags=("ext", "ml", "rows-only"))
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup composite (``semdedup`` kernel): cluster the
+    embedding corpus into the 10 label-centroid cells (the same
+    deterministic coarse quantizer ``sim_ivf`` uses), find semantic
+    near-dup groups at cosine >= 0.4 (the ``dedup_embedding``
+    threshold, so the exact pair kernel doubles as this key's recall
+    oracle in tests), and keep one diverse representative per group.
+
+    Rows-only by design: centroid averages are float-order-dependent
+    (SURVEY §5.3 rule 5). Pinned in tests/test_llm.py instead:
+    within-cell recall vs the exact hash-green pair kernel, the
+    no-surviving-dup-pair invariant, and the one-keep-per-group rule.
+    """
+    from ezbake_graph_spark.operators.llm_similarity import (
+        _vectors,
+        assign_nearest_cell,
+        cell_centroids,
+    )
+
+    vecs = _vectors(spark, sf_dir).cache()
+    cent = cell_centroids(vecs, "label")
+    assigned = assign_nearest_cell(vecs, cent)
+    return semdedup(assigned, cent, EMBED_DUP_THRESHOLD).orderBy("vec_id")

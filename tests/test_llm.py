@@ -766,3 +766,57 @@ def test_pca_fit_properties(spark):
     mean2, comps2, eigvals2, _ = pca_fit(e, dim=64, k=4)
     assert mean2 == mean and eigvals2 == eigvals
     assert np.allclose(np.asarray(comps2), w)
+
+
+def test_semdedup_invariants_and_recall(spark):
+    """(a) exactly one keep per group and the kept member is the
+    least-centroid-similar (paper's diversity-keep); (b) no two
+    SURVIVORS in the same cell are near-dups at tau; (c) every exact
+    near-dup pair (dedup_embedding kernel, same tau) whose members
+    share a cell landed in the same group — within-cell recall is 1
+    by construction, cross-cell misses are the documented
+    approximation."""
+    from ezbake_graph_spark.operators.llm_dedup import (
+        EMBED_DUP_THRESHOLD,
+        semdedup,
+    )
+    from ezbake_graph_spark.operators.llm_similarity import (
+        _vectors,
+        assign_nearest_cell,
+        cell_centroids,
+    )
+    from tests.conftest import SF_SMOKE
+    import itertools
+    import numpy as np
+
+    vecs = _vectors(spark, SF_SMOKE).cache()
+    cent = cell_centroids(vecs, "label")
+    assigned = assign_nearest_cell(vecs, cent).cache()
+    out = {r["vec_id"]: r for r in semdedup(assigned, cent, EMBED_DUP_THRESHOLD).collect()}
+    by_group = {}
+    for r in out.values():
+        by_group.setdefault(r["group_id"], []).append(r)
+    for members in by_group.values():
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1
+        lo = min((m["centroid_sim"], m["vec_id"]) for m in members)
+        assert (keeps[0]["centroid_sim"], keeps[0]["vec_id"]) == lo
+        assert all(m["group_size"] == len(members) for m in members)
+    # survivors: no same-cell pair at >= tau
+    av = {r["vec_id"]: (np.array(r["v"]), r["nrm"], r["cell"]) for r in assigned.collect()}
+    survivors = [vid for vid, r in out.items() if r["keep"]]
+    for v1, v2 in itertools.combinations(sorted(survivors), 2):
+        a, b = av[v1], av[v2]
+        if a[2] != b[2] or a[1] == 0 or b[1] == 0:
+            continue
+        assert round(float(a[0] @ b[0]) / (a[1] * b[1]), 6) < EMBED_DUP_THRESHOLD
+    # within-cell recall vs the exact pair kernel
+    n_same_cell = 0
+    for v1, v2 in itertools.combinations(sorted(av), 2):
+        a, b = av[v1], av[v2]
+        if a[1] == 0 or b[1] == 0:
+            continue
+        if round(float(a[0] @ b[0]) / (a[1] * b[1]), 6) >= EMBED_DUP_THRESHOLD and a[2] == b[2]:
+            n_same_cell += 1
+            assert out[v1]["group_id"] == out[v2]["group_id"]
+    assert n_same_cell > 0  # the fixture actually exercises the path
