@@ -870,3 +870,163 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearest_click_value"
         ),
     ).orderBy("event_id")
+
+
+def pit_join(
+    obs: DataFrame,
+    features: list[tuple[str, DataFrame, str]],
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Point-in-time (feature-store) join: enrich each observation row
+    with the latest value of EVERY feature table at-or-before the
+    observation timestamp, leakage-free — the training-set assembly
+    primitive behind every feature store.
+
+    ``features``: list of (name, table, value_col); each table carries
+    (key_col, ts_col, value_col) and must be pre-deduplicated per
+    (key, ts) — same contract as the C8 as-of kernel. Output: the obs
+    columns plus ``f_<name>`` and ``f_<name>_ts`` per feature.
+
+    Spark-first shape: rather than N sequential as-of joins (what the
+    DuckDB oracle does — one ASOF JOIN per feature), ALL tables union
+    into one frame with a kind marker and a single per-key window pass
+    computes every feature's running last — **one keyed shuffle total,
+    independent of the number of feature tables**, linear in the union
+    size. Feature rows order before observation rows at equal ts
+    (kind asc), so "at-or-before" includes same-instant updates, per
+    feature-store convention (and DuckDB ASOF's >= match).
+    """
+    n = len(features)
+    obs_payload = [c for c in obs.columns if c not in (key_col, ts_col)]
+    ftypes = {name: fdf.schema[vcol].dataType for name, fdf, vcol in features}
+    parts = []
+    for i, (name, fdf, vcol) in enumerate(features):
+        sel = [F.col(key_col), F.col(ts_col), F.lit(i).alias("_kind")]
+        for fname, _, _ in features:
+            src = F.col(vcol) if fname == name else F.lit(None)
+            sel.append(src.cast(ftypes[fname]).alias(f"_fv_{fname}"))
+        sel += [
+            F.lit(None).cast(obs.schema[c].dataType).alias(c)
+            for c in obs_payload
+        ]
+        parts.append(fdf.select(*sel))
+    obs_sel = [F.col(key_col), F.col(ts_col), F.lit(n).alias("_kind")]
+    obs_sel += [
+        F.lit(None).cast(ftypes[name]).alias(f"_fv_{name}")
+        for name, _, _ in features
+    ]
+    obs_sel += [F.col(c) for c in obs_payload]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u = u.unionByName(obs.select(*obs_sel))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # All last() expressions evaluate in ONE select so they land in a
+    # single WindowExec over a single exchange; interleaving them with
+    # per-feature projections (the withColumn chain) splits the window
+    # stack and AQE then re-shuffles between the stacks.
+    ts_carriers = [
+        F.when(F.col(f"_fv_{name}").isNotNull(), F.col(ts_col)).alias(
+            f"_fts_{name}"
+        )
+        for name, _, _ in features
+    ]
+    u = u.select("*", *ts_carriers)
+    feature_outs = []
+    for name, _, _ in features:
+        feature_outs.append(
+            F.last(F.col(f"_fv_{name}"), ignorenulls=True).over(w).alias(f"f_{name}")
+        )
+        feature_outs.append(
+            F.last(F.col(f"_fts_{name}"), ignorenulls=True).over(w).alias(f"f_{name}_ts")
+        )
+    u = u.select(key_col, ts_col, "_kind", *obs_payload, *feature_outs)
+    out_cols = [key_col, ts_col, *obs_payload]
+    out_cols += [c for name, _, _ in features for c in (f"f_{name}", f"f_{name}_ts")]
+    return u.filter(F.col("_kind") == n).select(*out_cols)
+
+
+_PIT_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS v
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), vf AS (
+  SELECT user_id, ts,
+         CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS cum
+  FROM (SELECT user_id, ts, count(*) AS c
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+), purch AS (
+  SELECT event_id, user_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+       c.v AS last_click_value, c.ts AS last_click_ts,
+       coalesce(v2.cum, 0) AS views_so_far,
+       cu.c_mktsegment AS segment
+FROM purch p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+ASOF LEFT JOIN vf v2 ON p.user_id = v2.user_id AND p.ts >= v2.ts
+LEFT JOIN customer cu ON p.user_id = cu.c_custkey
+ORDER BY p.event_id
+"""
+
+
+@register("join_pit_features", oracle=_PIT_SQL, tags=("ext", "ml"))
+def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store training-set assembly (``pit_join`` kernel): each
+    purchase observation picks up, leakage-free, (a) the latest click
+    value at-or-before it, (b) the user's cumulative view count so
+    far, and (c) the static customer segment — two temporal feature
+    tables + one dimension in ONE keyed shuffle + one broadcast join,
+    vs the oracle's two sequential ASOF joins. The f_<name>_ts columns
+    are the point-in-time audit trail (which feature version each
+    training row saw).
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    vf = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+    )
+    obs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+    )
+    pj = pit_join(
+        obs,
+        [("click", clicks, "v"), ("views", vf, "cum")],
+        key_col="user_id",
+        ts_col="ts",
+    )
+    c = tables.load(spark, sf_dir, "customer")
+    return (
+        pj.join(F.broadcast(c), pj.user_id == c.c_custkey, "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "purchase_value",
+            F.col("f_click").alias("last_click_value"),
+            F.col("f_click_ts").alias("last_click_ts"),
+            F.coalesce("f_views", F.lit(0)).alias("views_so_far"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("event_id")
+    )

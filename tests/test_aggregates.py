@@ -193,3 +193,41 @@ def test_snapshot_diff_statuses_partition_the_key_union(spark):
         for r in snapshot_diff(new, old, ["k"], carry_cols=["src"]).collect()
     }
     assert rev == {1: "added", 2: "unchanged", 3: "changed", 4: "removed"}
+
+
+def test_pit_join_is_leakage_free_and_single_shuffle(spark):
+    """The point-in-time kernel: (a) picks the latest at-or-before
+    value per feature (inclusive of same-instant updates), never a
+    future one; (b) NULLs when no feature row precedes the obs;
+    (c) N feature tables cost ONE shuffle — the union+window plan has
+    exactly one exchange regardless of feature count."""
+    from ezbake_graph_spark.operators.joins import pit_join
+
+    f1 = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 15, 150.0)],
+        "k long, ts long, a double",
+    )
+    f2 = spark.createDataFrame(
+        [(1, 5, 7), (1, 20, 9)], "k long, ts long, b long"
+    )
+    obs = spark.createDataFrame(
+        [(1, 12, "x"), (1, 20, "y"), (1, 25, "z"), (2, 14, "w"), (3, 9, "v")],
+        "k long, ts long, tag string",
+    )
+    out = pit_join(obs, [("a", f1, "a"), ("b", f2, "b")], "k", "ts")
+    rows = {(r["k"], r["ts"]): r for r in out.collect()}
+    assert len(rows) == 5
+    # ts=12: a from ts10 only (not the future ts20), b from ts5
+    assert rows[(1, 12)]["f_a"] == 100.0 and rows[(1, 12)]["f_a_ts"] == 10
+    assert rows[(1, 12)]["f_b"] == 7
+    # same-instant feature update is visible (inclusive as-of)
+    assert rows[(1, 20)]["f_a"] == 200.0 and rows[(1, 20)]["f_b"] == 9
+    assert rows[(1, 25)]["f_a"] == 200.0 and rows[(1, 25)]["f_a_ts"] == 20
+    # no preceding feature rows -> NULLs; obs payload carried through
+    assert rows[(2, 14)]["f_b"] is None and rows[(2, 14)]["f_a"] is None
+    assert rows[(3, 9)]["f_a"] is None and rows[(3, 9)]["tag"] == "v"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE appends a duplicate
+    import re
+    n_exchanges = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_exchanges == 1, plan
