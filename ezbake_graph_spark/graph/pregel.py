@@ -690,3 +690,80 @@ def betweenness_sampled(
             ),
         )
     )
+
+
+def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) on a DIRECTED edge
+    list, fixed-iteration power method with L1 normalization per
+    half-step (auth from hubs along edges, then hubs from the NEW
+    auths), matching the converged principal-eigenvector solution
+    (golden-tested against a to-convergence reference iteration).
+
+    Scale: the edge set is cached TWICE, once partitioned by src and
+    once by dst, so BOTH half-step joins co-locate against a resident
+    layout and only the vertex-state side ever shuffles (the pagerank
+    posture, doubled because HITS alternates join sides). The L1
+    totals are 1-row aggregates broadcast back — no driver round trip
+    inside the lazy chain — and state checkpoints per superstep like
+    every other loop here. Returns (id, hub, auth), each side summing
+    to 1.
+    """
+    with _superstep_env(edges, directed=True) as dir_edges:
+        n_part = dir_edges.rdd.getNumPartitions()
+        by_dst = dir_edges.repartition(n_part, "dst").cache()
+        try:
+            verts = (
+                dir_edges.select(F.col("src").alias("id"))
+                .unionByName(dir_edges.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            state = verts.select(
+                "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+            )
+            for step in range(iterations):
+                auth_raw = (
+                    dir_edges.join(
+                        state.select(F.col("id").alias("src"), "hub"), "src"
+                    )
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum("hub").alias("raw"))
+                )
+                t_a = auth_raw.agg(F.sum("raw").alias("t"))
+                state = (
+                    state.select("id", "hub")
+                    .join(auth_raw, "id", "left")
+                    .crossJoin(F.broadcast(t_a))
+                    .select(
+                        "id",
+                        "hub",
+                        F.coalesce(
+                            F.when(F.col("t") != 0, F.col("raw") / F.col("t")),
+                            F.lit(0.0),
+                        ).alias("auth"),
+                    )
+                )
+                hub_raw = (
+                    by_dst.join(
+                        state.select(F.col("id").alias("dst"), "auth"), "dst"
+                    )
+                    .groupBy(F.col("src").alias("id"))
+                    .agg(F.sum("auth").alias("raw"))
+                )
+                t_h = hub_raw.agg(F.sum("raw").alias("t"))
+                state = (
+                    state.select("id", "auth")
+                    .join(hub_raw, "id", "left")
+                    .crossJoin(F.broadcast(t_h))
+                    .select(
+                        "id",
+                        F.coalesce(
+                            F.when(F.col("t") != 0, F.col("raw") / F.col("t")),
+                            F.lit(0.0),
+                        ).alias("hub"),
+                        "auth",
+                    )
+                )
+                state = _truncate(state, step, eager=(step == iterations - 1))
+            return state.select("id", "hub", "auth")
+        finally:
+            by_dst.unpersist()

@@ -1900,3 +1900,22 @@ def graph_path_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "path_str"
         ),
     ).orderBy("node")
+
+
+@register("graph_hits", oracle=None, tags=("J-extra", "pregel", "rows-only"))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the DIRECTED part→supplier bipartite
+    graph (hub mass lives on parts, authority on suppliers — the
+    bipartite reading of Kleinberg's model). 20 fixed power-method
+    supersteps, L1-normalized per half-step (graph/pregel.hits).
+    Rows-only: float iteration drift (SURVEY §5.3 rule 5);
+    a converged reference-iteration golden plus invariant tests pin the values.
+    """
+    from ezbake_graph_spark.graph.pregel import hits
+
+    edges = bipartite_edges(spark, sf_dir)
+    return (
+        hits(edges, iterations=20)
+        .select("id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+        .orderBy("id")
+    )

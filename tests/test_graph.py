@@ -624,3 +624,60 @@ def test_betweenness_sampled_subset_scaling(spark):
            api.betweenness_sampled(v, e, sources=sources).collect()}
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_hits_golden_networkx(spark):
+    """graph_hits must match a converged plain-Python HITS power
+    iteration (networkx's hits needs scipy, absent here; the reference
+    below is the same L1-normalized recurrence run to 1e-14): values
+    within 1e-4 per side, identical top-10 authority and hub rankings,
+    each side L1-normalized; the non-participating side of each score
+    is exactly 0."""
+    from ezbake_graph_spark import registry
+    from ezbake_graph_spark.operators.graph import bipartite_edges
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in bipartite_edges(spark, SF_SMOKE).collect()
+    ]
+    nodes = sorted({v for e in edges for v in e})
+    ref_h = {v: 1.0 for v in nodes}
+    ref_a = {v: 1.0 for v in nodes}
+    for _ in range(1000):
+        new_a = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            new_a[d] += ref_h[s]
+        ta = sum(new_a.values()) or 1.0
+        new_a = {v: x / ta for v, x in new_a.items()}
+        new_h = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            new_h[s] += new_a[d]
+        th = sum(new_h.values()) or 1.0
+        new_h = {v: x / th for v, x in new_h.items()}
+        delta = max(
+            max(abs(new_a[v] - ref_a[v]) for v in nodes),
+            max(abs(new_h[v] - ref_h[v]) for v in nodes),
+        )
+        ref_a, ref_h = new_a, new_h
+        if delta < 1e-14:
+            break
+    got = {
+        r["id"]: r
+        for r in registry.queries()["graph_hits"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(ref_h)
+    worst_h = max(abs(got[k]["hub"] - ref_h[k]) for k in got)
+    worst_a = max(abs(got[k]["auth"] - ref_a[k]) for k in got)
+    assert worst_h < 1e-4 and worst_a < 1e-4, (worst_h, worst_a)
+    top_a = sorted(got, key=lambda k: (-got[k]["auth"], k))[:10]
+    top_a_ref = sorted(ref_a, key=lambda k: (-round(ref_a[k], 6), k))[:10]
+    assert top_a == top_a_ref
+    top_h = sorted(got, key=lambda k: (-got[k]["hub"], k))[:10]
+    top_h_ref = sorted(ref_h, key=lambda k: (-round(ref_h[k], 6), k))[:10]
+    assert top_h == top_h_ref
+    # bipartite: parts (even ids) have no in-edges -> auth 0;
+    # suppliers (odd ids) have no out-edges -> hub 0
+    assert all(got[k]["auth"] == 0.0 for k in got if k % 2 == 0)
+    assert all(got[k]["hub"] == 0.0 for k in got if k % 2 == 1)
+    assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 1e-3
+    assert abs(sum(r["auth"] for r in got.values()) - 1.0) < 1e-3
