@@ -1139,3 +1139,88 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = cell_centroids(vecs, "label")
     assigned = assign_nearest_cell(vecs, cent)
     return semdedup(assigned, cent, EMBED_DUP_THRESHOLD).orderBy("vec_id")
+
+
+_CONTRASTIVE_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < 200
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / CAST(len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6)
+           AS jac
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / CAST(len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+), sym AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM t
+  UNION
+  SELECT s.dst AS node, r.label
+  FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.label < s.dst
+), comp AS (
+  SELECT node AS doc_id, min(label) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT p.d1 AS anchor, p.d2 AS positive, p.jac AS jaccard,
+       c.cluster_id, CAST(c.cluster_id % 8 AS BIGINT) AS batch_id
+FROM pairs p JOIN comp c ON p.d1 = c.doc_id
+ORDER BY anchor, positive
+"""
+
+
+@register(
+    "text_contrastive_pairs", oracle=_CONTRASTIVE_SQL, tags=("ext", "ml")
+)
+def text_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: (anchor, positive) pairs from
+    the exact near-dup graph (Jaccard >= 0.8, the K2 kernel and scope),
+    with a CLUSTER-COHERENT batch assignment — the input format for
+    in-batch-negative contrastive embedding training (SimCLR/CLIP-style
+    data loaders).
+
+    The batch id is the pair's dup-cluster canonical id mod 8, so a
+    cluster's pairs always land in ONE batch. That makes in-batch
+    negatives sound by construction: two docs in DIFFERENT components
+    of the >=0.8 pair graph can never themselves be a >=0.8 pair
+    (an edge would have merged their components), so every cross-pair
+    doc inside a batch is a true negative. Production would salt very
+    large clusters across batches after canonical-capping them
+    (dedup_cluster_canonical) — noted, not fixture-relevant.
+
+    Scale: pair kernel = inverted-index join (never all-pairs);
+    components run on the reduced pair graph (Pregel); the batch
+    assignment is a map-side mod. One extra broadcast-size join from
+    pairs to their component labels.
+    """
+    from ezbake_graph_spark.graph.pregel import connected_components
+
+    tok = _doc_tokens(spark, sf_dir, max_doc=200)
+    pairs = _jaccard_pairs(tok).filter(
+        F.col("jaccard_raw") >= JACCARD_THRESHOLD
+    )
+    verts = tok.select(F.col("doc_id").alias("id")).distinct()
+    comp = connected_components(
+        verts,
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")),
+    ).select(
+        F.col("id").alias("doc1"), F.col("component").alias("cluster_id")
+    )
+    return (
+        pairs.join(comp, "doc1")
+        .select(
+            F.col("doc1").alias("anchor"),
+            F.col("doc2").alias("positive"),
+            F.round("jaccard_raw", 6).alias("jaccard"),
+            "cluster_id",
+            (F.col("cluster_id") % 8).cast("long").alias("batch_id"),
+        )
+        .orderBy("anchor", "positive")
+    )

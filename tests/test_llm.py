@@ -820,3 +820,24 @@ def test_semdedup_invariants_and_recall(spark):
             n_same_cell += 1
             assert out[v1]["group_id"] == out[v2]["group_id"]
     assert n_same_cell > 0  # the fixture actually exercises the path
+
+
+def test_contrastive_pairs_batches_are_cluster_coherent(spark):
+    """Every dup-cluster's pairs land in exactly one batch (the
+    in-batch-negative soundness construction), anchors sort below
+    positives, and each pair's jaccard clears the K2 threshold."""
+    from ezbake_graph_spark import registry
+    from ezbake_graph_spark.operators.llm_dedup import JACCARD_THRESHOLD
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.queries()["text_contrastive_pairs"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    seen = {}
+    for r in rows:
+        assert r["anchor"] < r["positive"]
+        assert r["jaccard"] >= JACCARD_THRESHOLD
+        assert r["batch_id"] == r["cluster_id"] % 8
+        prev = seen.setdefault(r["cluster_id"], r["batch_id"])
+        assert prev == r["batch_id"]
