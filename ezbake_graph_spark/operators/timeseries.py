@@ -742,3 +742,182 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_LTTB_NB = 10
+
+
+def lttb_downsample(points: DataFrame, n_buckets: int = _LTTB_NB) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
+    the Timescale/Grafana visualization downsampler), made INTEGER-
+    exact: input points are (series, t:long, y:long) with integer
+    coordinates (epoch-hour index, micro-unit value), and the triangle
+    argmax uses the area multiplied through by the next bucket's point
+    count ``c`` —
+
+        A' = |(c·t_prev − Σt_next)(y_cand − y_prev)
+             − (t_prev − t_cand)(Σy_next − c·y_prev)|
+
+    — which preserves the argmax (c is constant within a bucket) and
+    keeps EVERY intermediate a BIGINT, so the sequential selection
+    chain is bit-identical cross-engine and the whole operator takes a
+    full value-hash oracle (an unrolled-CTE twin, the labelprop trick),
+    unlike every float formulation of LTTB. Ties break to the earliest
+    point.
+
+    Per the algorithm: first/last points pinned; interior points split
+    into ``n_buckets``-2 index-equal buckets (bucket of 1-based idx =
+    ((idx−2)·(nb−2)) div (n−2)); bucket k's pick maximizes A' against
+    the PREVIOUS pick and bucket k+1's centroid (the last point for
+    the final bucket). Series shorter than ``n_buckets`` are dropped
+    (declared precondition, mirrored by the oracle).
+
+    Scale: one ``applyInPandas`` per series — the correct shape for a
+    per-series SEQUENTIAL algorithm whose series each fit a worker
+    (downsampling is per-device/per-metric; a series too big for one
+    worker should be pre-aggregated first, as this key's hourly rollup
+    does). The groupBy is the only shuffle.
+    """
+    nb_i = n_buckets - 2
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        n = len(pdf)
+        if n < n_buckets:
+            return pd.DataFrame(
+                {"series": [], "ord": [], "t": [], "y": []}
+            ).astype({"series": str, "ord": "int64", "t": "int64", "y": "int64"})
+        t = [int(v) for v in pdf["t"]]
+        y = [int(v) for v in pdf["y"]]
+        # interior 0-based j in [1, n-2]; bucket = ((j-1)*nb_i)//(n-2)
+        buckets: list[list[int]] = [[] for _ in range(nb_i)]
+        for j in range(1, n - 1):
+            buckets[((j - 1) * nb_i) // (n - 2)].append(j)
+        sel = [0]
+        prev = 0
+        for k in range(nb_i):
+            if k < nb_i - 1:
+                nxt = buckets[k + 1]
+            else:
+                nxt = [n - 1]
+            c = len(nxt)
+            sx = sum(t[j] for j in nxt)
+            sy = sum(y[j] for j in nxt)
+            best, best_area = None, -1
+            for j in buckets[k]:
+                area = abs(
+                    (c * t[prev] - sx) * (y[j] - y[prev])
+                    - (t[prev] - t[j]) * (sy - c * y[prev])
+                )
+                if area > best_area:
+                    best, best_area = j, area
+            sel.append(best)
+            prev = best
+        sel.append(n - 1)
+        return pd.DataFrame(
+            {
+                "series": pdf["series"].iat[0],
+                "ord": range(len(sel)),
+                "t": [t[j] for j in sel],
+                "y": [y[j] for j in sel],
+            }
+        )
+
+    return points.groupBy("series").applyInPandas(
+        run, "series string, ord long, t long, y long"
+    )
+
+
+def _lttb_sql(nb: int = _LTTB_NB) -> str:
+    """Unrolled-CTE oracle for the integer LTTB: selection is a chain
+    of ``nb``-2 argmax steps, each one window over a bucket's
+    candidates joined to the previous step's pick — expressible with
+    the iteration count FIXED, exactly like the labelprop oracle."""
+    nb_i = nb - 2
+    steps = []
+    for k in range(nb_i):
+        prev = "sel_init" if k == 0 else f"step{k - 1}"
+        steps.append(
+            f"step{k} AS (\n"
+            f"  SELECT series, t, y FROM (\n"
+            f"    SELECT c.series, c.t, c.y,\n"
+            f"           row_number() OVER (PARTITION BY c.series ORDER BY\n"
+            f"             abs((ns.c * p.t - ns.sx) * (c.y - p.y)\n"
+            f"                 - (p.t - c.t) * (ns.sy - ns.c * p.y)) DESC,\n"
+            f"             c.idx ASC) AS rn\n"
+            f"    FROM interior c\n"
+            f"    JOIN {prev} p ON p.series = c.series\n"
+            f"    JOIN nextstats ns ON ns.series = c.series AND ns.bucket = {k}\n"
+            f"    WHERE c.bucket = {k}\n"
+            f"  ) q WHERE rn = 1\n"
+            f")"
+        )
+    sel_union = "\n  UNION ALL ".join(
+        f"SELECT series, CAST({k + 1} AS BIGINT) AS ord, t, y FROM step{k}"
+        for k in range(nb_i)
+    )
+    return (
+        "WITH base AS (\n"
+        "  SELECT event_type AS series,\n"
+        "         CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,\n"
+        "         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1, 2\n"
+        "), idxd AS (\n"
+        "  SELECT series, t, y,\n"
+        "         row_number() OVER (PARTITION BY series ORDER BY t) AS idx,\n"
+        "         count(*) OVER (PARTITION BY series) AS n\n"
+        "  FROM base\n"
+        f"), ok AS (\n"
+        f"  SELECT * FROM idxd WHERE n >= {nb}\n"
+        "), interior AS (\n"
+        f"  SELECT series, t, y, idx, n,\n"
+        f"         ((idx - 2) * {nb_i}) // (n - 2) AS bucket\n"
+        "  FROM ok WHERE idx >= 2 AND idx <= n - 1\n"
+        "), nxt AS (\n"
+        "  SELECT series, bucket - 1 AS bucket, count(*) AS c,\n"
+        "         CAST(sum(t) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy\n"
+        "  FROM interior GROUP BY series, bucket\n"
+        f"), nxt_last AS (\n"
+        f"  SELECT series, CAST({nb_i - 1} AS BIGINT) AS bucket, 1 AS c,\n"
+        f"         t AS sx, y AS sy\n"
+        "  FROM ok WHERE idx = n\n"
+        "), nextstats AS (\n"
+        "  SELECT * FROM nxt WHERE bucket >= 0 UNION ALL SELECT * FROM nxt_last\n"
+        "), sel_init AS (\n"
+        "  SELECT series, t, y FROM ok WHERE idx = 1\n"
+        "),\n"
+        + ",\n".join(steps)
+        + "\nSELECT series, ord, t, y FROM (\n"
+        "  SELECT series, CAST(0 AS BIGINT) AS ord, t, y FROM ok WHERE idx = 1\n"
+        "  UNION ALL " + sel_union + "\n"
+        f"  UNION ALL SELECT series, CAST({nb - 1} AS BIGINT) AS ord, t, y\n"
+        "  FROM ok WHERE idx = n\n"
+        ") u ORDER BY series, ord\n"
+    )
+
+
+@register("ts_downsample_lttb", oracle=_lttb_sql(), tags=("ext", "timeseries"))
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visualization downsampling (``lttb_downsample`` kernel): each
+    event_type's hourly micro-sum series reduced to the 10 most
+    shape-preserving points by integer-exact LTTB. The pre-aggregation
+    to hourly integers is what makes the sequential selection chain
+    bit-deterministic cross-engine (see the kernel docstring)."""
+    ev = tables.load(spark, sf_dir, "events")
+    pts = (
+        ev.groupBy(
+            F.col("event_type").alias("series"),
+            (
+                F.unix_timestamp(F.date_trunc("hour", "ts"))
+                .cast("long") / 3600
+            ).cast("long").alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    return lttb_downsample(pts, _LTTB_NB).orderBy("series", "ord")

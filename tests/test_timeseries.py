@@ -75,3 +75,54 @@ def test_l2_normalize_unit_norm(spark):
         # ~sum(|x_i|)*1e-6/norm ≈ 1e-5 relative error for dim-64
         assert abs(norm - 1.0) < 1e-5
         assert r["l2_norm"] > 0
+
+
+def test_lttb_kernel_golden_and_shape(spark):
+    """Hand-checkable LTTB: endpoints pinned, exactly one pick per
+    interior bucket in order, picks maximize the scaled-integer
+    triangle area against a plain-Python reference of the same
+    recurrence, and short series are dropped."""
+    from ezbake_graph_spark.operators.timeseries import lttb_downsample
+
+    n = 40
+    # a spiky series: baseline with two large excursions
+    ys = [10 * i for i in range(n)]
+    ys[7] = 100000
+    ys[29] = -50000
+    pts = spark.createDataFrame(
+        [("a", i, ys[i]) for i in range(n)] + [("short", 1, 1), ("short", 2, 2)],
+        "series string, t long, y long",
+    )
+    out = lttb_downsample(pts, 10).collect()
+    assert {r["series"] for r in out} == {"a"}  # short series dropped
+    rows = sorted(out, key=lambda r: r["ord"])
+    assert [r["ord"] for r in rows] == list(range(10))
+    assert rows[0]["t"] == 0 and rows[-1]["t"] == n - 1
+    assert [r["t"] for r in rows] == sorted(r["t"] for r in rows)
+    # the two excursions are the most shape-relevant points — LTTB keeps them
+    kept_t = {r["t"] for r in rows}
+    assert 7 in kept_t and 29 in kept_t
+
+    # plain-python reference of the same integer recurrence
+    def ref(t, y, nb):
+        n = len(t)
+        nb_i = nb - 2
+        buckets = [[] for _ in range(nb_i)]
+        for j in range(1, n - 1):
+            buckets[((j - 1) * nb_i) // (n - 2)].append(j)
+        sel, prev = [0], 0
+        for k in range(nb_i):
+            nxt = buckets[k + 1] if k < nb_i - 1 else [n - 1]
+            c, sx, sy = len(nxt), sum(t[j] for j in nxt), sum(y[j] for j in nxt)
+            best, best_area = None, -1
+            for j in buckets[k]:
+                area = abs((c * t[prev] - sx) * (y[j] - y[prev])
+                           - (t[prev] - t[j]) * (sy - c * y[prev]))
+                if area > best_area:
+                    best, best_area = j, area
+            sel.append(best)
+            prev = best
+        return sel + [n - 1]
+
+    want = ref(list(range(n)), ys, 10)
+    assert [r["t"] for r in rows] == want
