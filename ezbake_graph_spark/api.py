@@ -62,11 +62,26 @@ from ezbake_graph_spark.graph.pregel import (  # noqa: F401  (re-exports)
     bfs,
     connected_components,
     core_number,
+    hits,
     label_propagation,
     pagerank,
     personalized_pagerank,
     pregel_run,
     shortest_paths_weighted,
+)
+from ezbake_graph_spark.operators.joins import pit_join  # noqa: F401
+from ezbake_graph_spark.operators.llm_dedup import semdedup  # noqa: F401
+from ezbake_graph_spark.operators.llm_similarity import (  # noqa: F401
+    pca_fit,
+    pca_project,
+)
+from ezbake_graph_spark.operators.llm_text import (  # noqa: F401
+    nb_predict,
+    nb_train,
+)
+from ezbake_graph_spark.operators.quality import snapshot_diff  # noqa: F401
+from ezbake_graph_spark.operators.timeseries import (  # noqa: F401
+    lttb_downsample,
 )
 
 __all__ = [
@@ -100,6 +115,17 @@ __all__ = [
     "fingerprint_docs",
     "temperature_sample",
     "near_dup_clusters",
+    # round-8 kernels (each parameterized DataFrame-in/DataFrame-out
+    # at its definition site; re-exported here as the import surface):
+    "hits",
+    "pit_join",
+    "semdedup",
+    "pca_fit",
+    "pca_project",
+    "nb_train",
+    "nb_predict",
+    "snapshot_diff",
+    "lttb_downsample",
 ]
 
 # rows per grid block for the pair kernel — one block pair (2 x 4096
