@@ -765,3 +765,138 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_CUPED_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                   THEN CAST(round(value * 1000000) AS BIGINT) END), 0)
+              AS BIGINT) AS x,
+         CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                   THEN CAST(round(value * 1000000) AS BIGINT) END), 0)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM u
+), th AS (
+  SELECT n, sx,
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           AS theta
+  FROM m
+), armed AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         x, y
+  FROM u
+)
+SELECT a.arm,
+       count(*) AS n_users,
+       round((CAST(sum(a.y) AS DOUBLE) / count(*)) / 1000000, 6) AS avg_value,
+       round(((CAST(sum(a.y) AS DOUBLE) / count(*))
+              - t.theta * ((CAST(sum(a.x) AS DOUBLE) / count(*))
+                           - CAST(t.sx AS DOUBLE) / t.n)) / 1000000, 6)
+         AS avg_value_cuped,
+       round(t.theta, 6) AS theta
+FROM armed a, th t
+GROUP BY a.arm, t.theta, t.sx, t.n
+ORDER BY a.arm
+"""
+
+
+@register("events_cuped_adjusted", oracle=_CUPED_SQL, tags=("ext", "analytics"))
+def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (public: Deng, Xu, Kohavi, Walker 2013,
+    "Improving the Sensitivity of Online Controlled Experiments") over
+    the hash-assigned A/B arms (same md5-parity rule as
+    ``events_ab_assignment``): per-user pre-period value (before
+    2024-01-15) is the covariate x, post-period value the metric y;
+    θ = cov(x,y)/var(x) is fit POOLED (standard CUPED — fitting per
+    arm would bias the estimate), and each arm reports its raw and
+    adjusted means, the adjusted one being ȳ_arm − θ·(x̄_arm − x̄).
+
+    Exactness: the per-user x/y are micro-int sums out of ONE
+    conditional-sum scan (no two-pass pre/post split — the PSI
+    lesson); θ's numerator and denominator come from 128-bit exact
+    integer moments (the ``agg_corr_exact`` regime; x·x at micro scale
+    exceeds BIGINT), so θ is one IEEE division of two exact doubles,
+    and the arm means are exact-integer ratios — round6 closes it.
+
+    Scale: one user-keyed shuffle + a 2-row arm rollup + a broadcast
+    1-row θ; the covariate window choice (14 days) is the fixture's;
+    production uses the experiment's pre-launch window.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    micro = F.round(F.col("value") * 1_000_000).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cutoff, micro)), F.lit(0)
+        ).cast("long").alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cutoff, micro)), F.lit(0)
+        ).cast("long").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    th = m.select(
+        "n",
+        "sx",
+        (
+            (nD * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (nD * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        ).alias("theta"),
+    )
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    armed = u.select(arm.alias("arm"), "x", "y")
+    cnt = F.count(F.lit(1)).cast("double")
+    return (
+        armed.crossJoin(F.broadcast(th))
+        .groupBy("arm", "theta", "sx", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round((F.sum("y").cast("double") / cnt) / 1_000_000, 6).alias(
+                "avg_value"
+            ),
+            F.round(
+                (
+                    (F.sum("y").cast("double") / cnt)
+                    - F.col("theta")
+                    * (
+                        (F.sum("x").cast("double") / cnt)
+                        - F.col("sx").cast("double") / F.col("n").cast("double")
+                    )
+                )
+                / 1_000_000,
+                6,
+            ).alias("avg_value_cuped"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "avg_value",
+            "avg_value_cuped",
+            F.round("theta", 6).alias("theta"),
+        )
+        .orderBy("arm")
+    )

@@ -921,3 +921,115 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lttb_downsample(pts, _LTTB_NB).orderBy("series", "ord")
+
+
+_FORECAST_SQL = """
+WITH base AS (
+  SELECT event_type AS series,
+         CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), rel AS (
+  SELECT series, h, y,
+         h - min(h) OVER (PARTITION BY series) AS t,
+         min(h) OVER (PARTITION BY series) AS h0
+  FROM base
+), m AS (
+  SELECT series, min(h0) AS h0, count(*) AS n,
+         CAST(max(t) AS BIGINT) AS t_max,
+         CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(t * t) AS BIGINT) AS stt, CAST(sum(t * y) AS BIGINT) AS sty
+  FROM rel GROUP BY series
+), fit AS (
+  SELECT series, h0, n, t_max, sy, st,
+         (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+           AS slope
+  FROM m
+)
+SELECT f.series,
+       CAST(f.h0 + f.t_max + k.k AS BIGINT) AS h_pred,
+       round(((CAST(f.sy AS DOUBLE) - f.slope * CAST(f.st AS DOUBLE)) / f.n
+              + f.slope * (f.t_max + k.k)) / 1000000, 6) AS yhat,
+       round(f.slope / 1000000, 6) AS slope_per_hour
+FROM fit f CROSS JOIN (SELECT unnest(range(1, 7)) AS k) k
+ORDER BY series, h_pred
+"""
+
+
+@register("ts_forecast_linear", oracle=_FORECAST_SQL, tags=("ext", "timeseries"))
+def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear-trend forecast: OLS slope/intercept fit to
+    each event_type's hourly micro-sums, extrapolated 6 hours past the
+    series end — the capacity-planning/alerting baseline a hypertable
+    continuous aggregate feeds.
+
+    Exactness: timestamps center to per-series RELATIVE hour t = h −
+    min(h) BEFORE the moment sums (raw epoch-hour products overflow
+    BIGINT at n·Σty; centered ones peak ~5e14), so all five OLS
+    moments are exact integers; slope and intercept are then a fixed
+    tree of IEEE ops on exact doubles, round6-closed. Plan: one keyed
+    agg to hourly points, a per-series min window (same partitioning),
+    one moments agg, and a constant 6-row horizon spine — two shuffles
+    on the series key, linear in events.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    base = ev.groupBy(
+        F.col("event_type").alias("series"),
+        (
+            F.unix_timestamp(F.date_trunc("hour", "ts")).cast("long") / 3600
+        ).cast("long").alias("h"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.partitionBy("series")
+    rel = base.select(
+        "series",
+        "h",
+        "y",
+        (F.col("h") - F.min("h").over(w)).alias("t"),
+        F.min("h").over(w).alias("h0"),
+    )
+    m = rel.groupBy("series").agg(
+        F.min("h0").alias("h0"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("t").cast("long").alias("t_max"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    nD = F.col("n").cast("double")
+    fit = m.select(
+        "series",
+        "h0",
+        "n",
+        "t_max",
+        "sy",
+        "st",
+        (
+            (nD * F.col("sty").cast("double") - F.col("st").cast("double") * F.col("sy").cast("double"))
+            / (nD * F.col("stt").cast("double") - F.col("st").cast("double") * F.col("st").cast("double"))
+        ).alias("slope"),
+    )
+    horizon = F.explode(F.sequence(F.lit(1), F.lit(6))).alias("k")
+    return (
+        fit.select("*", horizon)
+        .select(
+            "series",
+            (F.col("h0") + F.col("t_max") + F.col("k")).cast("long").alias("h_pred"),
+            F.round(
+                (
+                    (F.col("sy").cast("double") - F.col("slope") * F.col("st").cast("double"))
+                    / F.col("n").cast("double")
+                    + F.col("slope") * (F.col("t_max") + F.col("k")).cast("double")
+                )
+                / 1_000_000,
+                6,
+            ).alias("yhat"),
+            F.round(F.col("slope") / 1_000_000, 6).alias("slope_per_hour"),
+        )
+        .orderBy("series", "h_pred")
+    )

