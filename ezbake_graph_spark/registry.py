@@ -156,6 +156,22 @@ _RECENTLY_CHANGED = (
     "sim_pq_persisted",          # dual _SUCCESS gate + encode fix
     "text_bpe_train",            # batched-loop refactor (k=1 path)
     "text_bpe_encode",           # batched-loop refactor (k=1 path)
+    # SQL-text form migration of the build-heavy bench queries
+    # (0a1f437): plans unchanged at the shuffle level, but the
+    # construction path is new code — re-verify per the r7 #7 rule.
+    "agg_pricing_q1",
+    "agg_count_distinct",
+    "agg_rollup",
+    "graph_degree",              # also dropped its presentational sort
+    "join_star_q5",
+    "scalar_json",
+    "sim_cosine_topk",
+    "stream_session",
+    "stream_tumbling",
+    "text_term_counts",
+    "topk_revenue_q3",
+    "win_rank_topn",
+    "win_running_sum",
 )
 
 
@@ -167,12 +183,23 @@ def _promoted_pregel() -> list[str]:
     sssp even after they gained full oracles; any future key that
     gains an oracle is promoted the same way automatically). Spliced
     into the driver-window tail by ``_ordered_specs``; once green they
-    leave this set on the next emission."""
+    leave this set on the next emission.
+
+    Rows-only Pregel keys with NO driver record of any kind ride the
+    same splice (one 'rows' record each; once recorded they rotate as
+    class 2 like every other checked rows-only key) — without it the
+    class-4 rule parks a new oracle-less fixpoint (e.g. graph_hits,
+    round 8) strictly last forever."""
     green = _driver_green()
+    checked = _checked_rounds()
     return sorted(
         name
         for name, spec in REGISTRY.items()
-        if "pregel" in spec.tags and spec.oracle is not None and name not in green
+        if "pregel" in spec.tags
+        and (
+            (spec.oracle is not None and name not in green)
+            or (spec.oracle is None and name not in checked)
+        )
     )
 
 
