@@ -976,7 +976,7 @@ ORDER BY p.event_id
 """
 
 
-@register("join_pit_features", oracle=_PIT_SQL, tags=("ext", "ml"))
+@register("join_pit_features", oracle=_PIT_SQL, tags=("ext", "ml", "bench2"))
 def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-store training-set assembly (``pit_join`` kernel): each
     purchase observation picks up, leakage-free, (a) the latest click

@@ -1115,7 +1115,7 @@ def semdedup(
     )
 
 
-@register("dedup_semdedup", oracle=None, tags=("ext", "ml", "rows-only"))
+@register("dedup_semdedup", oracle=None, tags=("ext", "ml", "rows-only", "bench2"))
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup composite (``semdedup`` kernel): cluster the
     embedding corpus into the 10 label-centroid cells (the same
