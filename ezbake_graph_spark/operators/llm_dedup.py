@@ -1137,7 +1137,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _vectors(spark, sf_dir).cache()
     cent = cell_centroids(vecs, "label")
-    assigned = assign_nearest_cell(vecs, cent)
+    # cache: the kernel reads the assignment from three plans (both
+    # self-join sides + the vertex set); without this the argmin
+    # window behind assign_nearest_cell recomputes each time
+    assigned = assign_nearest_cell(vecs, cent).cache()
     return semdedup(assigned, cent, EMBED_DUP_THRESHOLD).orderBy("vec_id")
 
 
