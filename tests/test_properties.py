@@ -695,3 +695,51 @@ def test_within_radius_wrap_lon_requires_integral_ring(spark):
     )
     with _pytest.raises(ValueError, match="360/cell_deg"):
         api.within_radius(pts, radius_km=5.0, cell_deg=0.7, wrap_lon=True)
+
+
+_pit_feats = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.integers(min_value=0, max_value=20),  # ts
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),  # pre-deduplicated per (key, ts)
+)
+_pit_obs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=1,
+    max_size=10,
+    unique=True,
+)
+
+
+@given(f1=_pit_feats, f2=_pit_feats, obs=_pit_obs)
+@settings(**_SETTINGS)
+def test_pit_join_matches_bruteforce(spark, f1, f2, obs):
+    """For arbitrary pre-deduplicated feature tables and observation
+    rows, pit_join's picks equal the brute-force 'latest at-or-before
+    per key' lookup for every feature, including misses (NULL)."""
+    from ezbake_graph_spark.operators.joins import pit_join
+
+    fa = spark.createDataFrame(f1 or [(99, 0, 0)], "k long, ts long, a long")
+    fb = spark.createDataFrame(f2 or [(99, 0, 0)], "k long, ts long, b long")
+    if not f1:
+        fa = fa.filter("k < 0")
+    if not f2:
+        fb = fb.filter("k < 0")
+    ob = spark.createDataFrame(obs, "k long, ts long")
+    out = pit_join(ob, [("a", fa, "a"), ("b", fb, "b")], "k", "ts")
+    got = {(r["k"], r["ts"]): (r["f_a"], r["f_a_ts"], r["f_b"]) for r in out.collect()}
+    assert set(got) == set(obs)
+    for k, ts in obs:
+        cand_a = [(t, v) for kk, t, v in f1 if kk == k and t <= ts]
+        cand_b = [(t, v) for kk, t, v in f2 if kk == k and t <= ts]
+        want_a = max(cand_a)[1] if cand_a else None
+        want_a_ts = max(cand_a)[0] if cand_a else None
+        want_b = max(cand_b)[1] if cand_b else None
+        assert got[(k, ts)] == (want_a, want_a_ts, want_b), (k, ts)
