@@ -980,7 +980,9 @@ def nb_predict(
     )
 
 
-_NB_DOMAIN_SQL = """
+# Shared CTE block: the full NB train/score pipeline up to the per-doc
+# argmax (used by the classifier key and its evaluation twin).
+_NB_CTES = """
 WITH tok_tr AS (
   SELECT source AS label, unnest(string_split(text, ' ')) AS term
   FROM documents WHERE doc_id % 5 = 0
@@ -1033,11 +1035,17 @@ pred AS (
                             ORDER BY micro_score DESC, label) AS rn
   FROM scores
 )
+"""
+
+_NB_DOMAIN_SQL = (
+    _NB_CTES
+    + """
 SELECT p.doc_id, d.source AS actual, p.predicted,
        (p.predicted = d.source) AS hit, p.micro_score
 FROM pred p JOIN documents d ON p.doc_id = d.doc_id
 WHERE p.rn = 1 ORDER BY p.doc_id
 """
+)
 
 
 @register("text_nb_domain", oracle=_NB_DOMAIN_SQL, tags=("ext", "text", "ml"))
@@ -1076,3 +1084,119 @@ def text_nb_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_NB_EVAL_SQL = (
+    _NB_CTES
+    + """
+, final AS (
+  SELECT p.doc_id, d.source AS actual, p.predicted
+  FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+  WHERE p.rn = 1
+), labels AS (
+  SELECT DISTINCT source AS label FROM documents
+), conf AS (
+  SELECT actual, predicted, count(*) AS n FROM final GROUP BY actual, predicted
+), per_label AS (
+  SELECT l.label,
+         CAST(coalesce(sum(CASE WHEN c.actual = l.label
+                                 AND c.predicted = l.label THEN c.n END), 0)
+              AS BIGINT) AS tp,
+         CAST(coalesce(sum(CASE WHEN c.predicted = l.label
+                                 AND c.actual <> l.label THEN c.n END), 0)
+              AS BIGINT) AS fp,
+         CAST(coalesce(sum(CASE WHEN c.actual = l.label
+                                 AND c.predicted <> l.label THEN c.n END), 0)
+              AS BIGINT) AS fn
+  FROM labels l CROSS JOIN conf c
+  GROUP BY l.label
+)
+SELECT label, tp, fp, fn,
+       round(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS prec,
+       round(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS rec,
+       round(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0), 6) AS f1
+FROM per_label ORDER BY label
+"""
+)
+
+
+@register("ml_eval_classification", oracle=_NB_EVAL_SQL, tags=("ext", "ml"))
+def ml_eval_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: per-class confusion counts and
+    precision/recall/F1 for the NB domain classifier
+    (``text_nb_domain``'s exact predictions re-aggregated) — the eval
+    harness every model-gated curation step needs before its
+    keep-threshold is trusted.
+
+    Exactness: tp/fp/fn are integer conditional sums over the
+    (actual, predicted) confusion table; the ratios are single IEEE
+    divisions with NULLIF guards (a class never predicted has NULL
+    precision, not a division error), round6-closed. F1 uses the
+    2tp/(2tp+fp+fn) form so it is defined whenever either component
+    is. Plan: the classifier's keyed aggregates + a ≤classes²
+    confusion table cross-joined against the 20-row label spine —
+    everything after scoring is dimension-sized.
+    """
+    pred = text_nb_domain(spark, sf_dir)
+    conf = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    d = tables.load(spark, sf_dir, "documents")
+    labels = d.select(F.col("source").alias("label")).distinct()
+    tp = F.coalesce(
+        F.sum(
+            F.when(
+                (F.col("actual") == F.col("label"))
+                & (F.col("predicted") == F.col("label")),
+                F.col("n"),
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    fp = F.coalesce(
+        F.sum(
+            F.when(
+                (F.col("predicted") == F.col("label"))
+                & (F.col("actual") != F.col("label")),
+                F.col("n"),
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    fn = F.coalesce(
+        F.sum(
+            F.when(
+                (F.col("actual") == F.col("label"))
+                & (F.col("predicted") != F.col("label")),
+                F.col("n"),
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    per = labels.crossJoin(F.broadcast(conf)).groupBy("label").agg(
+        tp.alias("tp"), fp.alias("fp"), fn.alias("fn")
+    )
+    return per.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("prec"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rec"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / F.nullif(
+                (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("label")
