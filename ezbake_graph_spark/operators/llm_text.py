@@ -1200,3 +1200,95 @@ def ml_eval_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("label")
+
+
+@register("text_lda_topics", oracle=None, tags=("ext", "ml", "rows-only"))
+def text_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDA topic model over the corpus (k=5 topics, seeded EM, 10
+    iterations) through Spark MLlib — the distributed variational/EM
+    loop (per-document topic mixtures fit map-side against broadcast
+    topic-term state, one aggregate per iteration; same BSP posture as
+    the Pregel loops). Corpus-analysis tool: what themes dominate a
+    crawl slice before mixing decisions.
+
+    Rows-only (float EM; topic identity is permutation-arbitrary):
+    output is each topic's top-5 stemmed terms by weight — shape,
+    coverage, and same-seed determinism pinned in tests/test_llm.py.
+    """
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    cv = CountVectorizer(
+        inputCol="toks", outputCol="features", vocabSize=200, minDF=2
+    ).fit(d)
+    vecs = cv.transform(d)
+    lda = LDA(k=5, seed=42, maxIter=10, optimizer="em").fit(vecs)
+    vocab = cv.vocabulary
+    topics = lda.describeTopics(5)
+    rows = topics.select(
+        "topic",
+        F.posexplode(
+            F.arrays_zip("termIndices", "termWeights")
+        ).alias("rank", "tw"),
+    ).select(
+        "topic",
+        (F.col("rank") + 1).alias("rank"),
+        F.col("tw.termIndices").alias("term_idx"),
+        F.round(F.col("tw.termWeights"), 6).alias("weight"),
+    )
+    vocab_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocab)], "term_idx int, term string"
+    )
+    return (
+        rows.join(F.broadcast(vocab_df), "term_idx")
+        .select("topic", "rank", "term", "weight")
+        .orderBy("topic", "rank")
+    )
+
+
+@register("text_word2vec", oracle=None, tags=("ext", "ml", "rows-only"))
+def text_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec skip-gram embeddings (MLlib, 16-dim, seeded) over the
+    corpus token sequences, read out as each frequent probe term's
+    top-3 nearest vocabulary neighbors — the from-scratch embedding
+    path when no pretrained encoder exists for a corpus/language.
+
+    Distributed shape: MLlib's Word2Vec trains with per-partition
+    gradient updates merged per iteration (broadcast global vectors,
+    aggregate deltas) — linear scans, no pair materialization.
+    Rows-only (float SGD): vocabulary coverage, neighbor-count shape,
+    and same-seed determinism pinned in tests/test_llm.py.
+    """
+    from pyspark.ml.feature import Word2Vec
+
+    d = tables.load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    model = Word2Vec(
+        vectorSize=16,
+        seed=42,
+        minCount=5,
+        maxIter=2,
+        inputCol="toks",
+        outputCol="vec",
+    ).fit(d)
+    probes = ["data", "table", "query"]
+    out = None
+    for p in probes:
+        syn = model.findSynonyms(p, 3).select(
+            F.lit(p).alias("probe"),
+            F.col("word").alias("neighbor"),
+            F.round("similarity", 6).alias("similarity"),
+        )
+        out = syn if out is None else out.unionByName(syn)
+    w = Window.partitionBy("probe").orderBy(
+        F.col("similarity").desc(), F.col("neighbor")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .select("probe", "rank", "neighbor", "similarity")
+        .orderBy("probe", "rank")
+    )

@@ -841,3 +841,36 @@ def test_contrastive_pairs_batches_are_cluster_coherent(spark):
         assert r["batch_id"] == r["cluster_id"] % 8
         prev = seen.setdefault(r["cluster_id"], r["batch_id"])
         assert prev == r["batch_id"]
+
+
+def test_lda_and_word2vec_shape_and_determinism(spark):
+    """The MLlib-backed keys return well-formed, same-seed-stable
+    output: LDA = 5 topics x 5 ranked terms with descending weights
+    from the corpus vocabulary; Word2Vec = 3 probes x 3 ranked
+    neighbors, cosines in [-1, 1], probes excluded from their own
+    neighbor lists."""
+    from ezbake_graph_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    qs = registry.queries()
+    lda = qs["text_lda_topics"](spark, SF_SMOKE).collect()
+    assert len(lda) == 25
+    by_topic = {}
+    for r in lda:
+        by_topic.setdefault(r["topic"], []).append(r)
+    assert set(by_topic) == set(range(5))
+    for rows in by_topic.values():
+        rows = sorted(rows, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        ws = [r["weight"] for r in rows]
+        assert ws == sorted(ws, reverse=True) and all(w > 0 for w in ws)
+    lda2 = qs["text_lda_topics"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, lda)) == sorted(map(tuple, lda2))
+
+    w2v = qs["text_word2vec"](spark, SF_SMOKE).collect()
+    assert len(w2v) == 9
+    for r in w2v:
+        assert r["neighbor"] != r["probe"]
+        assert -1.0 <= r["similarity"] <= 1.0
+    w2v2 = qs["text_word2vec"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, w2v)) == sorted(map(tuple, w2v2))
