@@ -1212,8 +1212,10 @@ def text_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl slice before mixing decisions.
 
     Rows-only (float EM; topic identity is permutation-arbitrary):
-    output is each topic's top-5 stemmed terms by weight — shape,
-    coverage, and same-seed determinism pinned in tests/test_llm.py.
+    output is each topic's top-5 terms by weight — shape, coverage,
+    and structural rerun stability pinned in tests/test_llm.py (exact
+    float equality is NOT promised: parallel EM sums floats in
+    partition order).
     """
     from pyspark.ml.clustering import LDA
     from pyspark.ml.feature import CountVectorizer
@@ -1260,7 +1262,7 @@ def text_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     gradient updates merged per iteration (broadcast global vectors,
     aggregate deltas) — linear scans, no pair materialization.
     Rows-only (float SGD): vocabulary coverage, neighbor-count shape,
-    and same-seed determinism pinned in tests/test_llm.py.
+    and structural rerun stability pinned in tests/test_llm.py.
     """
     from pyspark.ml.feature import Word2Vec
 
