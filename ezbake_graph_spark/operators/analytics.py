@@ -900,3 +900,163 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+def km_survival(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier survival curve from right-censored durations —
+    the time-to-event readout behind churn, retention-beyond-day-N,
+    and time-to-conversion analyses. Input: one row per subject with
+    an integer ``duration_col`` and a 0/1 ``event_col`` (0 = censored
+    at that duration).
+
+    Standard at-risk convention: subjects censored AT t remain in the
+    risk set for the event at t and leave after, so
+    ``n_t = N - Σ_{d<t}(events_d + censored_d)`` via an EXCLUSIVE
+    running sum. Risk sets and event counts are exact integers; the
+    survival product ``Π(1 - e_d/n_d)`` is the one float, realized as
+    ``exp(running_sum(ln(...)))`` so both engines accumulate in the
+    same duration order, and reported rounded.
+
+    Plan shape: one keyed agg to per-duration (events, censored)
+    counts, then windows over that AGGREGATED table only — bounded by
+    the duration domain (calendar days here: a few thousand rows), the
+    same bounded-window contract as the binned KS/PSI kernels. Output:
+    one row per duration with ≥1 event.
+    """
+    from pyspark.sql import Window
+
+    cnt = (
+        durations.select(
+            F.col(duration_col).alias("t"),
+            F.col(event_col).alias("ev"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("ev").alias("d"),
+            F.sum(F.lit(1) - F.col("ev")).alias("c"),
+        )
+    )
+    prev = Window.partitionBy().orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = Window.partitionBy()
+    risk = cnt.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(tot)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    run = Window.partitionBy().orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("d").cast("double") / F.col("n_risk")
+                    )
+                ).over(run)
+            ),
+            6,
+        ).alias("survival"),
+    )
+    return curve.filter(F.col("d") > 0).select(
+        F.col("t").alias("duration"),
+        F.col("n_risk"),
+        F.col("d").alias("n_event"),
+        F.col("c").alias("n_censored"),
+        "survival",
+    ).orderBy("duration")
+
+
+_KM_SQL = """
+WITH f AS (
+  SELECT o_custkey, min(o_orderdate) AS t0
+  FROM orders GROUP BY o_custkey
+),
+big AS (
+  SELECT o_custkey, min(o_orderdate) AS tb
+  FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey
+),
+horizon AS (SELECT max(o_orderdate) AS tmax FROM orders),
+obs AS (
+  SELECT CAST(CASE WHEN tb IS NOT NULL THEN datediff('day', t0, tb)
+              ELSE datediff('day', t0, tmax) END AS BIGINT) AS t,
+         CASE WHEN tb IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM f LEFT JOIN big USING (o_custkey) CROSS JOIN horizon
+),
+cnt AS (
+  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(sum(1 - ev) AS BIGINT) AS c
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         CAST(sum(d + c) OVER () AS BIGINT)
+           - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM cnt
+),
+curve AS (
+  SELECT t, d, c, n_risk,
+         round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           AS survival
+  FROM risk
+)
+SELECT t AS duration, n_risk, d AS n_event, c AS n_censored, survival
+FROM curve WHERE d > 0 ORDER BY duration
+"""
+
+
+@register("events_survival_km", oracle=_KM_SQL, tags=("ext", "analytics"))
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-big-purchase: per customer, days
+    from their first order to their first order above 450k total
+    price; customers who never cross the threshold are right-censored
+    at the corpus horizon (global max order date). At sf0.01 that is
+    ~2/3 events, ~1/3 censored — a genuine censoring mix, not a
+    degenerate all-events curve.
+
+    The horizon is a 1-row aggregate crossJoin-broadcast (never an
+    unpartitioned window over per-customer rows — that funnel would
+    scale with customer count); the per-customer duration build is one
+    keyed agg + one keyed left join, and the curve windows run over
+    the bounded per-duration table (``km_survival``)."""
+    o = tables.load(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("t0"))
+    big = (
+        o.filter(F.col("o_totalprice") > 450000)
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("tb"))
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("tmax"))
+    obs = (
+        f.join(big, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("tb").isNotNull(), F.datediff(F.col("tb"), F.col("t0"))
+            )
+            .otherwise(F.datediff(F.col("tmax"), F.col("t0")))
+            .cast("long")
+            .alias("duration"),
+            F.when(F.col("tb").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    return km_survival(obs, "duration", "event")

@@ -1294,3 +1294,122 @@ def text_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe", "rank", "neighbor", "similarity")
         .orderBy("probe", "rank")
     )
+
+
+RAKE_STOPWORDS = ("a", "the")
+RAKE_TOPK = 20
+
+
+def rake_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    topk: int = RAKE_TOPK,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    ``degree/frequency`` where ``freq`` counts occurrences and
+    ``degree`` sums the length of every phrase the occurrence sits in
+    (so words that co-occur inside long content phrases outrank
+    equally-frequent words that appear alone). Both inputs to the
+    score are exact integers; the division is the only float,
+    reported rounded, with the (score DESC, word ASC) ordering making
+    the top-k cutoff deterministic.
+
+    Plan shape: positions via ``posexplode`` (never a lookahead-regex
+    phrase split — RE2 oracles can't express lookahead), then every
+    window is partitioned by document (phrase ids = running stopword
+    count) or by (document, phrase) (phrase length) — shuffles scale
+    with the corpus, no global funnel. The final word aggregation is
+    one keyed shuffle over (word) with map-side partials; the top-k is
+    an orderBy+limit → TakeOrderedAndProject, never a full sort.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p", "w"),
+    ).select(
+        "doc_id",
+        "p",
+        "w",
+        F.when(F.col("w").isin(*stopwords), 1).otherwise(0).alias("is_stop"),
+    )
+    run = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pid = tok.select(
+        "doc_id",
+        "w",
+        "is_stop",
+        F.sum("is_stop").over(run).alias("phrase_id"),
+    ).filter(F.col("is_stop") == 0)
+    plen = pid.select(
+        "doc_id",
+        "w",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id", "phrase_id"))
+        .alias("phrase_len"),
+    )
+    stats = plen.groupBy(F.col("w").alias("word")).agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("phrase_len").alias("degree"),
+    )
+    return (
+        stats.select(
+            "word",
+            "freq",
+            "degree",
+            F.round(F.col("degree").cast("double") / F.col("freq"), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), "word")
+        .limit(topk)
+    )
+
+
+_RAKE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM t
+),
+tok AS (
+  SELECT doc_id, p, toks[p] AS w,
+         CASE WHEN toks[p] IN {RAKE_STOPWORDS} THEN 1 ELSE 0 END AS is_stop
+  FROM pos
+),
+pid AS (
+  SELECT doc_id, w, is_stop,
+         CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS phrase_id
+  FROM tok
+),
+words AS (SELECT doc_id, phrase_id, w FROM pid WHERE is_stop = 0),
+plen AS (
+  SELECT doc_id, w,
+         count(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+  FROM words
+),
+stats AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(phrase_len) AS BIGINT) AS degree
+  FROM plen GROUP BY w
+)
+SELECT word, freq, degree,
+       round(CAST(degree AS DOUBLE) / freq, 6) AS score
+FROM stats ORDER BY score DESC, word LIMIT {RAKE_TOPK}
+"""
+
+
+@register("text_rake_keywords", oracle=_RAKE_SQL, tags=("ext", "llm"))
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keywords over the documents corpus: stopword-delimited
+    phrases ('a'/'the' are the fixture's function words), integer
+    degree/frequency per word, top-20 by the rounded score. The
+    corpus-scale keyword readout a curation pipeline uses to eyeball
+    what a source is actually about before admitting it."""
+    d = tables.load(spark, sf_dir, "documents")
+    return rake_keywords(d)

@@ -604,3 +604,274 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "status")
     )
+
+
+def ks_flagged(
+    df: DataFrame,
+    value_col: str,
+    is_ref_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test over quantized bins —
+    the sibling of ``psi_drift_flagged`` for the same per-batch
+    monitoring loop (PSI reacts to density shifts, KS to the largest
+    CDF gap; production drift monitors run both on each ingest batch).
+
+    The statistic is EXACT over the binned support: per bin the two
+    cumulative counts are integers, and the CDF gap is compared via
+    the cross-multiplied integer ``|cum_ref*n_cur - cum_cur*n_ref|``
+    — no float ECDF division until the final reported ratio, so the
+    argmax bin and the hash-checked columns are integer-deterministic
+    across engines and partitionings.
+
+    One input DataFrame carrying a 0/1 ``is_ref_col`` flag (same
+    single-scan rationale as ``psi_drift_flagged``): one scan, one
+    keyed partial-agg shuffle to per-bin counts. Both windows then run
+    over the AGGREGATED bins table only — bounded (value range /
+    bin_width rows; a few hundred for any sane width), so the
+    single-partition funnel they imply is constant-size work, never a
+    data-volume bottleneck. Output: one row per occupied bin with the
+    running integer ECDF numerators, the integer gap, and constant
+    columns (n_ref, n_cur, ks_num, ks_stat) so the statistic itself
+    is part of the hashed result.
+    """
+    from pyspark.sql import Window
+
+    cnt = (
+        df.select(
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin"),
+            F.col(is_ref_col).alias("is_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_ref").alias("cr"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("cc"),
+        )
+    )
+    cum = Window.partitionBy().orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = cnt.select(
+        "bin",
+        F.sum("cr").over(cum).alias("cum_ref"),
+        F.sum("cc").over(cum).alias("cum_cur"),
+    )
+    tot = Window.partitionBy()
+    g = run.select(
+        "bin",
+        "cum_ref",
+        "cum_cur",
+        F.max("cum_ref").over(tot).alias("n_ref"),
+        F.max("cum_cur").over(tot).alias("n_cur"),
+    ).select(
+        "bin",
+        "cum_ref",
+        "cum_cur",
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("cum_ref") * F.col("n_cur") - F.col("cum_cur") * F.col("n_ref")
+        ).alias("gap_num"),
+    )
+    return g.select(
+        "bin",
+        "cum_ref",
+        "cum_cur",
+        "gap_num",
+        "n_ref",
+        "n_cur",
+        F.max("gap_num").over(tot).alias("ks_num"),
+        F.round(
+            F.max("gap_num").over(tot).cast("double")
+            / (F.col("n_ref") * F.col("n_cur")),
+            6,
+        ).alias("ks_stat"),
+    ).orderBy("bin")
+
+
+_DQ_KS_SQL = """
+WITH binned AS (
+  SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bin,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS is_ref
+  FROM orders
+),
+cnt AS (
+  SELECT bin,
+         CAST(sum(is_ref) AS BIGINT) AS cr,
+         CAST(sum(1 - is_ref) AS BIGINT) AS cc
+  FROM binned GROUP BY bin
+),
+run AS (
+  SELECT bin,
+         CAST(sum(cr) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_ref,
+         CAST(sum(cc) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cur
+  FROM cnt
+),
+g AS (
+  SELECT bin, cum_ref, cum_cur,
+         CAST(max(cum_ref) OVER () AS BIGINT) AS n_ref,
+         CAST(max(cum_cur) OVER () AS BIGINT) AS n_cur
+  FROM run
+),
+gg AS (
+  SELECT bin, cum_ref, cum_cur,
+         abs(cum_ref * n_cur - cum_cur * n_ref) AS gap_num,
+         n_ref, n_cur
+  FROM g
+)
+SELECT bin, cum_ref, cum_cur, gap_num, n_ref, n_cur,
+       CAST(max(gap_num) OVER () AS BIGINT) AS ks_num,
+       round(CAST(max(gap_num) OVER () AS DOUBLE) / (n_ref * n_cur), 6)
+         AS ks_stat
+FROM gg ORDER BY bin
+"""
+
+
+@register("dq_ks_test", oracle=_DQ_KS_SQL, tags=("ext", "dq"))
+def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift test on o_totalprice, before vs after
+    1998-01-01 (the same one-scan flag split as ``dq_drift_psi``,
+    1k-wide bins): the largest integer-exact ECDF gap between the two
+    eras, reported per bin plus the global statistic. Running KS next
+    to PSI on the same split is the standard drift-monitor pairing —
+    PSI fires on reweighted densities, KS on a single large
+    displacement."""
+    o = tables.load(spark, sf_dir, "orders")
+    flagged = o.select(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+        ).otherwise(0).alias("is_ref"),
+    )
+    return ks_flagged(flagged, "o_totalprice", "is_ref", 1000.0)
+
+
+def rank_sum_u(
+    df: DataFrame,
+    value_col: str,
+    is_ref_col: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) with tie-averaged ranks,
+    computed entirely in integers: the effect-size companion to the
+    KS/PSI drift pair (KS asks "did the distribution move", U/AUC asks
+    "by how much does one sample stochastically dominate").
+
+    Tie handling without floats: with per-value counts ``ct`` and the
+    exclusive running count ``cb``, the tie-averaged rank is
+    ``cb + (ct+1)/2`` — a possible half-integer — so everything is
+    carried as DOUBLED ranks: ``rank2x = 2*cb + ct + 1`` (always an
+    integer). Then ``R1*2 = Σ c1*rank2x`` and
+    ``U1*2 = R1*2 - n1*(n1+1)`` are exact BIGINTs and the only float
+    is the final AUC ``U1 / (n1*n2)``, reported rounded. The AUC form
+    (probability a ref draw exceeds a cur draw, ties half-counted) is
+    the common-language effect size ML evals report.
+
+    Plan shape: one scan, one keyed agg to per-value counts, then
+    windows over the AGGREGATED value table (bounded by the value
+    domain — use on discrete/quantized columns, same contract as the
+    binned KS). Output one row per distinct value with its integer
+    doubled-rank, plus constant statistic columns.
+    """
+    from pyspark.sql import Window
+
+    cnt = (
+        df.select(
+            F.col(value_col).alias("val"),
+            F.col(is_ref_col).alias("is_ref"),
+        )
+        .groupBy("val")
+        .agg(
+            F.sum("is_ref").alias("c1"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("c2"),
+        )
+    )
+    prev = Window.partitionBy().orderBy("val").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = cnt.select(
+        "val",
+        "c1",
+        "c2",
+        (
+            2 * F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(prev), F.lit(0))
+            + F.col("c1")
+            + F.col("c2")
+            + 1
+        ).alias("rank2x"),
+    )
+    tot = Window.partitionBy()
+    g = ranked.select(
+        "val",
+        "c1",
+        "c2",
+        "rank2x",
+        F.sum("c1").over(tot).alias("n1"),
+        F.sum("c2").over(tot).alias("n2"),
+        F.sum(F.col("c1") * F.col("rank2x")).over(tot).alias("r1_2x"),
+    )
+    return g.select(
+        "val",
+        "c1",
+        "c2",
+        "rank2x",
+        "n1",
+        "n2",
+        (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)).alias("u1_2x"),
+        F.round(
+            (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (2 * F.col("n1") * F.col("n2")),
+            6,
+        ).alias("auc"),
+    ).orderBy("val")
+
+
+_DQ_MWU_SQL = """
+WITH cnt AS (
+  SELECT CAST(l_quantity AS BIGINT) AS val,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT)
+           AS c2
+  FROM lineitem
+  WHERE l_returnflag IN ('R', 'N')
+  GROUP BY 1
+),
+ranked AS (
+  SELECT val, c1, c2,
+         2 * CAST(coalesce(sum(c1 + c2) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           + c1 + c2 + 1 AS rank2x
+  FROM cnt
+),
+g AS (
+  SELECT val, c1, c2, rank2x,
+         CAST(sum(c1) OVER () AS BIGINT) AS n1,
+         CAST(sum(c2) OVER () AS BIGINT) AS n2,
+         CAST(sum(c1 * rank2x) OVER () AS BIGINT) AS r1_2x
+  FROM ranked
+)
+SELECT val, c1, c2, rank2x, n1, n2,
+       r1_2x - n1 * (n1 + 1) AS u1_2x,
+       round(CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * n2), 6) AS auc
+FROM g ORDER BY val
+"""
+
+
+@register("dq_mann_whitney", oracle=_DQ_MWU_SQL, tags=("ext", "dq"))
+def dq_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / AUC effect size: does l_quantity for returned
+    lineitems (flag R) stochastically dominate non-returned (flag N)?
+    l_quantity is a 50-value discrete domain, so the rank table the
+    windows run over is bounded at 50 rows — the contract
+    ``rank_sum_u`` documents (quantize continuous columns first, as
+    the binned KS does)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    flagged = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        F.col("l_quantity").cast("long").alias("val"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_ref"),
+    )
+    return rank_sum_u(flagged, "val", "is_ref")

@@ -1,0 +1,156 @@
+"""Property + brute-force-twin tests for the round-8 statistics keys
+(dq_ks_test, dq_mann_whitney, events_survival_km, text_rake_keywords).
+
+Each key's cross-engine value hash is covered by test_oracle_all; these
+tests pin the MATH against independent python recomputations from the
+raw parquet, so an error shared by both SQL dialects (same wrong
+formula on both sides) cannot hide behind a green hash.
+"""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import duckdb
+import pandas as pd
+
+from ezbake_graph_spark import registry
+from tests.conftest import SF_SMOKE
+
+
+def _rows(spark, key):
+    return registry.queries()[key](spark, SF_SMOKE).toPandas()
+
+
+def test_ks_invariants_and_bruteforce(spark):
+    out = _rows(spark, "dq_ks_test")
+    # running ECDF numerators are monotone and end at the totals
+    assert out["cum_ref"].is_monotonic_increasing
+    assert out["cum_cur"].is_monotonic_increasing
+    assert out["cum_ref"].iloc[-1] == out["n_ref"].iloc[0]
+    assert out["cum_cur"].iloc[-1] == out["n_cur"].iloc[0]
+    # the reported statistic is the max gap, bounded in [0, 1]
+    assert (out["ks_num"] == out["gap_num"].max()).all()
+    assert 0.0 <= out["ks_stat"].iloc[0] <= 1.0
+    # brute force from raw parquet
+    raw = duckdb.sql(
+        f"SELECT o_totalprice, o_orderdate FROM "
+        f"'{SF_SMOKE}/orders.parquet'"
+    ).df()
+    raw["bin"] = (raw["o_totalprice"] // 1000).astype(int)
+    ref = raw[raw["o_orderdate"] < pd.Timestamp("1998-01-01")]
+    cur = raw[raw["o_orderdate"] >= pd.Timestamp("1998-01-01")]
+    n1, n2 = len(ref), len(cur)
+    bins = sorted(set(raw["bin"]))
+    c1 = collections.Counter(ref["bin"])
+    c2 = collections.Counter(cur["bin"])
+    a = b = best = 0
+    for bn in bins:
+        a += c1[bn]
+        b += c2[bn]
+        best = max(best, abs(a * n2 - b * n1))
+    assert out["ks_num"].iloc[0] == best
+    assert out["n_ref"].iloc[0] == n1 and out["n_cur"].iloc[0] == n2
+
+
+def test_mann_whitney_identities_and_bruteforce(spark):
+    out = _rows(spark, "dq_mann_whitney")
+    n1 = out["n1"].iloc[0]
+    n2 = out["n2"].iloc[0]
+    assert out["c1"].sum() == n1 and out["c2"].sum() == n2
+    assert 0.0 <= out["auc"].iloc[0] <= 1.0
+    # doubled tie-averaged ranks are strictly increasing in value
+    assert out.sort_values("val")["rank2x"].is_monotonic_increasing
+    # brute force: tie-averaged rank sum over the raw rows
+    raw = duckdb.sql(
+        f"SELECT CAST(l_quantity AS BIGINT) AS q, l_returnflag AS f FROM "
+        f"'{SF_SMOKE}/lineitem.parquet' WHERE l_returnflag IN ('R','N')"
+    ).df()
+    ranks = raw["q"].rank(method="average")  # tie-averaged
+    r1 = ranks[raw["f"] == "R"].sum()
+    u1_2x = int(round(2 * r1)) - n1 * (n1 + 1)
+    assert out["u1_2x"].iloc[0] == u1_2x
+    # U1 + U2 = n1*n2  (doubled: u1_2x + u2_2x = 2*n1*n2)
+    r2 = ranks[raw["f"] == "N"].sum()
+    u2_2x = int(round(2 * r2)) - n2 * (n2 + 1)
+    assert u1_2x + u2_2x == 2 * n1 * n2
+    assert out["auc"].iloc[0] == round(u1_2x / (2 * n1 * n2), 6)
+
+
+def test_km_survival_matches_python_km(spark):
+    out = _rows(spark, "events_survival_km")
+    # survival is a product of factors in (0,1]: non-increasing, >0
+    assert out["survival"].is_monotonic_decreasing or (
+        out["survival"].diff().dropna() <= 1e-12
+    ).all()
+    assert (out["survival"] > 0).all() and (out["survival"] <= 1.0).all()
+    assert out["n_risk"].is_monotonic_decreasing
+    # brute-force KM from raw orders
+    o = duckdb.sql(
+        f"SELECT o_custkey, o_orderdate, o_totalprice FROM "
+        f"'{SF_SMOKE}/orders.parquet'"
+    ).df()
+    t0 = o.groupby("o_custkey")["o_orderdate"].min()
+    big = (
+        o[o["o_totalprice"] > 450000]
+        .groupby("o_custkey")["o_orderdate"]
+        .min()
+    )
+    tmax = o["o_orderdate"].max()
+    obs = []
+    for cust, start in t0.items():
+        if cust in big.index:
+            obs.append(((big[cust] - start).days, 1))
+        else:
+            obs.append(((tmax - start).days, 0))
+    per_t = collections.defaultdict(lambda: [0, 0])
+    for t, ev in obs:
+        per_t[t][0 if ev else 1] += 1
+    n = len(obs)
+    s = 1.0
+    expect = {}
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        if d:
+            s *= 1.0 - d / n
+            expect[t] = (n, d, c, s)
+        n -= d + c
+    got = {
+        int(r.duration): (int(r.n_risk), int(r.n_event), int(r.n_censored))
+        for r in out.itertuples()
+    }
+    assert got == {t: v[:3] for t, v in expect.items()}
+    for r in out.itertuples():
+        assert math.isclose(
+            r.survival, expect[int(r.duration)][3], abs_tol=2e-6
+        )
+
+
+def test_rake_matches_python_rake(spark):
+    out = _rows(spark, "text_rake_keywords")
+    assert (out["score"] >= 1.0).all()  # degree >= freq always
+    assert (out["degree"] >= out["freq"]).all()
+    docs = duckdb.sql(
+        f"SELECT text FROM '{SF_SMOKE}/documents.parquet'"
+    ).df()["text"]
+    freq: collections.Counter = collections.Counter()
+    degree: collections.Counter = collections.Counter()
+    for text in docs:
+        phrase: list[str] = []
+        for w in text.split(" ") + ["a"]:  # sentinel flushes last phrase
+            if w in ("a", "the"):
+                for pw in phrase:
+                    freq[pw] += 1
+                    degree[pw] += len(phrase)
+                phrase = []
+            else:
+                phrase.append(w)
+    scored = sorted(
+        ((round(degree[w] / freq[w], 6), w) for w in freq),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    got = [(r.score, r.word, r.freq, r.degree) for r in out.itertuples()]
+    assert [(s, w) for s, w, *_ in got] == scored
+    for _, w, f, d in got:
+        assert freq[w] == f and degree[w] == d
