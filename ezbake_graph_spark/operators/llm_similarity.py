@@ -1753,3 +1753,259 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "proj", F.col("proj")[0].alias("pc1"))
         .orderBy("vec_id")
     )
+
+
+MMR_PROBES = 5  # probe query vectors: vec_id < MMR_PROBES
+MMR_CAND = 12  # relevance-shortlist size fed into the greedy pass
+MMR_K = 4  # items selected per probe
+MMR_LAM10 = 7  # lambda = 0.7, carried as integer tenths
+
+
+def mmr_select(
+    cand: DataFrame,
+    pairs: DataFrame,
+    k: int = MMR_K,
+    lam10: int = MMR_LAM10,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` items per group maximizing
+    ``lam*rel - (1-lam)*max_sim_to_already_selected`` — the diversity
+    re-rank a training-data pipeline runs on a relevance shortlist so
+    a near-duplicate cluster cannot monopolize a sampled batch.
+
+    Inputs: ``cand(group_id, item_id, rel_u)`` — the shortlist with
+    integer micro-unit relevance — and ``pairs(group_id, id_a, id_b,
+    sim_u)`` — within-group pairwise micro-unit similarities (both
+    directions). All arithmetic is BIGINT (``score10 = lam10*rel_u -
+    (10-lam10)*max_sim_u``, max over an empty selected set defined 0),
+    ties broken by item id, so the greedy trajectory is
+    integer-deterministic and SQL-expressible.
+
+    The greedy recurrence is STATICALLY UNROLLED: ``k`` is a small
+    query constant, so step t is one keyed join (remaining x selected
+    through pairs) + one keyed argmax — the plan is k fixed stages,
+    not a driver loop with data-dependent iteration count (same
+    pattern as the LTTB key's unrolled oracle). Every shuffle is keyed
+    on group_id; per-group work is bounded by the shortlist size, so
+    the whole pass scales linearly with the number of groups.
+    """
+    lam_d = 10 - lam10
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("score10"), F.col("item_id")
+    )
+    sel = (
+        cand.select(
+            "group_id",
+            "item_id",
+            "rel_u",
+            F.lit(0).cast("long").alias("max_sim_u"),
+            (F.lit(lam10) * F.col("rel_u")).alias("score10"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("step", F.lit(1))
+    )
+    picked = sel
+    for t in range(2, k + 1):
+        remaining = cand.join(
+            picked.select("group_id", "item_id"),
+            on=["group_id", "item_id"],
+            how="left_anti",
+        )
+        scored = (
+            remaining.join(
+                picked.select(
+                    "group_id", F.col("item_id").alias("sel_id")
+                ),
+                "group_id",
+            )
+            .join(
+                pairs.select(
+                    "group_id",
+                    F.col("id_a").alias("item_id"),
+                    F.col("id_b").alias("sel_id"),
+                    "sim_u",
+                ),
+                ["group_id", "item_id", "sel_id"],
+            )
+            .groupBy("group_id", "item_id", "rel_u")
+            .agg(F.max("sim_u").alias("max_sim_u"))
+            .select(
+                "group_id",
+                "item_id",
+                "rel_u",
+                "max_sim_u",
+                (
+                    F.lit(lam10) * F.col("rel_u")
+                    - F.lit(lam_d) * F.col("max_sim_u")
+                ).alias("score10"),
+            )
+        )
+        pick_t = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .withColumn("step", F.lit(t))
+        )
+        picked = picked.unionByName(pick_t)
+    return picked.select(
+        "group_id", "step", "item_id", "rel_u", "max_sim_u", "score10"
+    ).orderBy("group_id", "step")
+
+
+def _mmr_sql() -> str:
+    """Unrolled-CTE DuckDB twin of ``mmr_select`` over the probe/
+    shortlist build in ``sim_mmr_select`` (LTTB-style: one CTE per
+    greedy step, NOT EXISTS excluding prior picks)."""
+    lam10, lam_d = MMR_LAM10, 10 - MMR_LAM10
+    steps = []
+    for t in range(2, MMR_K + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT group_id, item_id FROM s{j}" for j in range(1, t)
+        )
+        steps.append(f"""
+s{t} AS (
+  SELECT group_id, item_id, rel_u, max_sim_u,
+         {lam10} * rel_u - {lam_d} * max_sim_u AS score10, {t} AS step
+  FROM (
+    SELECT c.group_id, c.item_id, c.rel_u, max(p.sim_u) AS max_sim_u,
+           row_number() OVER (
+             PARTITION BY c.group_id
+             ORDER BY {lam10} * c.rel_u - {lam_d} * max(p.sim_u) DESC,
+                      c.item_id) AS rn
+    FROM cand c
+    JOIN prior{t} s ON s.group_id = c.group_id
+    JOIN pairs p ON p.group_id = c.group_id
+     AND p.id_a = c.item_id AND p.id_b = s.item_id
+    WHERE NOT EXISTS (SELECT 1 FROM prior{t} x
+                      WHERE x.group_id = c.group_id
+                        AND x.item_id = c.item_id)
+    GROUP BY c.group_id, c.item_id, c.rel_u
+  ) WHERE rn = 1
+),
+prior{t + 1} AS (SELECT group_id, item_id FROM prior{t}
+                 UNION ALL SELECT group_id, item_id FROM s{t})""")
+    union = " UNION ALL ".join(
+        f"SELECT group_id, step, item_id, rel_u, max_sim_u, score10 FROM s{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH probes AS (
+  SELECT vec_id AS group_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {MMR_PROBES}
+),
+scored AS (
+  SELECT p.group_id, c.vec_id AS item_id,
+         CAST(round(list_cosine_similarity(
+             p.qv, CAST(c.embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+           AS rel_u,
+         row_number() OVER (
+           PARTITION BY p.group_id
+           ORDER BY round(list_cosine_similarity(
+               p.qv, CAST(c.embedding AS DOUBLE[])) * 1000000) DESC,
+             c.vec_id) AS rk
+  FROM probes p JOIN embeddings c ON c.vec_id <> p.group_id
+),
+cand AS (
+  SELECT group_id, item_id, rel_u FROM scored WHERE rk <= {MMR_CAND}
+),
+pairs AS (
+  SELECT a.group_id, a.item_id AS id_a, b.item_id AS id_b,
+         CAST(round(list_cosine_similarity(
+             CAST(ea.embedding AS DOUBLE[]),
+             CAST(eb.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS sim_u
+  FROM cand a
+  JOIN cand b ON a.group_id = b.group_id AND a.item_id <> b.item_id
+  JOIN embeddings ea ON ea.vec_id = a.item_id
+  JOIN embeddings eb ON eb.vec_id = b.item_id
+),
+s1 AS (
+  SELECT group_id, item_id, rel_u, CAST(0 AS BIGINT) AS max_sim_u,
+         {lam10} * rel_u AS score10, 1 AS step
+  FROM (
+    SELECT group_id, item_id, rel_u,
+           row_number() OVER (PARTITION BY group_id
+                              ORDER BY rel_u DESC, item_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+prior2 AS (SELECT group_id, item_id FROM s1),
+{",".join(steps)}
+SELECT group_id, step, item_id, rel_u, max_sim_u, score10
+FROM ({union}) ORDER BY group_id, step
+"""
+
+
+@register("sim_mmr_select", oracle=_mmr_sql(), tags=("K-extra", "llm"))
+def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity selection over the embeddings table: for each of
+    5 probe vectors, shortlist the 12 most-relevant candidates by
+    micro-int cosine, then greedily pick 4 balancing relevance against
+    similarity-to-already-picked (lambda = 0.7). The re-rank that
+    keeps a near-dup cluster from filling a retrieval batch.
+
+    Probe side is 5 rows → broadcast; the shortlist build is the kNN
+    shape (one pass over candidates, per-probe top-12 window); the
+    within-shortlist pair grid is 12x12 per probe, keyed on the probe
+    id; the greedy pass is ``mmr_select``'s k statically-unrolled
+    keyed joins. Integer micro-unit scores end-to-end → full
+    value-hash oracle (unrolled-CTE twin), unlike every other ANN key
+    (their candidate GENERATION is sketch-dependent; here it is an
+    exact top-k).
+    """
+    vecs = _vectors(spark, sf_dir)
+    probes = vecs.filter(F.col("vec_id") < MMR_PROBES).select(
+        F.col("vec_id").alias("group_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    rel = F.round(
+        _cosine(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")) * 1_000_000
+    ).cast("long")
+    wrk = Window.partitionBy("group_id").orderBy(
+        F.desc("rel_u"), F.col("item_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(vecs, F.col("vec_id") != F.col("group_id"))
+        .select(
+            "group_id",
+            F.col("vec_id").alias("item_id"),
+            rel.alias("rel_u"),
+        )
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= MMR_CAND)
+        .drop("rk")
+    )
+    cv = cand.join(
+        vecs.select(F.col("vec_id").alias("item_id"), "v", "nrm"), "item_id"
+    ).select("group_id", "item_id", "v", "nrm")
+    b = cv.select(
+        "group_id",
+        F.col("item_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        cv.select(
+            "group_id",
+            F.col("item_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        .join(b, "group_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "group_id",
+            "id_a",
+            "id_b",
+            F.round(
+                _cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("sim_u"),
+        )
+    )
+    return mmr_select(cand, pairs, MMR_K, MMR_LAM10)

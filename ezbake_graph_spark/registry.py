@@ -122,6 +122,7 @@ _SLOW: frozenset[str] = frozenset(
         "sql_recursive_cte",  # 4-table derivation + engine recursion, 2.1s
         "graph_betweenness_sampled",  # |S| x diameter checkpointed supersteps, ~18s
         "graph_betweenness_exact",  # 6 unrolled walk levels + sigma joins, ~13s
+        "sim_mmr_select",  # k unrolled greedy join stages, ~4s warm
     }
 )
 

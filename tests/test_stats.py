@@ -154,3 +154,57 @@ def test_rake_matches_python_rake(spark):
     assert [(s, w) for s, w, *_ in got] == scored
     for _, w, f, d in got:
         assert freq[w] == f and degree[w] == d
+
+
+def test_mmr_matches_python_greedy(spark):
+    import numpy as np
+
+    out = _rows(spark, "sim_mmr_select")
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet' "
+        f"ORDER BY vec_id"
+    ).df()
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+
+    def cos_u(a, b):
+        va, vb = vecs[a], vecs[b]
+        c = float(va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
+        return int(np.round(c * 1_000_000))
+
+    expect = []
+    for g in range(5):
+        rel = sorted(
+            ((cos_u(g, c), -c) for c in vecs if c != g), reverse=True
+        )[:12]
+        cand = {-negc: r for r, negc in rel}
+        sel: list[int] = []
+        for step in range(1, 5):
+            best = None
+            for c, r in sorted(cand.items()):
+                if c in sel:
+                    continue
+                ms = max((cos_u(c, s) for s in sel), default=0)
+                score = 7 * r - 3 * ms
+                if best is None or score > best[0]:
+                    best = (score, c, r, ms)
+            sel.append(best[1])
+            expect.append((g, step, best[1], best[2], best[3], best[0]))
+    got = [
+        (
+            int(r.group_id),
+            int(r.step),
+            int(r.item_id),
+            int(r.rel_u),
+            int(r.max_sim_u),
+            int(r.score10),
+        )
+        for r in out.itertuples()
+    ]
+    assert got == expect
+    # selections are distinct within each group
+    for g in range(5):
+        ids = [i for gg, _, i, *_ in got if gg == g]
+        assert len(set(ids)) == 4
