@@ -875,3 +875,214 @@ def dq_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_ref"),
     )
     return rank_sum_u(flagged, "val", "is_ref")
+
+
+_CHI2_SQL = """
+WITH obs AS (
+  SELECT c_mktsegment AS segment, r_name AS region,
+         CAST(count(*) AS BIGINT) AS o
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT segment, region, o,
+         CAST(sum(o) OVER (PARTITION BY segment) AS BIGINT) AS row_tot,
+         CAST(sum(o) OVER (PARTITION BY region) AS BIGINT) AS col_tot,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM obs
+),
+cells AS (
+  SELECT segment, region, o, row_tot, col_tot, n,
+         round(CAST(o * n - row_tot * col_tot AS DOUBLE)
+               * CAST(o * n - row_tot * col_tot AS DOUBLE)
+               / (CAST(n AS DOUBLE) * row_tot * col_tot), 6) AS chi2_term
+  FROM tot
+)
+SELECT segment, region, o, row_tot, col_tot, n, chi2_term,
+       round(CAST(sum(chi2_term) OVER () AS DOUBLE), 6) AS chi2_stat
+FROM cells ORDER BY segment, region
+"""
+
+
+@register("dq_chi_square", oracle=_CHI2_SQL, tags=("ext", "dq"))
+def dq_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit: is customer market segment
+    independent of region? The categorical-drift / leakage check a
+    pipeline runs between a label column and a grouping column.
+
+    One pass builds the contingency table (two broadcast dim joins +
+    one keyed agg); row/column/grand totals are windows over the
+    AGGREGATED cell table (|segments| x |regions| = 25 rows — bounded
+    by the category domains, never by data volume). Each cell's
+    ``(o*N - r*c)^2 / (N*r*c)`` uses exact BIGINT counts cast to
+    double only for the final square-and-divide (the BIGINT products
+    are exact up to N ~ 3e9 per cell; past that pre-scale the counts —
+    same caveat family as the money-sum helpers). ``chi2_stat`` sums the
+    25 ROUND6-quantized cell terms in one single-partition window —
+    the quantized inputs keep the double sum order-insensitive at the
+    reported precision."""
+    from pyspark.sql import Window
+
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    obs = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("r_name").alias("region"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = obs.select(
+        "segment",
+        "region",
+        "o",
+        F.sum("o").over(Window.partitionBy("segment")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("region")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("row_tot") * F.col("col_tot")).cast(
+        "double"
+    )
+    cells = tot.select(
+        "segment",
+        "region",
+        "o",
+        "row_tot",
+        "col_tot",
+        "n",
+        F.round(
+            num * num
+            / (
+                F.col("n").cast("double")
+                * F.col("row_tot")
+                * F.col("col_tot")
+            ),
+            6,
+        ).alias("chi2_term"),
+    )
+    return cells.select(
+        "segment",
+        "region",
+        "o",
+        "row_tot",
+        "col_tot",
+        "n",
+        "chi2_term",
+        F.round(
+            F.sum("chi2_term").over(Window.partitionBy()), 6
+        ).alias("chi2_stat"),
+    ).orderBy("segment", "region")
+
+
+_WELCH_SQL = """
+WITH g AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 'R' ELSE 'N' END AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS q
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+  GROUP BY 1
+),
+w AS (
+  SELECT
+    max(CASE WHEN grp = 'R' THEN n END) AS n1,
+    max(CASE WHEN grp = 'R' THEN s END) AS s1,
+    max(CASE WHEN grp = 'R' THEN q END) AS q1,
+    max(CASE WHEN grp = 'N' THEN n END) AS n2,
+    max(CASE WHEN grp = 'N' THEN s END) AS s2,
+    max(CASE WHEN grp = 'N' THEN q END) AS q2
+  FROM g
+),
+v AS (
+  SELECT n1, s1, q1, n2, s2, q2,
+         CAST(n1 * q1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS vn1,
+         CAST(n2 * q2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) AS vn2
+  FROM w
+)
+SELECT n1, s1, q1, n2, s2, q2,
+       round(CAST(s1 AS DOUBLE) / n1, 6) AS mean1,
+       round(CAST(s2 AS DOUBLE) / n2, 6) AS mean2,
+       round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt(vn1 + vn2), 6) AS t_stat,
+       round((vn1 + vn2) * (vn1 + vn2)
+             / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)), 6) AS df
+FROM v
+"""
+
+
+@register("dq_welch_ttest", oracle=_WELCH_SQL, tags=("ext", "dq"))
+def dq_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: does mean l_quantity differ
+    between returned (R) and non-returned (N) lineitems? The
+    mean-shift significance readout that pairs with the Mann-Whitney
+    rank test (that one is distribution-free; this one is the
+    parametric effect astronomers of dashboards actually quote).
+
+    Single scan, ONE 2-row keyed agg: per group the count, sum, and
+    sum-of-squares over the INTEGER quantity domain are exact BIGINTs
+    (q fits BIGINT while n*max(x)^2 < 9.2e18 — quantize wide columns
+    first, as the binned KS does). The variance identity
+    ``(n*q - s^2) / (n*n*(n-1))`` (variance of the mean) runs on those
+    exact integers with double division last; t and the
+    Welch-Satterthwaite df are the only floats, reported rounded. The
+    2-row pivot is a constant-size single-row reduce — no window, no
+    second scan."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    qn = F.col("l_quantity").cast("long")
+    g = (
+        li.filter(F.col("l_returnflag").isin("R", "N"))
+        .groupBy(
+            F.when(F.col("l_returnflag") == "R", "R")
+            .otherwise("N")
+            .alias("grp")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(qn).alias("s"),
+            F.sum(qn * qn).alias("q"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "R", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "R", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("grp") == "R", F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("grp") == "N", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "N", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("grp") == "N", F.col("q"))).alias("q2"),
+    )
+    vn1 = (
+        (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n1") * (F.col("n1") - 1))
+    )
+    vn2 = (
+        (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2")).cast("double")
+        / (F.col("n2").cast("double") * F.col("n2") * (F.col("n2") - 1))
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    return w.select(
+        "n1",
+        "s1",
+        "q1",
+        "n2",
+        "s2",
+        "q2",
+        F.round(m1, 6).alias("mean1"),
+        F.round(m2, 6).alias("mean2"),
+        F.round((m1 - m2) / F.sqrt(vn1 + vn2), 6).alias("t_stat"),
+        F.round(
+            (vn1 + vn2)
+            * (vn1 + vn2)
+            / (
+                vn1 * vn1 / (F.col("n1") - 1)
+                + vn2 * vn2 / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("df"),
+    )

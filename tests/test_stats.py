@@ -208,3 +208,42 @@ def test_mmr_matches_python_greedy(spark):
     for g in range(5):
         ids = [i for gg, _, i, *_ in got if gg == g]
         assert len(set(ids)) == 4
+
+
+def test_chi_square_matches_python(spark):
+    out = _rows(spark, "dq_chi_square")
+    n = out["n"].iloc[0]
+    assert out["o"].sum() == n
+    # row/col totals partition correctly
+    for seg, grp in out.groupby("segment"):
+        assert (grp["row_tot"] == grp["o"].sum()).all()
+    for reg, grp in out.groupby("region"):
+        assert (grp["col_tot"] == grp["o"].sum()).all()
+    # brute-force chi2 from the contingency counts
+    expect = 0.0
+    for r in out.itertuples():
+        e = r.row_tot * r.col_tot / n
+        expect += (r.o - e) ** 2 / e
+    assert math.isclose(out["chi2_stat"].iloc[0], expect, abs_tol=2e-4)
+    assert (out["chi2_term"] >= 0).all()
+
+
+def test_welch_matches_python(spark):
+    out = _rows(spark, "dq_welch_ttest")
+    raw = duckdb.sql(
+        f"SELECT CAST(l_quantity AS BIGINT) AS q, l_returnflag AS f FROM "
+        f"'{SF_SMOKE}/lineitem.parquet' WHERE l_returnflag IN ('R','N')"
+    ).df()
+    r = raw[raw["f"] == "R"]["q"]
+    nn = raw[raw["f"] == "N"]["q"]
+    assert out["n1"].iloc[0] == len(r) and out["n2"].iloc[0] == len(nn)
+    assert out["s1"].iloc[0] == r.sum() and out["s2"].iloc[0] == nn.sum()
+    vn1 = r.var(ddof=1) / len(r)
+    vn2 = nn.var(ddof=1) / len(nn)
+    t = (r.mean() - nn.mean()) / math.sqrt(vn1 + vn2)
+    df = (vn1 + vn2) ** 2 / (
+        vn1**2 / (len(r) - 1) + vn2**2 / (len(nn) - 1)
+    )
+    assert math.isclose(out["t_stat"].iloc[0], t, abs_tol=1e-5)
+    assert math.isclose(out["df"].iloc[0], df, rel_tol=1e-6)
+    assert math.isclose(out["mean1"].iloc[0], r.mean(), abs_tol=1e-6)
