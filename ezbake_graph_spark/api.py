@@ -71,15 +71,22 @@ from ezbake_graph_spark.graph.pregel import (  # noqa: F401  (re-exports)
 )
 from ezbake_graph_spark.operators.joins import pit_join  # noqa: F401
 from ezbake_graph_spark.operators.llm_dedup import semdedup  # noqa: F401
+from ezbake_graph_spark.operators.analytics import km_survival  # noqa: F401
 from ezbake_graph_spark.operators.llm_similarity import (  # noqa: F401
+    mmr_select,
     pca_fit,
     pca_project,
 )
 from ezbake_graph_spark.operators.llm_text import (  # noqa: F401
     nb_predict,
     nb_train,
+    rake_keywords,
 )
-from ezbake_graph_spark.operators.quality import snapshot_diff  # noqa: F401
+from ezbake_graph_spark.operators.quality import (  # noqa: F401
+    ks_flagged,
+    rank_sum_u,
+    snapshot_diff,
+)
 from ezbake_graph_spark.operators.timeseries import (  # noqa: F401
     lttb_downsample,
 )
@@ -126,6 +133,12 @@ __all__ = [
     "nb_predict",
     "snapshot_diff",
     "lttb_downsample",
+    # round-8 statistics kernels:
+    "ks_flagged",
+    "rank_sum_u",
+    "km_survival",
+    "rake_keywords",
+    "mmr_select",
 ]
 
 # rows per grid block for the pair kernel — one block pair (2 x 4096
