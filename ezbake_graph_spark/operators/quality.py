@@ -1086,3 +1086,121 @@ def dq_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df"),
     )
+
+
+# Poisson(1) CDF thresholds scaled to 2^32 (P(X<=k) * 2^32, k=0..8):
+# a 32-bit uniform u maps to weight w = #thresholds <= u. Both engines
+# compare the SAME integer literals against the SAME md5-derived
+# uniform, so every resample weight is integer-deterministic.
+_POISSON1_T = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+    4294962463,
+)
+_BOOT_B = 20  # resamples
+
+
+def _boot_sql() -> str:
+    cases = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POISSON1_T)
+    )
+    return f"""
+WITH ex AS (
+  SELECT o_orderkey, o_totalprice, unnest(range(0, {_BOOT_B})) AS b
+  FROM orders
+),
+u AS (
+  SELECT b, o_totalprice,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                             CAST(b AS VARCHAR)), 1, 8))::BIGINT AS u
+  FROM ex
+),
+w AS (
+  SELECT b, o_totalprice,
+         CASE {cases} ELSE {len(_POISSON1_T)} END AS w
+  FROM u
+),
+means AS (
+  SELECT b,
+         CAST(sum(w) AS BIGINT) AS n_eff,
+         round((CAST(sum(w * CAST(round(o_totalprice * 1000000) AS BIGINT))
+                     AS DOUBLE) / sum(w)) / 1000000, 6) AS boot_mean
+  FROM w GROUP BY b
+)
+SELECT b, n_eff, boot_mean,
+       round(min(boot_mean) OVER (), 6) AS ci_lo,
+       round(max(boot_mean) OVER (), 6) AS ci_hi
+FROM means ORDER BY b
+"""
+
+
+@register("stats_bootstrap_ci", oracle=_boot_sql(), tags=("ext", "dq"))
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of mean(o_totalprice): B=20 deterministic
+    resamples, each row's multiplicity drawn as Poisson(1) via the
+    inverse CDF over a 32-bit md5-derived uniform — THE distributed
+    bootstrap (resampling n rows with replacement needs global
+    coordination; independent Poisson(1) weights approximate the
+    multinomial exactly as n grows and need only a per-row hash).
+
+    One scan with a map-side B-way explode (bounded constant spine —
+    the honest linear-in-B cost), exact micro-int weighted sums into
+    one keyed agg on b with map-side partials, and the resample-mean
+    envelope (min/max over the B-row table) as the reported interval.
+    No RNG state anywhere: weights are a pure function of
+    (o_orderkey, b), so any engine reproduces every resample
+    bit-for-bit — which is what makes a cross-engine value-hash oracle
+    possible for a *bootstrap*."""
+    o = tables.load(spark, sf_dir, "orders")
+    ex = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(len(_POISSON1_T))
+    for k in range(len(_POISSON1_T) - 1, -1, -1):
+        w = F.when(u < _POISSON1_T[k], k).otherwise(w)
+    xm = F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+    means = (
+        ex.select("b", F.col("o_totalprice"), w.alias("w"), xm.alias("xm"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.round(
+                (F.sum(F.col("w") * F.col("xm")).cast("double") / F.sum("w"))
+                / 1_000_000,
+                6,
+            ).alias("boot_mean"),
+        )
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy()
+    return means.select(
+        "b",
+        "n_eff",
+        "boot_mean",
+        F.round(F.min("boot_mean").over(tot), 6).alias("ci_lo"),
+        F.round(F.max("boot_mean").over(tot), 6).alias("ci_hi"),
+    ).orderBy("b")

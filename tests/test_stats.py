@@ -247,3 +247,46 @@ def test_welch_matches_python(spark):
     assert math.isclose(out["t_stat"].iloc[0], t, abs_tol=1e-5)
     assert math.isclose(out["df"].iloc[0], df, rel_tol=1e-6)
     assert math.isclose(out["mean1"].iloc[0], r.mean(), abs_tol=1e-6)
+
+
+def test_bootstrap_weights_and_means(spark):
+    import hashlib
+
+    out = _rows(spark, "stats_bootstrap_ci")
+    assert len(out) == 20
+    raw = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice FROM '{SF_SMOKE}/orders.parquet'"
+    ).df()
+    ts = (
+        1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+        4292415291, 4294609777, 4294923276, 4294962463,
+    )
+
+    def weight(key, b):
+        u = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:8], 16)
+        for k, t in enumerate(ts):
+            if u < t:
+                return k
+        return len(ts)
+
+    # brute-force two resamples end-to-end
+    for b in (0, 7):
+        ws = [weight(k, b) for k in raw["o_orderkey"]]
+        n_eff = sum(ws)
+        sm = sum(
+            w * int(round(x * 1_000_000))
+            for w, x in zip(ws, raw["o_totalprice"])
+        )
+        row = out[out["b"] == b].iloc[0]
+        assert row["n_eff"] == n_eff
+        assert row["boot_mean"] == round((sm / n_eff) / 1_000_000, 6)
+    # Poisson(1) weights: n_eff concentrates near n (sd = sqrt(n))
+    n = len(raw)
+    assert (abs(out["n_eff"] - n) < 6 * math.sqrt(n)).all()
+    # envelope covers the plain mean
+    mean = (
+        raw["o_totalprice"].map(lambda x: int(round(x * 1e6))).sum()
+        / n
+        / 1e6
+    )
+    assert out["ci_lo"].iloc[0] <= mean <= out["ci_hi"].iloc[0]
