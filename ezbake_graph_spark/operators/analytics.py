@@ -1060,3 +1060,68 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return km_survival(obs, "duration", "event")
+
+
+_SRM_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+armed AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM u
+),
+cnt AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM armed
+)
+SELECT n_a, n_b,
+       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+         AS srm_chi2,
+       CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+                 > 3.841459 THEN 1 ELSE 0 END AS srm_flag
+FROM cnt
+"""
+
+
+@register("events_srm_check", oracle=_SRM_SQL, tags=("ext", "analytics"))
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the 50/50 hash assignment
+    (``events_ab_assignment``'s arms): the chi-square statistic
+    against the expected equal split — for a 2-cell table with equal
+    expectations it reduces to ``(n_a - n_b)^2 / (n_a + n_b)``, exact
+    BIGINT until the one division. ``srm_flag`` fires above the
+    chi2(1) 95% critical value (3.841459) — the first check every
+    experimentation platform runs before reading any metric, because
+    a ratio mismatch means the assignment (not the treatment) moved
+    the populations.
+
+    One distinct-users agg + one constant-size 2-counter reduce: the
+    whole audit costs what ``count(distinct user_id)`` costs."""
+    ev = tables.load(spark, sf_dir, "events")
+    arm_a = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+    cnt = (
+        ev.select("user_id")
+        .distinct()
+        .agg(
+            F.sum(F.when(arm_a, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(arm_a, 0).otherwise(1)).alias("n_b"),
+        )
+    )
+    diff2 = ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast(
+        "double"
+    )
+    chi2 = diff2 / (F.col("n_a") + F.col("n_b"))
+    return cnt.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("srm_chi2"),
+        F.when(chi2 > 3.841459, 1).otherwise(0).alias("srm_flag"),
+    )

@@ -290,3 +290,23 @@ def test_bootstrap_weights_and_means(spark):
         / 1e6
     )
     assert out["ci_lo"].iloc[0] <= mean <= out["ci_hi"].iloc[0]
+
+
+def test_srm_matches_python(spark):
+    import hashlib
+
+    out = _rows(spark, "events_srm_check")
+    users = duckdb.sql(
+        f"SELECT DISTINCT user_id FROM '{SF_SMOKE}/events.parquet'"
+    ).df()["user_id"]
+    n_a = sum(
+        1
+        for u in users
+        if int(hashlib.md5(str(int(u)).encode()).hexdigest()[:4], 16) % 2
+        == 0
+    )
+    n_b = len(users) - n_a
+    assert out["n_a"].iloc[0] == n_a and out["n_b"].iloc[0] == n_b
+    chi2 = (n_a - n_b) ** 2 / (n_a + n_b)
+    assert out["srm_chi2"].iloc[0] == round(chi2, 6)
+    assert out["srm_flag"].iloc[0] == (1 if chi2 > 3.841459 else 0)
