@@ -956,22 +956,31 @@ def km_survival(
     run = Window.partitionBy().orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # A time where the events consume the whole remaining risk set
+    # drives the factor to 0 and S(t) to exactly 0.0. Spark's log(0)
+    # yields NULL and window SUM SKIPS nulls (it would silently report
+    # exp(sum of the other terms) — the bug a hypothesis sweep caught),
+    # so the consumed-at-or-before flag forces the 0 explicitly;
+    # DuckDB's ln(0) = -inf reaches the same 0.0 arithmetically.
+    consumed = F.max(
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    ).over(run)
+    log_sum = F.sum(
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.log(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+            ),
+        )
+    ).over(run)
     curve = risk.select(
         "t",
         "d",
         "c",
         "n_risk",
-        F.round(
-            F.exp(
-                F.sum(
-                    F.log(
-                        F.lit(1.0)
-                        - F.col("d").cast("double") / F.col("n_risk")
-                    )
-                ).over(run)
-            ),
-            6,
-        ).alias("survival"),
+        F.when(consumed == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(log_sum), 6))
+        .alias("survival"),
     )
     return curve.filter(F.col("d") > 0).select(
         F.col("t").alias("duration"),

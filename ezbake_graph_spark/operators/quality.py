@@ -682,8 +682,10 @@ def ks_flagged(
         "n_cur",
         F.max("gap_num").over(tot).alias("ks_num"),
         F.round(
-            F.max("gap_num").over(tot).cast("double")
-            / (F.col("n_ref") * F.col("n_cur")),
+            F.try_divide(
+                F.max("gap_num").over(tot).cast("double"),
+                F.col("n_ref") * F.col("n_cur"),
+            ),
             6,
         ).alias("ks_stat"),
     ).orderBy("bin")
@@ -822,8 +824,12 @@ def rank_sum_u(
         "n2",
         (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)).alias("u1_2x"),
         F.round(
-            (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)).cast("double")
-            / (2 * F.col("n1") * F.col("n2")),
+            F.try_divide(
+                (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)).cast(
+                    "double"
+                ),
+                2 * F.col("n1") * F.col("n2"),
+            ),
             6,
         ).alias("auc"),
     ).orderBy("val")

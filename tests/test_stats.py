@@ -310,3 +310,137 @@ def test_srm_matches_python(spark):
     chi2 = (n_a - n_b) ** 2 / (n_a + n_b)
     assert out["srm_chi2"].iloc[0] == round(chi2, 6)
     assert out["srm_flag"].iloc[0] == (1 if chi2 > 3.841459 else 0)
+
+
+# ----------------------------------------------------- hypothesis properties
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HSET = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # value (heavy ties)
+            st.integers(min_value=0, max_value=1),  # is_ref
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(**_HSET)
+def test_rank_sum_u_property(spark, rows):
+    """rank_sum_u equals the textbook tie-averaged U on random data
+    with heavy ties, including single-population inputs (U defined,
+    AUC NULL when a side is empty — never a raised division)."""
+    from ezbake_graph_spark.operators.quality import rank_sum_u
+
+    df = spark.createDataFrame(rows, "val long, is_ref int").repartition(3)
+    out = {r["val"]: r for r in rank_sum_u(df, "val", "is_ref").collect()}
+    vals = sorted(v for v, _ in rows)
+    n1 = sum(f for _, f in rows)
+    n2 = len(rows) - n1
+    # tie-averaged doubled ranks per distinct value
+    pos = {}
+    start = 1
+    for v in sorted(set(vals)):
+        ct = vals.count(v)
+        pos[v] = 2 * (start - 1) + ct + 1  # 2*cb + ct + 1
+        start += ct
+    r1_2x = sum(pos[v] for v, f in rows if f == 1)
+    u1_2x = r1_2x - n1 * (n1 + 1)
+    for v, f in rows:
+        assert out[v]["rank2x"] == pos[v]
+    any_row = next(iter(out.values()))
+    assert any_row["u1_2x"] == u1_2x
+    if n1 and n2:
+        assert any_row["auc"] == round(u1_2x / (2 * n1 * n2), 6)
+    else:
+        assert any_row["auc"] is None
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),  # duration
+            st.integers(min_value=0, max_value=1),  # event
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_HSET)
+def test_km_survival_property(spark, obs):
+    """km_survival equals the serial KM recurrence on random censored
+    data — risk sets, event counts, and the survival product."""
+    from ezbake_graph_spark.operators.analytics import km_survival
+
+    df = spark.createDataFrame(obs, "duration long, event int").repartition(3)
+    got = {
+        r["duration"]: r
+        for r in km_survival(df, "duration", "event").collect()
+    }
+    per_t = collections.defaultdict(lambda: [0, 0])
+    for t, ev in obs:
+        per_t[t][0 if ev else 1] += 1
+    n = len(obs)
+    s = 1.0
+    seen = set()
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        if d:
+            s *= 1.0 - d / n
+            seen.add(t)
+            assert got[t]["n_risk"] == n
+            assert got[t]["n_event"] == d
+            assert got[t]["n_censored"] == c
+            assert math.isclose(got[t]["survival"], s, abs_tol=2e-6)
+        n -= d + c
+    assert set(got) == seen
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # bin (collisions)
+            st.integers(min_value=0, max_value=1),  # is_ref
+        ),
+        min_size=2,
+        max_size=60,
+    ).filter(
+        lambda rs: any(f == 1 for _, f in rs) and any(f == 0 for _, f in rs)
+    )
+)
+@settings(**_HSET)
+def test_ks_flagged_property(spark, rows):
+    """ks_flagged's integer gap equals the direct two-sample ECDF
+    computation on random binned data."""
+    from ezbake_graph_spark.operators.quality import ks_flagged
+
+    df = spark.createDataFrame(
+        [(float(b), f) for b, f in rows], "v double, is_ref int"
+    ).repartition(3)
+    out = ks_flagged(df, "v", "is_ref", 1.0).collect()
+    n1 = sum(f for _, f in rows)
+    n2 = len(rows) - n1
+    c1 = collections.Counter(b for b, f in rows if f == 1)
+    c2 = collections.Counter(b for b, f in rows if f == 0)
+    a = b_ = best = 0
+    cums = {}
+    for bn in sorted(set(b for b, _ in rows)):
+        a += c1[bn]
+        b_ += c2[bn]
+        cums[bn] = (a, b_)
+        best = max(best, abs(a * n2 - b_ * n1))
+    for r in out:
+        ea, eb = cums[r["bin"]]
+        assert (r["cum_ref"], r["cum_cur"]) == (ea, eb)
+        assert r["gap_num"] == abs(ea * n2 - eb * n1)
+        assert r["ks_num"] == best
+        assert r["ks_stat"] == round(best / (n1 * n2), 6)
