@@ -83,9 +83,12 @@ from ezbake_graph_spark.operators.llm_text import (  # noqa: F401
     rake_keywords,
 )
 from ezbake_graph_spark.operators.quality import (  # noqa: F401
+    chi_square_independence,
     ks_flagged,
+    poisson_bootstrap_mean,
     rank_sum_u,
     snapshot_diff,
+    welch_ttest,
 )
 from ezbake_graph_spark.operators.timeseries import (  # noqa: F401
     lttb_downsample,
@@ -139,6 +142,9 @@ __all__ = [
     "km_survival",
     "rake_keywords",
     "mmr_select",
+    "chi_square_independence",
+    "welch_ttest",
+    "poisson_bootstrap_mean",
 ]
 
 # rows per grid block for the pair kernel — one block pair (2 x 4096

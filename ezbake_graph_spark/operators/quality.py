@@ -912,51 +912,44 @@ FROM cells ORDER BY segment, region
 """
 
 
-@register("dq_chi_square", oracle=_CHI2_SQL, tags=("ext", "dq"))
-def dq_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square independence audit: is customer market segment
-    independent of region? The categorical-drift / leakage check a
-    pipeline runs between a label column and a grouping column.
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-square independence test between two categorical columns —
+    the categorical-drift / label-leakage audit. Returns one row per
+    occupied contingency cell (a, b, o, row_tot, col_tot, n,
+    chi2_term) plus the summed ``chi2_stat`` constant column.
 
-    One pass builds the contingency table (two broadcast dim joins +
-    one keyed agg); row/column/grand totals are windows over the
-    AGGREGATED cell table (|segments| x |regions| = 25 rows — bounded
-    by the category domains, never by data volume). Each cell's
+    One keyed agg builds the contingency table; row/column/grand
+    totals are windows over the AGGREGATED cell table (bounded by the
+    category domains, never by data volume — quantize high-cardinality
+    columns first, same contract as the binned KS). Each cell's
     ``(o*N - r*c)^2 / (N*r*c)`` uses exact BIGINT counts cast to
     double only for the final square-and-divide (the BIGINT products
     are exact up to N ~ 3e9 per cell; past that pre-scale the counts —
-    same caveat family as the money-sum helpers). ``chi2_stat`` sums the
-    25 ROUND6-quantized cell terms in one single-partition window —
+    same caveat family as the money-sum helpers). ``chi2_stat`` sums
+    the ROUND6-quantized cell terms in one single-partition window —
     the quantized inputs keep the double sum order-insensitive at the
     reported precision."""
     from pyspark.sql import Window
 
-    c = tables.load(spark, sf_dir, "customer")
-    n = tables.load(spark, sf_dir, "nation")
-    r = tables.load(spark, sf_dir, "region")
-    obs = (
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("r_name").alias("region"),
-        )
-        .agg(F.count(F.lit(1)).alias("o"))
-    )
+    obs = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
     tot = obs.select(
-        "segment",
-        "region",
+        "a",
+        "b",
         "o",
-        F.sum("o").over(Window.partitionBy("segment")).alias("row_tot"),
-        F.sum("o").over(Window.partitionBy("region")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy("a")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("b")).alias("col_tot"),
         F.sum("o").over(Window.partitionBy()).alias("n"),
     )
     num = (F.col("o") * F.col("n") - F.col("row_tot") * F.col("col_tot")).cast(
         "double"
     )
     cells = tot.select(
-        "segment",
-        "region",
+        "a",
+        "b",
         "o",
         "row_tot",
         "col_tot",
@@ -972,8 +965,8 @@ def dq_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2_term"),
     )
     return cells.select(
-        "segment",
-        "region",
+        "a",
+        "b",
         "o",
         "row_tot",
         "col_tot",
@@ -982,7 +975,31 @@ def dq_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("chi2_term").over(Window.partitionBy()), 6
         ).alias("chi2_stat"),
-    ).orderBy("segment", "region")
+    ).orderBy("a", "b")
+
+
+@register("dq_chi_square", oracle=_CHI2_SQL, tags=("ext", "dq"))
+def dq_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit: is customer market segment
+    independent of region? Two broadcast dim joins flatten the
+    (segment, region) pair onto each customer, then
+    ``chi_square_independence`` does the rest (|segments| x |regions|
+    = 25 bounded cells)."""
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    flat = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    return (
+        chi_square_independence(flat, "segment", "region")
+        .withColumnsRenamed({"a": "segment", "b": "region"})
+    )
 
 
 _WELCH_SQL = """
@@ -1022,37 +1039,30 @@ FROM v
 """
 
 
-@register("dq_welch_ttest", oracle=_WELCH_SQL, tags=("ext", "dq"))
-def dq_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Welch's unequal-variance t-test: does mean l_quantity differ
-    between returned (R) and non-returned (N) lineitems? The
-    mean-shift significance readout that pairs with the Mann-Whitney
-    rank test (that one is distribution-free; this one is the
-    parametric effect astronomers of dashboards actually quote).
+def welch_ttest(
+    df: DataFrame, value_col: str, is_ref_col: str
+) -> DataFrame:
+    """Welch's unequal-variance t-test between the rows flagged 1 vs 0
+    in ``is_ref_col`` over the INTEGER column ``value_col`` — the
+    parametric mean-shift readout that pairs with ``rank_sum_u``
+    (that one is distribution-free rank dominance; this one is the
+    effect size dashboards actually quote).
 
     Single scan, ONE 2-row keyed agg: per group the count, sum, and
-    sum-of-squares over the INTEGER quantity domain are exact BIGINTs
-    (q fits BIGINT while n*max(x)^2 < 9.2e18 — quantize wide columns
-    first, as the binned KS does). The variance identity
-    ``(n*q - s^2) / (n*n*(n-1))`` (variance of the mean) runs on those
-    exact integers with double division last; t and the
-    Welch-Satterthwaite df are the only floats, reported rounded. The
-    2-row pivot is a constant-size single-row reduce — no window, no
-    second scan."""
-    li = tables.load(spark, sf_dir, "lineitem")
-    qn = F.col("l_quantity").cast("long")
-    g = (
-        li.filter(F.col("l_returnflag").isin("R", "N"))
-        .groupBy(
-            F.when(F.col("l_returnflag") == "R", "R")
-            .otherwise("N")
-            .alias("grp")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(qn).alias("s"),
-            F.sum(qn * qn).alias("q"),
-        )
+    sum-of-squares are exact BIGINTs (the squares fit while
+    n*max(x)^2 < 9.2e18 — quantize wide columns first, as the binned
+    KS does). The variance identity ``(n*q - s^2) / (n*n*(n-1))``
+    (variance of the mean) runs on those exact integers with double
+    division last; t and the Welch-Satterthwaite df are the only
+    floats, reported rounded. The 2-row pivot is a constant-size
+    single-row reduce — no window, no second scan."""
+    qn = F.col(value_col).cast("long")
+    g = df.groupBy(
+        F.when(F.col(is_ref_col) == 1, "R").otherwise("N").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qn).alias("s"),
+        F.sum(qn * qn).alias("q"),
     )
     w = g.agg(
         F.max(F.when(F.col("grp") == "R", F.col("n"))).alias("n1"),
@@ -1092,6 +1102,18 @@ def dq_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df"),
     )
+
+
+@register("dq_welch_ttest", oracle=_WELCH_SQL, tags=("ext", "dq"))
+def dq_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t on mean l_quantity, returned (R) vs non-returned (N)
+    lineitems — a one-flag projection into ``welch_ttest``."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    flagged = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        "l_quantity",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_ref"),
+    )
+    return welch_ttest(flagged, "l_quantity", "is_ref")
 
 
 # Poisson(1) CDF thresholds scaled to 2^32 (P(X<=k) * 2^32, k=0..8):
@@ -1146,34 +1168,38 @@ FROM means ORDER BY b
 """
 
 
-@register("stats_bootstrap_ci", oracle=_boot_sql(), tags=("ext", "dq"))
-def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson bootstrap of mean(o_totalprice): B=20 deterministic
-    resamples, each row's multiplicity drawn as Poisson(1) via the
-    inverse CDF over a 32-bit md5-derived uniform — THE distributed
-    bootstrap (resampling n rows with replacement needs global
-    coordination; independent Poisson(1) weights approximate the
-    multinomial exactly as n grows and need only a per-row hash).
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_resamples: int = _BOOT_B,
+) -> DataFrame:
+    """Poisson bootstrap of ``mean(value_col)``: ``n_resamples``
+    deterministic resamples, each row's multiplicity drawn as
+    Poisson(1) via the inverse CDF over a 32-bit md5-derived uniform
+    of (``key_col``, b) — THE distributed bootstrap (resampling n rows
+    with replacement needs global coordination; independent Poisson(1)
+    weights approximate the multinomial exactly as n grows and need
+    only a per-row hash).
 
     One scan with a map-side B-way explode (bounded constant spine —
     the honest linear-in-B cost), exact micro-int weighted sums into
     one keyed agg on b with map-side partials, and the resample-mean
     envelope (min/max over the B-row table) as the reported interval.
     No RNG state anywhere: weights are a pure function of
-    (o_orderkey, b), so any engine reproduces every resample
-    bit-for-bit — which is what makes a cross-engine value-hash oracle
-    possible for a *bootstrap*."""
-    o = tables.load(spark, sf_dir, "orders")
-    ex = o.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    (key, b), so any engine reproduces every resample bit-for-bit —
+    which is what makes a cross-engine value-hash oracle possible for
+    a *bootstrap*."""
+    ex = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(value_col).alias("_x"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b"),
     )
     u = F.conv(
         F.substring(
             F.md5(
                 F.concat(
-                    F.col("o_orderkey").cast("string"),
+                    F.col("_k").cast("string"),
                     F.lit(":"),
                     F.col("b").cast("string"),
                 )
@@ -1187,14 +1213,17 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(len(_POISSON1_T))
     for k in range(len(_POISSON1_T) - 1, -1, -1):
         w = F.when(u < _POISSON1_T[k], k).otherwise(w)
-    xm = F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+    xm = F.round(F.col("_x") * 1_000_000).cast("long")
     means = (
-        ex.select("b", F.col("o_totalprice"), w.alias("w"), xm.alias("xm"))
+        ex.select("b", w.alias("w"), xm.alias("xm"))
         .groupBy("b")
         .agg(
             F.sum("w").alias("n_eff"),
             F.round(
-                (F.sum(F.col("w") * F.col("xm")).cast("double") / F.sum("w"))
+                F.try_divide(
+                    F.sum(F.col("w") * F.col("xm")).cast("double"),
+                    F.sum("w"),
+                )
                 / 1_000_000,
                 6,
             ).alias("boot_mean"),
@@ -1210,3 +1239,11 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("boot_mean").over(tot), 6).alias("ci_lo"),
         F.round(F.max("boot_mean").over(tot), 6).alias("ci_hi"),
     ).orderBy("b")
+
+
+@register("stats_bootstrap_ci", oracle=_boot_sql(), tags=("ext", "dq"))
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of mean(o_totalprice), B=20, keyed on
+    o_orderkey — ``poisson_bootstrap_mean`` applied to orders."""
+    o = tables.load(spark, sf_dir, "orders")
+    return poisson_bootstrap_mean(o, "o_orderkey", "o_totalprice", _BOOT_B)
