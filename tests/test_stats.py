@@ -444,3 +444,74 @@ def test_ks_flagged_property(spark, rows):
         assert r["gap_num"] == abs(ea * n2 - eb * n1)
         assert r["ks_num"] == best
         assert r["ks_stat"] == round(best / (n1 * n2), 6)
+
+
+@given(
+    data=st.lists(  # (group, item, rel_u) candidates
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=2,
+        max_size=16,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    sims=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=64, max_size=64),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**_HSET)
+def test_mmr_select_property(spark, data, sims, k):
+    """mmr_select equals the serial greedy on random shortlists and
+    similarity grids, for every k, including groups smaller than k
+    (they just yield fewer steps)."""
+    from ezbake_graph_spark.operators.llm_similarity import mmr_select
+
+    sim = {}
+    idx = 0
+    for g in (0, 1):
+        items = sorted(i for gg, i, _ in data if gg == g)
+        for a in items:
+            for b in items:
+                if a != b:
+                    key = (g, a, b)
+                    sim[key] = sims[idx % len(sims)]
+                    idx += 1
+    # symmetrize (cosine is symmetric; the kernel itself doesn't care)
+    for (g, a, b), v in list(sim.items()):
+        sim[(g, b, a)] = v
+        sim[(g, a, b)] = v
+    cand = spark.createDataFrame(
+        [(g, i, r) for g, i, r in data],
+        "group_id long, item_id long, rel_u long",
+    ).repartition(3)
+    pairs = spark.createDataFrame(
+        [(g, a, b, v) for (g, a, b), v in sim.items()],
+        "group_id long, id_a long, id_b long, sim_u long",
+    ).repartition(3)
+    got = sorted(
+        tuple(r)
+        for r in mmr_select(cand, pairs, k=k, lam10=7).collect()
+    )
+    # serial greedy
+    expect = []
+    for g in (0, 1):
+        rel = {i: r for gg, i, r in data if gg == g}
+        if not rel:
+            continue
+        sel = []
+        for step in range(1, k + 1):
+            best = None
+            for i in sorted(rel):  # ascending id = tie-break winner first
+                if i in sel:
+                    continue
+                ms = max((sim[(g, i, s)] for s in sel), default=0)
+                score = 7 * rel[i] - 3 * ms
+                if best is None or score > best[0]:
+                    best = (score, i, rel[i], ms)
+            if best is None:
+                break
+            sel.append(best[1])
+            # collect column order: group, step, item, rel, max_sim, score
+            expect.append((g, step, best[1], best[2], best[3], best[0]))
+    assert got == sorted(expect)
