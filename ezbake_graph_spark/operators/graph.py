@@ -1919,3 +1919,183 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
         .orderBy("id")
     )
+
+
+LOUVAIN_ROUNDS = 4
+
+
+def louvain_local_moves(
+    edges_sym: DataFrame, rounds: int = LOUVAIN_ROUNDS
+) -> DataFrame:
+    """Louvain-style community detection: synchronous modularity-gain
+    local moves with an alternating-parity schedule, all comparisons
+    in exact BIGINT so the trajectory is integer-deterministic and
+    carries a full unrolled-CTE value-hash oracle (the labelprop
+    argument — this is labelprop with modularity-gain votes).
+
+    Per round, each ACTIVE node i picks the community C (its
+    neighbors' communities plus its own) maximizing the standard gain
+    numerator ``2m*k_{i,C} - k_i*(tot(C) - [i in C]*k_i)`` — the
+    modularity delta scaled by (2m)^2 with the i-independent terms
+    dropped, so the argmax is exact integer arithmetic; ties break to
+    the smallest community id. Only nodes with ``id % 2 == round % 2``
+    move in a given round (the unified id space IS the bipartite
+    2-coloring): a red-black schedule, the standard distributed-Louvain
+    trick that turns oscillation-prone Jacobi updates into convergent
+    Gauss-Seidel sweeps without serializing node-by-node.
+
+    One level of local moves (full Louvain adds coarsen-and-repeat —
+    a driver loop over shrinking community graphs, same kernel).
+    Scale: per round, one keyed agg for community degree totals, one
+    (src, community) agg for k_{i,C} — both map-side combinable — and
+    a per-node argmax window keyed on the node; the 1-row 2m frame is
+    a broadcast. BIGINT bound: m2*kic needs 2m * max_degree < 9.2e18
+    — at larger products pre-scale degrees (chi2-style caveat).
+    """
+    from pyspark.sql import Window
+
+    deg = edges_sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    m2 = edges_sym.agg(F.count(F.lit(1)).alias("m2"))
+    cm = deg.select("id", F.col("id").alias("label"))
+    for r in range(rounds):
+        tot = (
+            cm.join(deg, "id")
+            .groupBy("label")
+            .agg(F.sum("deg").alias("tot"))
+        )
+        kic = (
+            edges_sym.join(
+                cm.select(
+                    F.col("id").alias("dst"), F.col("label").alias("cand")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "cand")
+            .agg(F.count(F.lit(1)).alias("kic"))
+        )
+        cands = (
+            kic.unionByName(
+                cm.select(
+                    "id",
+                    F.col("label").alias("cand"),
+                    F.lit(0).cast("long").alias("kic"),
+                )
+            )
+            .groupBy("id", "cand")
+            .agg(F.max("kic").alias("kic"))
+        )
+        scored = (
+            cands.join(deg, "id")
+            .join(cm, "id")
+            .join(tot.withColumnRenamed("label", "cand"), "cand")
+            .crossJoin(F.broadcast(m2))
+            .select(
+                "id",
+                "cand",
+                "label",
+                (
+                    F.col("m2") * F.col("kic")
+                    - F.col("deg")
+                    * (
+                        F.col("tot")
+                        - F.when(
+                            F.col("cand") == F.col("label"), F.col("deg")
+                        ).otherwise(0)
+                    )
+                ).alias("score"),
+            )
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("score"), F.col("cand"))
+        picked = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("cand").alias("new_label"))
+        )
+        cm = (
+            cm.join(picked, "id")
+            .select(
+                "id",
+                F.when(F.col("id") % 2 == r % 2, F.col("new_label"))
+                .otherwise(F.col("label"))
+                .alias("label"),
+            )
+        )
+        cm = cm.localCheckpoint(eager=True)
+    return cm.select("id", F.col("label").alias("community"))
+
+
+def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled-CTE oracle for ``louvain_local_moves`` (same structure
+    as ``_labelprop_sql``: fixed iteration count, integer argmax per
+    round, parity-gated update)."""
+    steps = []
+    for r in range(rounds):
+        steps.append(
+            f"""tot{r} AS (
+  SELECT c.label, CAST(sum(d.deg) AS BIGINT) AS tot
+  FROM cm{r} c JOIN deg d ON d.id = c.id GROUP BY c.label
+), kic{r} AS (
+  SELECT s.src AS id, c.label AS cand, CAST(count(*) AS BIGINT) AS kic
+  FROM sym s JOIN cm{r} c ON c.id = s.dst GROUP BY s.src, c.label
+), cand{r} AS (
+  SELECT id, cand, CAST(max(kic) AS BIGINT) AS kic FROM (
+    SELECT id, cand, kic FROM kic{r}
+    UNION ALL SELECT id, label AS cand, 0 AS kic FROM cm{r}
+  ) GROUP BY id, cand
+), sc{r} AS (
+  SELECT x.id, x.cand, c.label,
+         mm.m2 * x.kic
+           - d.deg * (t.tot - CASE WHEN x.cand = c.label
+                                   THEN d.deg ELSE 0 END) AS score
+  FROM cand{r} x
+  JOIN deg d ON d.id = x.id
+  JOIN cm{r} c ON c.id = x.id
+  JOIN tot{r} t ON t.label = x.cand
+  CROSS JOIN mm
+), cm{r + 1} AS (
+  SELECT p.id,
+         CASE WHEN p.id % 2 = {r % 2} THEN p.cand ELSE p.label END AS label
+  FROM (
+    SELECT id, cand, label,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY score DESC, cand ASC) AS rn
+    FROM sc{r}) p WHERE p.rn = 1
+)"""
+        )
+    return (
+        "WITH edges AS (\n"
+        "  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst"
+        " FROM lineitem\n"
+        "), sym AS (\n"
+        "  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges\n"
+        "), deg AS (\n"
+        "  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg"
+        " FROM sym GROUP BY src\n"
+        "), mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym),\n"
+        "cm0 AS (SELECT id, id AS label FROM deg),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT id, label AS community FROM cm{rounds} ORDER BY id"
+    )
+
+
+@register("graph_louvain", oracle=_louvain_sql(), tags=("J-extra", "pregel"))
+def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain-style modularity communities over the part–supplier
+    graph: 4 parity-scheduled synchronous local-move rounds
+    (``louvain_local_moves``), integer-exact gains, full unrolled-CTE
+    value-hash oracle — community detection that optimizes modularity
+    where ``graph_labelprop`` optimizes plurality agreement.
+
+    Honesty note on the fixture: the part-supplier graph is
+    near-random bipartite, so its modularity optimum genuinely IS the
+    giant community (singletons score Q<0, the merged state Q~0) and
+    the run converges there — the contract pinned here is the exact
+    move trajectory. Community RECOVERY is demonstrated on a planted
+    two-clique graph in tests/test_graph.py."""
+    edges = bipartite_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return louvain_local_moves(sym).orderBy("id")

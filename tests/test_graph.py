@@ -681,3 +681,91 @@ def test_hits_golden_networkx(spark):
     assert all(got[k]["hub"] == 0.0 for k in got if k % 2 == 1)
     assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 1e-3
     assert abs(sum(r["auth"] for r in got.values()) - 1.0) < 1e-3
+
+
+def test_louvain_matches_serial_golden(spark):
+    """graph_louvain equals a from-scratch serial implementation of
+    the parity-scheduled integer local moves, and the result is a
+    genuine community structure (fewer communities than nodes,
+    positive modularity — initial singleton partition has Q < 0 on
+    this graph)."""
+    from ezbake_graph_spark import registry
+
+    got = {
+        r["id"]: r["community"]
+        for r in registry.queries()["graph_louvain"](spark, SF_SMOKE).collect()
+    }
+    # rebuild the sym graph serially
+    from ezbake_graph_spark.operators.graph import bipartite_edges
+
+    arcs = set()
+    for r in bipartite_edges(spark, SF_SMOKE).collect():
+        arcs.add((r["src"], r["dst"]))
+        arcs.add((r["dst"], r["src"]))
+    nbrs = defaultdict(list)
+    for s, d in arcs:
+        nbrs[s].append(d)
+    deg = {i: len(v) for i, v in nbrs.items()}
+    m2 = len(arcs)
+    cm = {i: i for i in deg}
+    for rnd in range(4):
+        tot = defaultdict(int)
+        for i, lab in cm.items():
+            tot[lab] += deg[i]
+        new = {}
+        for i in deg:
+            kic = Counter(cm[j] for j in nbrs[i])
+            cands = set(kic) | {cm[i]}
+            best = None
+            for c in sorted(cands):
+                score = m2 * kic.get(c, 0) - deg[i] * (
+                    tot[c] - (deg[i] if c == cm[i] else 0)
+                )
+                if best is None or score > best[0]:
+                    best = (score, c)
+            new[i] = best[1] if i % 2 == rnd % 2 else cm[i]
+        cm = new
+    assert got == cm
+    # the TPC-H part-supplier graph is a near-random bipartite graph:
+    # its modularity optimum IS (close to) the giant community, so the
+    # quality assertion here is only "improved over singletons";
+    # genuine community RECOVERY is asserted on the planted graph
+    # below.
+    n_comms = len(set(got.values()))
+    assert n_comms < len(got)
+    q = 0.0
+    tot = defaultdict(int)
+    lin = defaultdict(int)  # directed arcs inside community
+    for i, lab in got.items():
+        tot[lab] += deg[i]
+    for s, d in arcs:
+        if got[s] == got[d]:
+            lin[got[s]] += 1
+    for lab in tot:
+        q += lin[lab] / m2 - (tot[lab] / m2) ** 2
+    q0 = sum(-((deg[i] / m2) ** 2) for i in deg)  # singleton partition
+    assert q >= 0 > q0
+
+
+def test_louvain_recovers_planted_cliques(spark):
+    """On a graph that HAS communities — two 6-cliques joined by one
+    bridge — the local moves recover exactly the two cliques."""
+    from pyspark.sql import functions as F
+
+    from ezbake_graph_spark.operators.graph import louvain_local_moves
+
+    edges = []
+    for base in (0, 6):
+        for a in range(base, base + 6):
+            for b in range(base, base + 6):
+                if a != b:
+                    edges.append((a, b))
+    edges += [(0, 6), (6, 0)]  # bridge
+    sym = spark.createDataFrame(edges, "src long, dst long").distinct()
+    got = {
+        r["id"]: r["community"]
+        for r in louvain_local_moves(sym, rounds=6).collect()
+    }
+    left = {got[i] for i in range(6)}
+    right = {got[i] for i in range(6, 12)}
+    assert len(left) == 1 and len(right) == 1 and left != right
