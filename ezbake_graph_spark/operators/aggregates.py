@@ -1059,3 +1059,148 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_HLL_M = 64  # registers (b = 6 bucket bits)
+_HLL_ALPHA = 0.709  # standard alpha for m = 64
+_HLL_WBITS = 54  # payload bits left after the bucket split (60 - 6)
+
+
+def _hll_sql() -> str:
+    whens = " ".join(
+        f"WHEN w >= {1 << (_HLL_WBITS - k)} THEN {k}"
+        for k in range(1, _HLL_WBITS + 1)
+    )
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS u
+  FROM events
+),
+split AS (
+  SELECT event_type, u % {_HLL_M} AS bucket, u // {_HLL_M} AS w FROM h
+),
+rho AS (
+  SELECT event_type, bucket,
+         CASE {whens} ELSE {_HLL_WBITS + 1} END AS r
+  FROM split
+),
+regs AS (
+  SELECT event_type, bucket, CAST(max(r) AS BIGINT) AS reg
+  FROM rho GROUP BY event_type, bucket
+),
+per_type AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_buckets_used,
+         CAST({_HLL_M} - count(*) AS BIGINT) AS v_zeros,
+         CAST(({_HLL_M} - count(*)) * {1 << (_HLL_WBITS + 1)}
+              + sum(CASE WHEN reg > {_HLL_WBITS + 1} THEN 1
+                         ELSE {1 << (_HLL_WBITS + 1)} // (1 << reg) END)
+              AS BIGINT) AS denom_int
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, p.n_buckets_used, p.v_zeros, p.denom_int, e.n_exact,
+       round(CASE WHEN p.v_zeros > 0
+                   AND {_HLL_ALPHA} * {_HLL_M * _HLL_M}
+                       * {float(1 << (_HLL_WBITS + 1))} / p.denom_int
+                       < {2.5 * _HLL_M}
+                  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / p.v_zeros)
+                  ELSE {_HLL_ALPHA} * {_HLL_M * _HLL_M}
+                       * {float(1 << (_HLL_WBITS + 1))} / p.denom_int
+             END, 6) AS hll_estimate
+FROM per_type p JOIN exact e ON e.event_type = p.event_type
+ORDER BY p.event_type
+"""
+
+
+@register("agg_hll_registers", oracle=_hll_sql(), tags=("D-extra", "ext"))
+def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type with EXACT
+    cross-engine registers — the value-hash-oracled twin of
+    ``agg_approx_distinct`` (D3, rows-only because engine-native HLL
+    sketches differ). Here the sketch itself is pinned: the 64-bit-ish
+    hash is md5 (both engines bit-identical), the bucket split and
+    leading-zero rank are integer arithmetic on a 60-bit prefix, and
+    the harmonic-mean denominator ``sum(2^-reg)`` is carried as the
+    exact BIGINT ``sum(2^(55-reg))`` (every term a dyadic integer, no
+    float-order hazard — a raw double sum of 64 such terms rounds
+    differently per accumulation order). The only floats are the final
+    alpha*m^2/denom estimate and the small-range ``m*ln(m/V)``
+    correction, reported round6 next to the exact count so the row
+    carries its own error readout.
+
+    Scale shape: the register table is the WHOLE state — m=64 BIGINTs
+    per group, built by one (type, bucket) keyed agg with map-side
+    partial max; registers from disjoint partitions/days merge by MAX
+    (the mergeability test pins this), which is why this replaces the
+    exact distinct's expand shuffle at 100 TB. The DISTINCT
+    pre-projection here only dedups the hash inputs (semantics, not
+    state)."""
+    ev = tables.load(spark, sf_dir, "events")
+    u = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = ev.select("event_type", u.alias("u")).distinct()
+    split = h.select(
+        "event_type",
+        (F.col("u") % _HLL_M).alias("bucket"),
+        (F.col("u") / F.lit(_HLL_M)).cast("long").alias("w"),
+    )
+    r = F.lit(_HLL_WBITS + 1)
+    for k in range(_HLL_WBITS, 0, -1):
+        r = F.when(F.col("w") >= (1 << (_HLL_WBITS - k)), k).otherwise(r)
+    regs = (
+        split.select("event_type", "bucket", r.alias("r"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("reg"))
+    )
+    top = 1 << (_HLL_WBITS + 1)
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v_zeros"),
+        (
+            (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(top)
+            + F.sum(
+                # 2^(55-reg) as an exact BIGINT shift — a double 2^-reg
+                # sum would round order-dependently once terms span
+                # more than the 53-bit mantissa
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST({_HLL_WBITS + 1} - reg AS INT))"
+                )
+            )
+        ).cast("long").alias("denom_int"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(_HLL_M * _HLL_M)
+        * F.lit(float(top))
+        / F.col("denom_int")
+    )
+    small = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / F.col("v_zeros")
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_buckets_used",
+            "v_zeros",
+            "denom_int",
+            "n_exact",
+            F.round(
+                F.when(
+                    (F.col("v_zeros") > 0) & (raw < 2.5 * _HLL_M), small
+                ).otherwise(raw),
+                6,
+            ).alias("hll_estimate"),
+        )
+        .orderBy("event_type")
+    )

@@ -231,3 +231,60 @@ def test_pit_join_is_leakage_free_and_single_shuffle(spark):
     import re
     n_exchanges = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
     assert n_exchanges == 1, plan
+
+
+def test_hll_registers_golden_and_mergeable(spark):
+    """agg_hll_registers: registers match a from-scratch python HLL on
+    the same md5 hashing, the estimate lands within the m=64 error
+    envelope, and registers MERGE by max (the sketch property that
+    justifies it at scale)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from ezbake_graph_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    out = {
+        r["event_type"]: r
+        for r in registry.queries()["agg_hll_registers"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    raw = duckdb.sql(
+        f"SELECT DISTINCT event_type, user_id FROM "
+        f"'{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+
+    def hash60(uid):
+        return int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16)
+
+    regs = defaultdict(dict)  # type -> bucket -> max rho
+    exact = defaultdict(set)
+    halves = (defaultdict(dict), defaultdict(dict))
+    for et, uid in raw:
+        u = hash60(uid)
+        b, w = u % 64, u // 64
+        rho = 55 - w.bit_length() if w else 55
+        regs[et][b] = max(regs[et].get(b, 0), rho)
+        h = halves[int(uid) % 2]
+        h[et][b] = max(h[et].get(b, 0), rho)
+        exact[et].add(uid)
+    for et, r in regs.items():
+        denom = (64 - len(r)) * 2**55 + sum(2 ** (55 - v) for v in r.values())
+        assert out[et]["denom_int"] == denom
+        assert out[et]["n_buckets_used"] == len(r)
+        assert out[et]["n_exact"] == len(exact[et])
+        est_raw = 0.709 * 64 * 64 * 2.0**55 / denom
+        v = 64 - len(r)
+        est = 64 * math.log(64 / v) if (v > 0 and est_raw < 160) else est_raw
+        assert out[et]["hll_estimate"] == round(est, 6)
+        # m=64 -> standard error 1.04/8 = 13%; allow 4 sigma
+        assert abs(est - len(exact[et])) / len(exact[et]) < 0.52
+        # mergeability: max-merge of the two half-sketches == full
+        merged = dict(halves[0][et])
+        for b, v2 in halves[1][et].items():
+            merged[b] = max(merged.get(b, 0), v2)
+        assert merged == r
