@@ -2033,10 +2033,10 @@ def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
     steps = []
     for r in range(rounds):
         steps.append(
-            f"""tot{r} AS (
+            f"""tot{r} AS MATERIALIZED (
   SELECT c.label, CAST(sum(d.deg) AS BIGINT) AS tot
   FROM cm{r} c JOIN deg d ON d.id = c.id GROUP BY c.label
-), kic{r} AS (
+), kic{r} AS MATERIALIZED (
   SELECT s.src AS id, c.label AS cand, CAST(count(*) AS BIGINT) AS kic
   FROM sym s JOIN cm{r} c ON c.id = s.dst GROUP BY s.src, c.label
 ), cand{r} AS (
@@ -2054,7 +2054,7 @@ def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
   JOIN cm{r} c ON c.id = x.id
   JOIN tot{r} t ON t.label = x.cand
   CROSS JOIN mm
-), cm{r + 1} AS (
+), cm{r + 1} AS MATERIALIZED (
   SELECT p.id,
          CASE WHEN p.id % 2 = {r % 2} THEN p.cand ELSE p.label END AS label
   FROM (
@@ -2068,9 +2068,9 @@ def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
         "WITH edges AS (\n"
         "  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst"
         " FROM lineitem\n"
-        "), sym AS (\n"
+        "), sym AS MATERIALIZED (\n"
         "  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges\n"
-        "), deg AS (\n"
+        "), deg AS MATERIALIZED (\n"
         "  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg"
         " FROM sym GROUP BY src\n"
         "), mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym),\n"
