@@ -1413,3 +1413,134 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a source is actually about before admitting it."""
     d = tables.load(spark, sf_dir, "documents")
     return rake_keywords(d)
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "window", "merge")  # fixture query terms
+BM25_TOPN = 25
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topn: int = BM25_TOPN,
+) -> DataFrame:
+    """Okapi BM25 retrieval scoring — THE lexical ranker (the
+    production baseline every dense retriever is benchmarked against,
+    and the lexical arm of hybrid search). Scores every document
+    against a bag of query terms; returns the top-n by score.
+
+    Every corpus statistic is an exact integer or exact ratio of
+    integers: per-doc/term tf, per-term df, doc length, corpus size,
+    and total length (avgdl enters only as the exact ratio
+    ``dl * n_docs / total_len``). The IDF uses the standard
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form (always positive) and
+    is the only transcendental; score reported round6, ties broken by
+    doc id.
+
+    Scale shape: the query side is a handful of literal terms — the
+    tf table is filtered to them BEFORE any join (predicate on the
+    term column, pushed below the shuffle), so the score join touches
+    |query| x df rows, not the whole posting table; df and the length
+    stats are broadcast 1-row/tiny aggregates; top-n is
+    orderBy+limit → TakeOrderedAndProject."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    qt = list(query_terms)
+    tf = (
+        tok.filter(F.col("term").isin(*qt))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    # dl/avgdl enters as the exact integer ratio dl*n_docs/total_len
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col("total_len")
+    )
+    per_term = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (idf * F.col("tf") * (k1 + 1) / denom).alias("contrib"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(topn)
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_len
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ({terms})
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY term
+),
+per_term AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * {BM25_K1 + 1}
+           / (tf.tf + {BM25_K1} * ({1.0 - BM25_B}
+              + {BM25_B} * dl.dl * s.n_docs / CAST(s.total_len AS DOUBLE)))
+           AS contrib
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       round(sum(contrib), 6) AS bm25
+FROM per_term GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPN}
+"""
+
+
+@register("text_bm25", oracle=_bm25_sql(), tags=("ext", "llm"))
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 documents for the fixture query {spark, window,
+    merge} (``bm25_scores``): the lexical-retrieval twin of the dense
+    ANN keys — hybrid search runs both and fuses."""
+    d = tables.load(spark, sf_dir, "documents")
+    return bm25_scores(d, BM25_QUERY)

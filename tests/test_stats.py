@@ -515,3 +515,39 @@ def test_mmr_select_property(spark, data, sims, k):
             # collect column order: group, step, item, rel, max_sim, score
             expect.append((g, step, best[1], best[2], best[3], best[0]))
     assert got == sorted(expect)
+
+
+def test_bm25_matches_python(spark):
+    out = _rows(spark, "text_bm25")
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).df()
+    toks = {int(r.doc_id): r.text.split(" ") for r in docs.itertuples()}
+    n = len(toks)
+    total = sum(len(t) for t in toks.values())
+    q = ("spark", "window", "merge")
+    df = {t: sum(1 for d in toks.values() if t in d) for t in q}
+    scores = {}
+    hits = {}
+    for d, words in toks.items():
+        s = 0.0
+        h = 0
+        for t in q:
+            tf = words.count(t)
+            if not tf:
+                continue
+            h += 1
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(words) * n / total))
+        if h:
+            scores[d] = s
+            hits[d] = h
+    top = sorted(scores, key=lambda d: (-round(scores[d], 6), d))[:25]
+    got = [(int(r.doc_id), int(r.n_terms_hit), r.bm25) for r in out.itertuples()]
+    assert [d for d, *_ in got] == top
+    for d, h, s in got:
+        assert hits[d] == h
+        assert s == round(scores[d], 6)
+    # BM25 saturation: contribution monotone in tf but bounded by
+    # (k1+1)*idf — spot-check the top doc's score is positive
+    assert got[0][2] > 0
