@@ -1117,7 +1117,7 @@ ORDER BY p.event_type
 """
 
 
-@register("agg_hll_registers", oracle=_hll_sql(), tags=("D-extra", "ext"))
+@register("agg_hll_registers", oracle=_hll_sql(), tags=("D-extra", "ext", "bench2"))
 def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event type with EXACT
     cross-engine registers — the value-hash-oracled twin of

@@ -1537,7 +1537,7 @@ ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPN}
 """
 
 
-@register("text_bm25", oracle=_bm25_sql(), tags=("ext", "llm"))
+@register("text_bm25", oracle=_bm25_sql(), tags=("ext", "llm", "bench2"))
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-25 documents for the fixture query {spark, window,
     merge} (``bm25_scores``): the lexical-retrieval twin of the dense

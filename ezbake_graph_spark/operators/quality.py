@@ -1241,7 +1241,7 @@ def poisson_bootstrap_mean(
     ).orderBy("b")
 
 
-@register("stats_bootstrap_ci", oracle=_boot_sql(), tags=("ext", "dq"))
+@register("stats_bootstrap_ci", oracle=_boot_sql(), tags=("ext", "dq", "bench2"))
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson bootstrap of mean(o_totalprice), B=20, keyed on
     o_orderkey — ``poisson_bootstrap_mean`` applied to orders."""
