@@ -1544,3 +1544,155 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN keys — hybrid search runs both and fuses."""
     d = tables.load(spark, sf_dir, "documents")
     return bm25_scores(d, BM25_QUERY)
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+RRF_DEPTH = 50  # per-arm shortlist depth
+RRF_TOPN = 15
+RRF_QUERY_VEC = 0  # dense arm: query = embedding of vec_id 0
+
+
+def _rrf_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_len
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ({terms})
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY term
+),
+lex_scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * {BM25_K1 + 1}
+           / (tf.tf + {BM25_K1} * ({1.0 - BM25_B}
+              + {BM25_B} * dl.dl * s.n_docs
+                / CAST(s.total_len AS DOUBLE)))), 6) AS bm25
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+lex_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM lex_scored
+  ORDER BY bm25 DESC, doc_id LIMIT {RRF_DEPTH}
+),
+qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id = {RRF_QUERY_VEC}
+),
+dense_scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v),
+               6) AS cosine
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> {RRF_QUERY_VEC}
+),
+dense_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS dense_rank
+  FROM dense_scored
+  ORDER BY cosine DESC, doc_id LIMIT {RRF_DEPTH}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0)
+               + coalesce(1.0 / ({RRF_K} + d.dense_rank), 0), 6) AS rrf
+  FROM lex_rank l FULL OUTER JOIN dense_rank d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPN}
+"""
+
+
+@register("sim_hybrid_rrf", oracle=_rrf_sql(), tags=("ext", "llm"))
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    arm (``bm25_scores``, query {spark, window, merge}) and a dense
+    cosine arm (query = embedding 0 over the doc-aligned embeddings
+    table) each produce a top-50 ranking; RRF fuses them with the
+    standard ``1/(60 + rank)`` weights and returns the top-15. This is
+    the production hybrid-search shape — the reason the engine carries
+    BOTH a lexical scorer and the ANN tier.
+
+    Ranks are integers from (score DESC, doc_id) windows over the two
+    DEPTH-bounded shortlists, so the fusion is deterministic and the
+    whole composition carries a value-hash oracle. Scale: each arm is
+    its own documented shape (BM25: term-filtered postings; dense:
+    broadcast query against the corpus — swap in the IVF/PQ keys past
+    memory scale); the fusion is a full-outer join of two 50-row
+    shortlists — constant-size."""
+    from pyspark.sql import Window
+
+    d = tables.load(spark, sf_dir, "documents")
+    lex = bm25_scores(d, BM25_QUERY, topn=RRF_DEPTH).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.desc("bm25"), F.col("doc_id")))
+        .alias("lex_rank"),
+    )
+    e = tables.load(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vecs = e.select("vec_id", dvec.alias("v"), F.sqrt(sq).alias("nrm"))
+    qv = vecs.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dense = (
+        vecs.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(F.try_divide(dot, F.col("nrm") * F.col("qn")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(
+                Window.partitionBy().orderBy(F.desc("cosine"), F.col("doc_id"))
+            )
+            .alias("dense_rank"),
+        )
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("dense_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOPN)

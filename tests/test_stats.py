@@ -551,3 +551,75 @@ def test_bm25_matches_python(spark):
     # BM25 saturation: contribution monotone in tf but bounded by
     # (k1+1)*idf — spot-check the top doc's score is positive
     assert got[0][2] > 0
+
+
+def test_hybrid_rrf_matches_python(spark):
+    import numpy as np
+
+    out = _rows(spark, "sim_hybrid_rrf")
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).df()
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).df()
+    # lexical arm (reuse the BM25 brute force)
+    toks = {int(r.doc_id): r.text.split(" ") for r in docs.itertuples()}
+    n = len(toks)
+    total = sum(len(t) for t in toks.values())
+    q = ("spark", "window", "merge")
+    df = {t: sum(1 for d in toks.values() if t in d) for t in q}
+    lex_scores = {}
+    for d, words in toks.items():
+        s = 0.0
+        for t in q:
+            tf = words.count(t)
+            if tf:
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * 2.2 / (
+                    tf + 1.2 * (0.25 + 0.75 * len(words) * n / total)
+                )
+        if s:
+            lex_scores[d] = round(s, 6)
+    lex_rank = {
+        d: i + 1
+        for i, d in enumerate(
+            sorted(lex_scores, key=lambda d: (-lex_scores[d], d))[:50]
+        )
+    }
+    # dense arm
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    qv = vecs[0]
+    cos = {
+        d: round(
+            float(v @ qv) / (np.linalg.norm(v) * np.linalg.norm(qv)), 6
+        )
+        for d, v in vecs.items()
+        if d != 0
+    }
+    dense_rank = {
+        d: i + 1
+        for i, d in enumerate(sorted(cos, key=lambda d: (-cos[d], d))[:50])
+    }
+    # fusion
+    rrf = {}
+    for d in set(lex_rank) | set(dense_rank):
+        s = 0.0
+        if d in lex_rank:
+            s += 1.0 / (60 + lex_rank[d])
+        if d in dense_rank:
+            s += 1.0 / (60 + dense_rank[d])
+        rrf[d] = round(s, 6)
+    top = sorted(rrf, key=lambda d: (-rrf[d], d))[:15]
+    got = [
+        (int(r.doc_id), r.lex_rank, r.dense_rank, r.rrf)
+        for r in out.itertuples()
+    ]
+    assert [d for d, *_ in got] == top
+    for d, lr, dr, s in got:
+        assert (None if lr is None or (isinstance(lr, float) and lr != lr) else int(lr)) == lex_rank.get(d)
+        assert (None if dr is None or (isinstance(dr, float) and dr != dr) else int(dr)) == dense_rank.get(d)
+        assert s == rrf[d]
