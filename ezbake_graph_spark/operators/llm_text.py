@@ -1696,3 +1696,100 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOPN)
+
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+CMS_TOPN = 20
+
+
+def _cms_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+tc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY term
+),
+cells AS (
+  SELECT r.r, term, n,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || term), 1, 8))
+           ::BIGINT % {CMS_W} AS col
+  FROM tc CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS r) r
+),
+counters AS (
+  SELECT r, col, CAST(sum(n) AS BIGINT) AS c
+  FROM cells GROUP BY r, col
+),
+top_terms AS (
+  SELECT term, n FROM tc ORDER BY n DESC, term LIMIT {CMS_TOPN}
+),
+probes AS (
+  SELECT t.term, t.n, r.r,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.term), 1, 8))
+           ::BIGINT % {CMS_W} AS col
+  FROM top_terms t CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS r) r
+)
+SELECT p.term, p.n AS n_exact,
+       CAST(min(c.c) AS BIGINT) AS cms_est,
+       CAST(min(c.c) - p.n AS BIGINT) AS overcount
+FROM probes p JOIN counters c ON c.r = p.r AND c.col = p.col
+GROUP BY p.term, p.n
+ORDER BY n_exact DESC, term
+"""
+
+
+@register("text_cms_sketch", oracle=_cms_sql(), tags=("ext", "llm"))
+def text_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch term-frequency estimates with EXACT
+    cross-engine counters — the frequency sibling of the exact-register
+    HLL key (``agg_hll_registers``): d=4 md5-derived hash rows x w=256
+    BIGINT counters, point estimate = min over rows, reported for the
+    top-20 exact terms beside their true counts (``overcount >= 0`` is
+    the CMS one-sided-error guarantee, pinned in tests; counters ADD
+    across partitions/days — the mergeability that makes this the
+    100 TB heavy-hitter state instead of a full term dictionary).
+
+    The sketch build is one keyed agg over d x distinct-terms rows
+    (map-side combinable); the probe side is a 20-term broadcast
+    against the 1024-cell counter table. Everything is BIGINT —
+    no floats anywhere in this key."""
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"), F.lit(":"), F.col("term")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+    cells = tc.select("term", "n", rows).select("r", "term", "n", col.alias("col"))
+    counters = cells.groupBy("r", "col").agg(F.sum("n").alias("c"))
+    top_terms = tc.orderBy(F.desc("n"), "term").limit(CMS_TOPN)
+    probes = top_terms.select("term", "n", rows).select(
+        "term", "n", "r", col.alias("col")
+    )
+    return (
+        F.broadcast(probes)
+        .join(counters, ["r", "col"])
+        .groupBy(F.col("term"), F.col("n").alias("n_exact"))
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "term",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("n_exact"), "term")
+    )

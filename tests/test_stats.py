@@ -623,3 +623,38 @@ def test_hybrid_rrf_matches_python(spark):
         assert (None if lr is None or (isinstance(lr, float) and lr != lr) else int(lr)) == lex_rank.get(d)
         assert (None if dr is None or (isinstance(dr, float) and dr != dr) else int(dr)) == dense_rank.get(d)
         assert s == rrf[d]
+
+
+def test_cms_matches_python_and_one_sided(spark):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    out = _rows(spark, "text_cms_sketch")
+    docs = duckdb.sql(
+        f"SELECT text FROM '{SF_SMOKE}/documents.parquet'"
+    ).df()["text"]
+    tc = Counter()
+    for t in docs:
+        tc.update(t.split(" "))
+
+    def col(r, term):
+        return int(
+            hashlib.md5(f"{r}:{term}".encode()).hexdigest()[:8], 16
+        ) % 256
+
+    counters = defaultdict(int)
+    for term, n in tc.items():
+        for r in range(4):
+            counters[(r, col(r, term))] += n
+    top = sorted(tc, key=lambda t: (-tc[t], t))[:20]
+    got = [
+        (r.term, int(r.n_exact), int(r.cms_est), int(r.overcount))
+        for r in out.itertuples()
+    ]
+    assert [t for t, *_ in got] == top
+    for term, n, est, over in got:
+        assert n == tc[term]
+        expect = min(counters[(r, col(r, term))] for r in range(4))
+        assert est == expect
+        assert over == est - n
+        assert over >= 0  # CMS never underestimates
