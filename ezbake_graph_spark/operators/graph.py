@@ -1925,7 +1925,9 @@ LOUVAIN_ROUNDS = 4
 
 
 def louvain_local_moves(
-    edges_sym: DataFrame, rounds: int = LOUVAIN_ROUNDS
+    edges_sym: DataFrame,
+    rounds: int = LOUVAIN_ROUNDS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Louvain-style community detection: synchronous modularity-gain
     local moves with an alternating-parity schedule, all comparisons
@@ -1954,10 +1956,22 @@ def louvain_local_moves(
     """
     from pyspark.sql import Window
 
-    deg = edges_sym.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # Weighted graphs use the same integer algebra: strength replaces
+    # degree, sum(w) replaces count(*) — weights must be BIGINT (scale
+    # rational weights first, micro-unit style).
+    ew = edges_sym.select(
+        "src",
+        "dst",
+        (
+            F.col(weight_col).cast("long")
+            if weight_col is not None
+            else F.lit(1).cast("long")
+        ).alias("_w"),
     )
-    m2 = edges_sym.agg(F.count(F.lit(1)).alias("m2"))
+    deg = ew.groupBy(F.col("src").alias("id")).agg(
+        F.sum("_w").alias("deg")
+    )
+    m2 = ew.agg(F.sum("_w").alias("m2"))
     cm = deg.select("id", F.col("id").alias("label"))
     for r in range(rounds):
         tot = (
@@ -1966,14 +1980,14 @@ def louvain_local_moves(
             .agg(F.sum("deg").alias("tot"))
         )
         kic = (
-            edges_sym.join(
+            ew.join(
                 cm.select(
                     F.col("id").alias("dst"), F.col("label").alias("cand")
                 ),
                 "dst",
             )
             .groupBy(F.col("src").alias("id"), "cand")
-            .agg(F.count(F.lit(1)).alias("kic"))
+            .agg(F.sum("_w").alias("kic"))
         )
         cands = (
             kic.unionByName(
@@ -2026,10 +2040,15 @@ def louvain_local_moves(
     return cm.select("id", F.col("label").alias("community"))
 
 
-def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+def _louvain_sql(
+    rounds: int = LOUVAIN_ROUNDS, weighted: bool = False
+) -> str:
     """Unrolled-CTE oracle for ``louvain_local_moves`` (same structure
     as ``_labelprop_sql``: fixed iteration count, integer argmax per
-    round, parity-gated update)."""
+    round, parity-gated update). ``weighted=True`` swaps count(*) for
+    sum(w) everywhere — strength for degree — over multiplicity-
+    weighted arcs."""
+    kic_sum = "sum(s.w)" if weighted else "count(*)"
     steps = []
     for r in range(rounds):
         steps.append(
@@ -2037,7 +2056,7 @@ def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
   SELECT c.label, CAST(sum(d.deg) AS BIGINT) AS tot
   FROM cm{r} c JOIN deg d ON d.id = c.id GROUP BY c.label
 ), kic{r} AS MATERIALIZED (
-  SELECT s.src AS id, c.label AS cand, CAST(count(*) AS BIGINT) AS kic
+  SELECT s.src AS id, c.label AS cand, CAST({kic_sum} AS BIGINT) AS kic
   FROM sym s JOIN cm{r} c ON c.id = s.dst GROUP BY s.src, c.label
 ), cand{r} AS (
   SELECT id, cand, CAST(max(kic) AS BIGINT) AS kic FROM (
@@ -2064,17 +2083,34 @@ def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
     FROM sc{r}) p WHERE p.rn = 1
 )"""
         )
+    if weighted:
+        base = (
+            "WITH edges AS (\n"
+            "  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst,"
+            " CAST(count(*) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2\n"
+            "), sym AS MATERIALIZED (\n"
+            "  SELECT src, dst, w FROM edges"
+            " UNION ALL SELECT dst, src, w FROM edges\n"
+            "), deg AS MATERIALIZED (\n"
+            "  SELECT src AS id, CAST(sum(w) AS BIGINT) AS deg"
+            " FROM sym GROUP BY src\n"
+            "), mm AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM sym),\n"
+        )
+    else:
+        base = (
+            "WITH edges AS (\n"
+            "  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst"
+            " FROM lineitem\n"
+            "), sym AS MATERIALIZED (\n"
+            "  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges\n"
+            "), deg AS MATERIALIZED (\n"
+            "  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg"
+            " FROM sym GROUP BY src\n"
+            "), mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym),\n"
+        )
     return (
-        "WITH edges AS (\n"
-        "  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst"
-        " FROM lineitem\n"
-        "), sym AS MATERIALIZED (\n"
-        "  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges\n"
-        "), deg AS MATERIALIZED (\n"
-        "  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg"
-        " FROM sym GROUP BY src\n"
-        "), mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym),\n"
-        "cm0 AS (SELECT id, id AS label FROM deg),\n"
+        base
+        + "cm0 AS (SELECT id, id AS label FROM deg),\n"
         + ",\n".join(steps)
         + f"\nSELECT id, label AS community FROM cm{rounds} ORDER BY id"
     )
@@ -2099,3 +2135,32 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     return louvain_local_moves(sym).orderBy("id")
+
+
+@register(
+    "graph_louvain_weighted",
+    oracle=_louvain_sql(weighted=True),
+    tags=("J-extra", "pregel"),
+)
+def graph_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Louvain local moves: arc weight = lineitem multiplicity
+    between part and supplier (how often the pair actually traded),
+    strength replacing degree throughout — the common production case
+    (co-occurrence, interaction-count, and similarity graphs are all
+    weighted). Same parity schedule, same exact-BIGINT gain algebra
+    (``louvain_local_moves`` with ``weight_col``), full unrolled-CTE
+    oracle with sum(w) in place of count(*)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    edges = (
+        li.groupBy(
+            (2 * F.col("l_partkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return louvain_local_moves(sym, weight_col="w").orderBy("id")

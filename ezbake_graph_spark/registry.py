@@ -124,6 +124,7 @@ _SLOW: frozenset[str] = frozenset(
         "graph_betweenness_exact",  # 6 unrolled walk levels + sigma joins, ~13s
         "sim_mmr_select",  # k unrolled greedy join stages, ~4s warm
         "graph_louvain",  # 4 local-move rounds + DuckDB unrolled oracle, ~8s
+        "graph_louvain_weighted",  # same shape over weighted arcs, ~7s
     }
 )
 

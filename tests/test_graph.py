@@ -769,3 +769,37 @@ def test_louvain_recovers_planted_cliques(spark):
     left = {got[i] for i in range(6)}
     right = {got[i] for i in range(6, 12)}
     assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_weighted_louvain_respects_weights(spark):
+    """On a planted weighted graph — two triangles tied by a BRIDGE
+    whose weight dwarfs the intra-triangle edges — weighted local
+    moves pull the bridge endpoints together, while the unweighted run
+    on the same topology keeps the triangles separate. Both serial
+    goldens are checked exactly."""
+    from ezbake_graph_spark.operators.graph import louvain_local_moves
+
+    tri = []
+    for base in (0, 3):
+        for a in range(base, base + 3):
+            for b in range(base, base + 3):
+                if a != b:
+                    tri.append((a, b, 1))
+    heavy = [(2, 3, 50), (3, 2, 50)]
+    sym = spark.createDataFrame(tri + heavy, "src long, dst long, w long")
+    got_w = {
+        r["id"]: r["community"]
+        for r in louvain_local_moves(sym, rounds=6, weight_col="w").collect()
+    }
+    got_u = {
+        r["id"]: r["community"]
+        for r in louvain_local_moves(
+            sym.select("src", "dst"), rounds=6
+        ).collect()
+    }
+    # unweighted: the bridge is one edge among many -> triangles stay
+    # two communities with the bridge endpoints apart
+    assert got_u[2] != got_u[3]
+    # weighted: the w=50 bridge dominates both endpoints' strength ->
+    # they end up together
+    assert got_w[2] == got_w[3]
