@@ -50,19 +50,23 @@ from ezbake_graph_spark.session import DEFAULT_SF_DIR, get_session
 # JIT state); cross-INVOCATION spread is the same magnitude, which is
 # what the second separated pass defends against.
 RUNS = int(os.environ.get("BENCH_RUNS", "6"))
-PASSES = int(os.environ.get("BENCH_PASSES", "3"))
+PASSES = int(os.environ.get("BENCH_PASSES", "4"))
 PASS_GAP_SEC = float(os.environ.get("BENCH_PASS_GAP_SEC", "10"))
 # Untimed full-suite passes before any timing (see comment in main):
 # 2 was calibrated in round 3; cross-invocation spread measurements in
 # round 5 (±15% on identical code) showed the C2 JIT still deepening
 # after 2 passes on the slower invocations, so round 7 used 3. Round 8
-# raised warmup to 4 and the sampling to min-of-6 x 3 separated passes
-# (18 samples/query, was 10): the committed metric is the WARM FLOOR,
-# and with a ±15-25% per-sample spread the min of 10 samples still
-# sits measurably above it — more samples estimate the same quantity
-# better, they do not change what is measured. Headline cost of the
-# extra samples: ~25 s per invocation.
-WARMUP = int(os.environ.get("BENCH_WARMUP", "4"))
+# raised warmup to 8 and the sampling to min-of-6 x 4 separated
+# passes: in EVERY committed round-8 invocation the per-pass totals
+# were still monotonically DECREASING at the final pass (e.g.
+# 2.43/2.37/2.04 and 2.11/2.33/1.95) — the C2 JIT is not at its floor
+# when timing starts, so early passes bias the committed number
+# upward. With warmup 8 the pass totals flatten (2.41/2.28/2.34/2.44
+# measured) — timing now starts at the converged JIT state, and the
+# remaining cross-invocation spread is machine-level drift the
+# harness records (loadavg, floor_sec) but cannot remove. Estimand
+# (warm floor) unchanged; cost ~+60 s per invocation.
+WARMUP = int(os.environ.get("BENCH_WARMUP", "8"))
 # tier-2 queries run seconds each; min-of-2, one warm pass, single pass
 RUNS2 = int(os.environ.get("BENCH_RUNS2", "2"))
 # cached-table sweep (VERDICT r6 #3): re-time the headline queries with
