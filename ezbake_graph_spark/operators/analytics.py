@@ -1134,3 +1134,113 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("srm_chi2"),
         F.when(chi2 > 3.841459, 1).otherwise(0).alias("srm_flag"),
     )
+
+
+PATTERNS = (
+    (1, "%view%click%purchase%"),
+    (2, "%signup%purchase%"),
+    (3, "%error%purchase%"),
+)
+
+
+def _pattern_sql() -> str:
+    pats = " UNION ALL ".join(
+        f"SELECT {pid} AS pattern_id, '{p}' AS pattern" for pid, p in PATTERNS
+    )
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_id
+), pats AS ({pats})
+SELECT p.pattern_id, p.pattern,
+       CAST(count(*) FILTER (WHERE paths.path LIKE p.pattern) AS BIGINT)
+         AS n_matched,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round(CAST(count(*) FILTER (WHERE paths.path LIKE p.pattern)
+                  AS DOUBLE) / count(*), 6) AS match_rate
+FROM paths CROSS JOIN pats p
+GROUP BY p.pattern_id, p.pattern
+ORDER BY p.pattern_id
+"""
+
+
+@register("events_pattern_match", oracle=_pattern_sql(), tags=("ext", "analytics"))
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence pattern matching over sessionized event paths
+    — the MATCH_RECOGNIZE-lite every product-analytics store offers
+    ("did view -> click -> purchase happen IN ORDER within one
+    session?"). Sessions are the same 30-minute strict-gap build as
+    ``events_funnel_paths``; each session's ordered type path is
+    tested against LIKE patterns (identical `%` semantics in both
+    engines — no regex dialect hazard), counted per pattern.
+
+    One sessionize (two user-keyed windows) + one path agg; the
+    pattern table is a literal handful of rows crossJoin-broadcast, so
+    the match pass is map-side over the bounded path strings (sessions
+    are gap-bounded). Counts exact; the single rate division reported
+    round6."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            > 1800
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                "->",
+            ).alias("path")
+        )
+    )
+    pats = spark.createDataFrame(list(PATTERNS), "pattern_id int, pattern string")
+    # Column.like takes a literal, not a Column — the column-vs-column
+    # LIKE goes through the SQL expression (ilike/like(expr, expr)).
+    hit = F.expr("CASE WHEN path LIKE pattern THEN 1 ELSE 0 END")
+    return (
+        paths.crossJoin(F.broadcast(pats))
+        .groupBy("pattern_id", "pattern")
+        .agg(
+            F.sum(hit).alias("n_matched"),
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(
+                F.sum(hit).cast("double") / F.count(F.lit(1)), 6
+            ).alias("match_rate"),
+        )
+        .orderBy("pattern_id")
+    )

@@ -1247,3 +1247,82 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey — ``poisson_bootstrap_mean`` applied to orders."""
     o = tables.load(spark, sf_dir, "orders")
     return poisson_bootstrap_mean(o, "o_orderkey", "o_totalprice", _BOOT_B)
+
+
+def _benford_sql() -> str:
+    import math
+
+    expected = ", ".join(
+        f"({d}, {round(math.log10(1 + 1 / d), 6)})" for d in range(1, 10)
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE o_totalprice > 0
+),
+digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM cents
+),
+cnt AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt),
+exp_tab AS (SELECT digit, CAST(expected_share AS DOUBLE) AS expected_share
+            FROM (VALUES {expected}) AS t(digit, expected_share))
+SELECT c.digit, c.n,
+       round(CAST(c.n AS DOUBLE) / t.total, 6) AS observed_share,
+       e.expected_share,
+       round(abs(CAST(c.n AS DOUBLE) / t.total - e.expected_share), 6)
+         AS abs_dev,
+       round(CAST(sum(abs(CAST(c.n AS DOUBLE) / t.total - e.expected_share))
+             OVER () AS DOUBLE) / 9, 6) AS mad_stat
+FROM cnt c JOIN exp_tab e ON e.digit = c.digit CROSS JOIN tot t
+ORDER BY c.digit
+"""
+
+
+@register("dq_benford_test", oracle=_benford_sql(), tags=("ext", "dq"))
+def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice — the classic
+    fabricated-data / unit-mixing detector (organically-grown money
+    amounts follow log10(1+1/d); flat or spiked digit histograms flag
+    synthetic or truncated feeds). One row per leading digit with the
+    observed vs expected share and the mean-absolute-deviation
+    statistic (Nigrini's MAD, the standard conformity readout).
+
+    Digit extraction is INTEGER-EXACT: first character of the cents
+    BIGINT rendered as a string — never floor(x/10^floor(log10 x)),
+    whose float log is wrong at power-of-ten boundaries and need not
+    agree across engines. One scan + 9-row agg; windows run over the
+    9-row digit table; the expected shares are shared literals."""
+    from pyspark.sql import Window
+
+    import math
+
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    cnt = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    exp_rows = [(d, round(math.log10(1 + 1 / d), 6)) for d in range(1, 10)]
+    exp_tab = o.sparkSession.createDataFrame(
+        exp_rows, "digit int, expected_share double"
+    )
+    tot = Window.partitionBy()
+    obs = F.col("n").cast("double") / F.sum("n").over(tot)
+    dev = F.abs(obs - F.col("expected_share"))
+    return (
+        cnt.join(F.broadcast(exp_tab), "digit")
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed_share"),
+            "expected_share",
+            F.round(dev, 6).alias("abs_dev"),
+            F.round(F.sum(dev).over(tot) / 9, 6).alias("mad_stat"),
+        )
+        .orderBy("digit")
+    )

@@ -658,3 +658,59 @@ def test_cms_matches_python_and_one_sided(spark):
         assert est == expect
         assert over == est - n
         assert over >= 0  # CMS never underestimates
+
+
+def test_pattern_match_python_twin(spark):
+    out = _rows(spark, "events_pattern_match")
+    ev = duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM "
+        f"'{SF_SMOKE}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).df()
+    sessions = []
+    cur = None
+    last = {}
+    for r in ev.itertuples():
+        key = r.user_id
+        if key not in last or (r.ts - last[key][0]).total_seconds() > 1800:
+            sessions.append([])
+            last[key] = (r.ts, len(sessions) - 1)
+        else:
+            last[key] = (r.ts, last[key][1])
+        sessions[last[key][1]].append(r.event_type)
+    paths = ["->".join(s) for s in sessions]
+    import fnmatch
+
+    pats = {
+        1: "*view*click*purchase*",
+        2: "*signup*purchase*",
+        3: "*error*purchase*",
+    }
+    for r in out.itertuples():
+        want = sum(
+            1 for p in paths if fnmatch.fnmatchcase(p, pats[int(r.pattern_id)])
+        )
+        assert int(r.n_matched) == want
+        assert int(r.n_sessions) == len(paths)
+        assert r.match_rate == round(want / len(paths), 6)
+
+
+def test_benford_python_twin(spark):
+    out = _rows(spark, "dq_benford_test")
+    prices = duckdb.sql(
+        f"SELECT o_totalprice FROM '{SF_SMOKE}/orders.parquet' "
+        f"WHERE o_totalprice > 0"
+    ).df()["o_totalprice"]
+    digits = collections.Counter(
+        int(str(int(round(p * 100)))[0]) for p in prices
+    )
+    total = sum(digits.values())
+    mad = sum(
+        abs(digits.get(d, 0) / total - math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    ) / 9
+    for r in out.itertuples():
+        d = int(r.digit)
+        assert int(r.n) == digits[d]
+        assert r.observed_share == round(digits[d] / total, 6)
+        assert r.expected_share == round(math.log10(1 + 1 / d), 6)
+    assert abs(out["mad_stat"].iloc[0] - mad) < 2e-6
