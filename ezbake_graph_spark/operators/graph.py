@@ -1928,6 +1928,7 @@ def louvain_local_moves(
     edges_sym: DataFrame,
     rounds: int = LOUVAIN_ROUNDS,
     weight_col: str | None = None,
+    schedule: str = "parity",
 ) -> DataFrame:
     """Louvain-style community detection: synchronous modularity-gain
     local moves with an alternating-parity schedule, all comparisons
@@ -1946,8 +1947,18 @@ def louvain_local_moves(
     trick that turns oscillation-prone Jacobi updates into convergent
     Gauss-Seidel sweeps without serializing node-by-node.
 
+    ``schedule`` picks the anti-oscillation discipline. ``"parity"``
+    (default) moves ids of alternating parity — correct when ids are a
+    proper 2-coloring (the bipartite unified id space). On GENERAL
+    graphs two same-parity communities that mutually prefer each other
+    would swap labels forever; ``"updown"`` instead lets EVERY node
+    evaluate each round but only accepts moves toward a SMALLER label
+    on even rounds and a LARGER one on odd rounds — swap-free without
+    any coloring assumption (the coarse level-2 graph uses this).
+
     One level of local moves (full Louvain adds coarsen-and-repeat —
-    a driver loop over shrinking community graphs, same kernel).
+    a driver loop over shrinking community graphs, same kernel;
+    ``louvain_two_level``).
     Scale: per round, one keyed agg for community degree totals, one
     (src, community) agg for k_{i,C} — both map-side combinable — and
     a per-node argmax window keyed on the node; the 1-row 2m frame is
@@ -1979,8 +1990,14 @@ def louvain_local_moves(
             .groupBy("label")
             .agg(F.sum("deg").alias("tot"))
         )
+        # Self-loops (coarse community graphs carry them) stay OUT of
+        # k_{i,C}: a node's self weight travels with it to any
+        # community, so it is constant across candidates — but joined
+        # through cm it would credit only the CURRENT community and
+        # bias moves toward staying. Strength (deg) keeps it.
         kic = (
-            ew.join(
+            ew.filter(F.col("src") != F.col("dst"))
+            .join(
                 cm.select(
                     F.col("id").alias("dst"), F.col("label").alias("cand")
                 ),
@@ -2021,23 +2038,96 @@ def louvain_local_moves(
                 ).alias("score"),
             )
         )
+        if schedule == "updown":
+            direction = (
+                F.col("cand") < F.col("label")
+                if r % 2 == 0
+                else F.col("cand") > F.col("label")
+            )
+            scored = scored.filter(
+                (F.col("cand") == F.col("label")) | direction
+            )
         w = Window.partitionBy("id").orderBy(F.desc("score"), F.col("cand"))
         picked = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("id", F.col("cand").alias("new_label"))
         )
+        gate = (
+            F.col("id") % 2 == r % 2
+            if schedule == "parity"
+            else F.lit(True)
+        )
         cm = (
             cm.join(picked, "id")
             .select(
                 "id",
-                F.when(F.col("id") % 2 == r % 2, F.col("new_label"))
+                F.when(gate, F.col("new_label"))
                 .otherwise(F.col("label"))
                 .alias("label"),
             )
         )
         cm = cm.localCheckpoint(eager=True)
     return cm.select("id", F.col("label").alias("community"))
+
+
+def _louvain_rounds_sql(
+    rounds: int,
+    prefix: str,
+    sym: str,
+    deg: str,
+    mm: str,
+    weighted: bool,
+    schedule: str = "parity",
+) -> str:
+    """Shared generator for one level's unrolled local-move CTE chain
+    (``{prefix}0`` .. ``{prefix}{rounds}``)."""
+    kic_sum = "sum(s.w)" if weighted else "count(*)"
+    steps = []
+    for r in range(rounds):
+        if schedule == "parity":
+            gate_where = ""
+            apply_label = (
+                f"CASE WHEN p.id % 2 = {r % 2} THEN p.cand ELSE p.label END"
+            )
+        else:  # updown: direction-gated candidates, everyone applies
+            op = "<" if r % 2 == 0 else ">"
+            gate_where = f"WHERE x.cand = c.label OR x.cand {op} c.label"
+            apply_label = "p.cand"
+        steps.append(f"""{prefix}tot{r} AS MATERIALIZED (
+  SELECT c.label, CAST(sum(d.deg) AS BIGINT) AS tot
+  FROM {prefix}{r} c JOIN {deg} d ON d.id = c.id GROUP BY c.label
+), {prefix}kic{r} AS MATERIALIZED (
+  SELECT s.src AS id, c.label AS cand, CAST({kic_sum} AS BIGINT) AS kic
+  FROM {sym} s JOIN {prefix}{r} c ON c.id = s.dst
+  WHERE s.src <> s.dst GROUP BY s.src, c.label
+), {prefix}cand{r} AS (
+  SELECT id, cand, CAST(max(kic) AS BIGINT) AS kic FROM (
+    SELECT id, cand, kic FROM {prefix}kic{r}
+    UNION ALL SELECT id, label AS cand, 0 AS kic FROM {prefix}{r}
+  ) GROUP BY id, cand
+), {prefix}sc{r} AS (
+  SELECT x.id, x.cand, c.label,
+         {mm}.m2 * x.kic
+           - d.deg * (t.tot - CASE WHEN x.cand = c.label
+                                   THEN d.deg ELSE 0 END) AS score
+  FROM {prefix}cand{r} x
+  JOIN {deg} d ON d.id = x.id
+  JOIN {prefix}{r} c ON c.id = x.id
+  JOIN {prefix}tot{r} t ON t.label = x.cand
+  CROSS JOIN {mm}
+  {gate_where}
+), {prefix}{r + 1} AS MATERIALIZED (
+  SELECT p.id,
+         {apply_label} AS label
+  FROM (
+    SELECT id, cand, label,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY score DESC, cand ASC) AS rn
+    FROM {prefix}sc{r}) p WHERE p.rn = 1
+)""")
+        
+    return ",\n".join(steps)
 
 
 def _louvain_sql(
@@ -2047,42 +2137,9 @@ def _louvain_sql(
     as ``_labelprop_sql``: fixed iteration count, integer argmax per
     round, parity-gated update). ``weighted=True`` swaps count(*) for
     sum(w) everywhere — strength for degree — over multiplicity-
-    weighted arcs."""
-    kic_sum = "sum(s.w)" if weighted else "count(*)"
-    steps = []
-    for r in range(rounds):
-        steps.append(
-            f"""tot{r} AS MATERIALIZED (
-  SELECT c.label, CAST(sum(d.deg) AS BIGINT) AS tot
-  FROM cm{r} c JOIN deg d ON d.id = c.id GROUP BY c.label
-), kic{r} AS MATERIALIZED (
-  SELECT s.src AS id, c.label AS cand, CAST({kic_sum} AS BIGINT) AS kic
-  FROM sym s JOIN cm{r} c ON c.id = s.dst GROUP BY s.src, c.label
-), cand{r} AS (
-  SELECT id, cand, CAST(max(kic) AS BIGINT) AS kic FROM (
-    SELECT id, cand, kic FROM kic{r}
-    UNION ALL SELECT id, label AS cand, 0 AS kic FROM cm{r}
-  ) GROUP BY id, cand
-), sc{r} AS (
-  SELECT x.id, x.cand, c.label,
-         mm.m2 * x.kic
-           - d.deg * (t.tot - CASE WHEN x.cand = c.label
-                                   THEN d.deg ELSE 0 END) AS score
-  FROM cand{r} x
-  JOIN deg d ON d.id = x.id
-  JOIN cm{r} c ON c.id = x.id
-  JOIN tot{r} t ON t.label = x.cand
-  CROSS JOIN mm
-), cm{r + 1} AS MATERIALIZED (
-  SELECT p.id,
-         CASE WHEN p.id % 2 = {r % 2} THEN p.cand ELSE p.label END AS label
-  FROM (
-    SELECT id, cand, label,
-           row_number() OVER (PARTITION BY id
-                              ORDER BY score DESC, cand ASC) AS rn
-    FROM sc{r}) p WHERE p.rn = 1
-)"""
-        )
+    weighted arcs. Thin wrapper over the shared per-level generator
+    ``_louvain_rounds_sql`` (also used by the two-level oracle)."""
+    steps = _louvain_rounds_sql(rounds, "cm", "sym", "deg", "mm", weighted)
     if weighted:
         base = (
             "WITH edges AS (\n"
@@ -2111,7 +2168,7 @@ def _louvain_sql(
     return (
         base
         + "cm0 AS (SELECT id, id AS label FROM deg),\n"
-        + ",\n".join(steps)
+        + steps
         + f"\nSELECT id, label AS community FROM cm{rounds} ORDER BY id"
     )
 
@@ -2164,3 +2221,113 @@ def graph_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return louvain_local_moves(sym, weight_col="w").orderBy("id")
+
+
+def louvain_two_level(
+    edges_sym: DataFrame,
+    rounds1: int = LOUVAIN_ROUNDS,
+    rounds2: int = LOUVAIN_ROUNDS,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Full (two-level) Louvain: local moves, COARSEN to the community
+    multigraph, local moves again on the coarse graph, map back —
+    the aggregate-and-repeat that lets communities merge even after
+    every border node is individually stuck (a single level can only
+    move nodes to NEIGHBOR communities; the coarse pass moves whole
+    communities). Deterministic end to end: both levels are the
+    integer ``louvain_local_moves`` kernel, and the coarse graph's
+    arc weights are exact counts/sums (self-loops carry intra-community
+    weight; ``kic`` excludes them — they travel with the node — while
+    strength keeps them, the standard convention).
+
+    Scale: the coarsen step is one keyed agg over the edge list after
+    two label joins (broadcast-able once communities shrink); the
+    coarse graph is communities^2-bounded and usually tiny, so level 2
+    costs a fraction of level 1. Returns (id, community) where
+    community is the LEVEL-2 label of the node's level-1 community.
+    """
+    lvl1 = louvain_local_moves(edges_sym, rounds1, weight_col)
+    w_in = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    ce = (
+        edges_sym.select("src", "dst", w_in.alias("_w"))
+        .join(
+            lvl1.select(
+                F.col("id").alias("src"), F.col("community").alias("csrc")
+            ),
+            "src",
+        )
+        .join(
+            lvl1.select(
+                F.col("id").alias("dst"), F.col("community").alias("cdst")
+            ),
+            "dst",
+        )
+        .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .agg(F.sum("_w").alias("w"))
+    )
+    lvl2 = louvain_local_moves(ce, rounds2, weight_col="w", schedule="updown")
+    return lvl1.select(
+        "id", F.col("community").alias("c1")
+    ).join(
+        lvl2.select(
+            F.col("id").alias("c1"), F.col("community").alias("community")
+        ),
+        "c1",
+    ).select("id", "community")
+
+
+def _louvain_two_level_sql(
+    rounds1: int = LOUVAIN_ROUNDS, rounds2: int = LOUVAIN_ROUNDS
+) -> str:
+    l1 = _louvain_rounds_sql(rounds1, "cm", "sym", "deg", "mm", False)
+    l2 = _louvain_rounds_sql(
+        rounds2, "dm", "ce", "deg2", "mm2", True, schedule="updown"
+    )
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem
+), sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), deg AS MATERIALIZED (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src
+), mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym),
+cm0 AS (SELECT id, id AS label FROM deg),
+{l1},
+ce AS MATERIALIZED (
+  SELECT c1.label AS src, c2.label AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM sym s
+  JOIN cm{rounds1} c1 ON c1.id = s.src
+  JOIN cm{rounds1} c2 ON c2.id = s.dst
+  GROUP BY 1, 2
+), deg2 AS MATERIALIZED (
+  SELECT src AS id, CAST(sum(w) AS BIGINT) AS deg FROM ce GROUP BY src
+), mm2 AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM ce),
+dm0 AS (SELECT id, id AS label FROM deg2),
+{l2}
+SELECT n.id, d.label AS community
+FROM cm{rounds1} n JOIN dm{rounds2} d ON d.id = n.label
+ORDER BY n.id
+"""
+
+
+@register(
+    "graph_louvain_two_level",
+    oracle=_louvain_two_level_sql(),
+    tags=("J-extra", "pregel"),
+)
+def graph_louvain_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Louvain over the part-supplier graph
+    (``louvain_two_level``): 4 local-move rounds, coarsen to the
+    community multigraph (exact integer arc weights, self-loops =
+    intra-community weight), 4 weighted rounds on the coarse graph,
+    map back. Full value-hash oracle: both levels' unrolled CTE chains
+    plus the coarsen join, generated from one shared template."""
+    edges = bipartite_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return louvain_two_level(sym).orderBy("id")

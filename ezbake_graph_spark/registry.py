@@ -125,6 +125,7 @@ _SLOW: frozenset[str] = frozenset(
         "sim_mmr_select",  # k unrolled greedy join stages, ~4s warm
         "graph_louvain",  # 4 local-move rounds + DuckDB unrolled oracle, ~8s
         "graph_louvain_weighted",  # same shape over weighted arcs, ~7s
+        "graph_louvain_two_level",  # both levels + coarsen, ~12s
     }
 )
 

@@ -803,3 +803,62 @@ def test_weighted_louvain_respects_weights(spark):
     # weighted: the w=50 bridge dominates both endpoints' strength ->
     # they end up together
     assert got_w[2] == got_w[3]
+
+
+def test_two_level_louvain_merges_superclusters(spark):
+    """Level 2 merges what level 1 cannot: four 5-cliques arranged as
+    two super-clusters (dense pair bridges inside a super-cluster, one
+    thin bridge between them). Level 1 finds the four cliques; the
+    coarse pass merges each pair — the move a single level can never
+    make once every border NODE is individually stuck."""
+    from ezbake_graph_spark.operators.graph import (
+        louvain_local_moves,
+        louvain_two_level,
+    )
+
+    edges = []
+    for base in (0, 5, 10, 15):
+        for a in range(base, base + 5):
+            for b in range(base, base + 5):
+                if a != b:
+                    edges.append((a, b))
+    # two background 8-cliques raise 2m past the COMMUNITY merge
+    # threshold (2m*W_AB > k_A*k_B needs 2m > 552/3 = 184; here
+    # 2m = 206) while level-1 border nodes provably never move
+    # (join(own clique) dominates join(bridge target) for every 2m:
+    # 1 - k_i*tot_B/2m > 4 - k_i*(tot_A - k_i)/2m reduces to
+    # -3 > 30/2m, impossible) — the exact situation coarsening exists
+    # for.
+    for base in (20, 28):
+        for a in range(base, base + 8):
+            for b in range(base, base + 8):
+                if a != b:
+                    edges.append((a, b))
+    # three-bridge pairs within super-clusters {0-4,5-9}, {10-14,15-19}
+    for a, b in ((0, 5), (1, 6), (2, 7), (10, 15), (11, 16), (12, 17)):
+        edges.extend([(a, b), (b, a)])
+    edges.extend([(4, 14), (14, 4)])  # thin link between super-clusters
+    sym = spark.createDataFrame(edges, "src long, dst long").distinct()
+    lvl1 = {
+        r["id"]: r["community"]
+        for r in louvain_local_moves(sym, rounds=6).collect()
+    }
+    two = {
+        r["id"]: r["community"]
+        for r in louvain_two_level(sym, rounds1=6, rounds2=6).collect()
+    }
+    # level 1: the four small cliques stay separate (border nodes are
+    # individually stuck), background cliques each one community
+    cliques = [set(lvl1[i] for i in range(b, b + 5)) for b in (0, 5, 10, 15)]
+    assert all(len(c) == 1 for c in cliques)
+    assert len(set().union(*cliques)) == 4
+    # two-level: each three-bridge pair merges into one
+    # super-community; the thin (W=1) link does NOT merge the two
+    # super-communities (2m*1 < k_A*k_B); background cliques unmerged
+    left = {two[i] for i in range(0, 10)}
+    right = {two[i] for i in range(10, 20)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    bg1 = {two[i] for i in range(20, 28)}
+    bg2 = {two[i] for i in range(28, 36)}
+    assert len(bg1) == 1 and len(bg2) == 1 and bg1 != bg2
+    assert not (bg1 & left) and not (bg2 & right)
