@@ -1148,7 +1148,11 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = h.select(
         "event_type",
         (F.col("u") % _HLL_M).alias("bucket"),
-        (F.col("u") / F.lit(_HLL_M)).cast("long").alias("w"),
+        # exact integral division, NOT double division: u/64 via float
+        # loses low bits at the 60-bit md5-prefix magnitude and can
+        # flip a register rank at a 2^j boundary vs the oracle's
+        # exact u // 64
+        F.expr(f"u div {_HLL_M}").alias("w"),
     )
     r = F.lit(_HLL_WBITS + 1)
     for k in range(_HLL_WBITS, 0, -1):

@@ -960,8 +960,10 @@ def km_survival(
     # drives the factor to 0 and S(t) to exactly 0.0. Spark's log(0)
     # yields NULL and window SUM SKIPS nulls (it would silently report
     # exp(sum of the other terms) — the bug a hypothesis sweep caught),
-    # so the consumed-at-or-before flag forces the 0 explicitly;
-    # DuckDB's ln(0) = -inf reaches the same 0.0 arithmetically.
+    # so the consumed-at-or-before flag forces the 0 explicitly.
+    # DuckDB's ln(0) does NOT return -inf — it raises an Out of Range
+    # error — so _KM_SQL carries the SAME consumed guard (only d <
+    # n_risk terms enter the log sum; a consumed prefix forces 0.0).
     consumed = F.max(
         F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
     ).over(run)
@@ -1021,11 +1023,20 @@ risk AS (
   FROM cnt
 ),
 curve AS (
+  -- Same consumed guard as the Spark side: DuckDB's ln(0) raises an
+  -- Out of Range error (it is not -inf), so a duration where events
+  -- consume the whole risk set must short-circuit to survival = 0.0
+  -- and only d < n_risk terms may enter the log sum.
   SELECT t, d, c, n_risk,
-         round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
-               OVER (ORDER BY t
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
-           AS survival
+         CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              THEN 0.0
+              ELSE round(exp(sum(CASE WHEN d < n_risk
+                          THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+                   OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+         END AS survival
   FROM risk
 )
 SELECT t AS duration, n_risk, d AS n_event, c AS n_censored, survival

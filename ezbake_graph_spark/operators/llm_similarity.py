@@ -1776,7 +1776,9 @@ def mmr_select(
     Inputs: ``cand(group_id, item_id, rel_u)`` — the shortlist with
     integer micro-unit relevance — and ``pairs(group_id, id_a, id_b,
     sim_u)`` — within-group pairwise micro-unit similarities (both
-    directions). All arithmetic is BIGINT (``score10 = lam10*rel_u -
+    directions). ``pairs`` may be SPARSE: a missing (item, selected)
+    row counts as similarity 0 (left join + coalesce below), so
+    nonzero-only pair tables are safe. All arithmetic is BIGINT (``score10 = lam10*rel_u -
     (10-lam10)*max_sim_u``, max over an empty selected set defined 0),
     ties broken by item id, so the greedy trajectory is
     integer-deterministic and SQL-expressible.
@@ -1828,9 +1830,18 @@ def mmr_select(
                     "sim_u",
                 ),
                 ["group_id", "item_id", "sel_id"],
+                # LEFT, not inner: callers may pass SPARSE pairs
+                # (nonzero-only similarities); an absent pair row means
+                # similarity 0, not "drop the candidate from the
+                # argmax". The registered fixture is dense, where left
+                # == inner, so the unrolled oracle is unchanged.
+                "left",
             )
             .groupBy("group_id", "item_id", "rel_u")
-            .agg(F.max("sim_u").alias("max_sim_u"))
+            .agg(
+                F.max(F.coalesce(F.col("sim_u"), F.lit(0).cast("long")))
+                .alias("max_sim_u")
+            )
             .select(
                 "group_id",
                 "item_id",

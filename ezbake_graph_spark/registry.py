@@ -149,33 +149,14 @@ _ROTATE_PREGEL = ("graph_wcc", "graph_bfs")
 # this list next round once the driver re-verifies them. Brand-new
 # keys need no entry (never-green keys already sort first).
 _RECENTLY_CHANGED = (
-    # round 8 edits over green rows:
-    "dq_drift_psi",              # single-scan is_ref plan
-    "filter_perplexity",         # held-out scoring slice (semantics)
-    "agg_revenue_concentration", # 128-bit share arithmetic
-    "dedup_cut_spans",           # shared cut_spans kernel
-    "multimodal_decode_stub",    # shared decode_images kernel
-    "sim_pq_adc",                # final-assignment encode fix
-    "sim_ivfpq",                 # final-assignment encode fix
-    "sim_pq_persisted",          # dual _SUCCESS gate + encode fix
-    "text_bpe_train",            # batched-loop refactor (k=1 path)
-    "text_bpe_encode",           # batched-loop refactor (k=1 path)
-    # SQL-text form migration of the build-heavy bench queries
-    # (0a1f437): plans unchanged at the shuffle level, but the
-    # construction path is new code — re-verify per the r7 #7 rule.
-    "agg_pricing_q1",
-    "agg_count_distinct",
-    "agg_rollup",
-    "graph_degree",              # also dropped its presentational sort
-    "join_star_q5",
-    "scalar_json",
-    "sim_cosine_topk",
-    "stream_session",
-    "stream_tumbling",
-    "text_term_counts",
-    "topk_revenue_q3",
-    "win_rank_topn",
-    "win_running_sum",
+    # round 9 edits over green rows (all 23 round-8 entries got fresh
+    # r8 driver rows and left this list — VERDICT r8 #1):
+    "agg_hll_registers",  # exact `u div 64` bucket split (ADVICE r8:
+    #   the (u/64).cast('long') double division could flip a register
+    #   rank at a 2^j boundary vs the oracle's integral u // 64)
+    "events_survival_km",  # oracle gained the consumed guard (ADVICE
+    #   r8: DuckDB ln(0) raises, it is not -inf — latent on current
+    #   fixtures but the SQL text changed, so re-verify)
 )
 
 

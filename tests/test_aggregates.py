@@ -288,3 +288,24 @@ def test_hll_registers_golden_and_mergeable(spark):
         for b, v2 in halves[1][et].items():
             merged[b] = max(merged.get(b, 0), v2)
         assert merged == r
+
+
+def test_hll_bucket_split_exact_integral_division(spark):
+    """ADVICE r8: the register payload split must be exact integral
+    `u div 64`, never double division — at the 60-bit md5-prefix
+    magnitude a double loses low bits and can flip the leading-zero
+    rank at a 2^j boundary. u = 2^59 - 1 demonstrates the hazard:
+    float(u)/64 rounds UP across the 2^53 rank boundary."""
+    from pyspark.sql import functions as F
+
+    u = (1 << 59) - 1
+    row = (
+        spark.range(1)
+        .select(
+            F.expr(f"CAST({u} AS BIGINT) div 64").alias("w_div"),
+            (F.lit(u) / F.lit(64)).cast("long").alias("w_float"),
+        )
+        .collect()[0]
+    )
+    assert row.w_div == u // 64  # the fixed path: exact
+    assert row.w_float != u // 64  # the pre-fix path: provably wrong

@@ -108,6 +108,31 @@ def test_green_set_reads_correctness_files():
     assert len(green) >= 52
 
 
+def test_never_checked_keys_lead_the_window():
+    """VERDICT r8 #1: every non-Pregel key with NO driver row of any
+    kind (neither a green row nor a rows-only record in any committed
+    CORRECTNESS_r*.json) must emit directly behind the
+    ``_RECENTLY_CHANGED`` front and inside the driver window —
+    first-time coverage beats any re-verification. At round-9 start
+    that is the 8 late-landing r8 keys (sim_mmr_select,
+    ts_downsample_lttb, ts_forecast_linear + 5 rows-only)."""
+    keys = list(registry.queries())
+    checked = registry._checked_rounds()
+    never = {
+        k
+        for k, spec in registry.REGISTRY.items()
+        if k not in checked
+        and "pregel" not in spec.tags
+        and k not in registry._RECENTLY_CHANGED
+    }
+    assert never, "no never-checked keys left: retire this test's assert"
+    changed = [k for k in registry._RECENTLY_CHANGED if k in registry.REGISTRY]
+    head = keys[len(changed) : len(changed) + len(never)]
+    assert set(head) == never, f"window head {head} != never-checked {sorted(never)}"
+    for k in never:
+        assert keys.index(k) < registry._WINDOW, f"{k} outside driver window"
+
+
 def test_recently_changed_keys_emit_at_window_front():
     """VERDICT r7 #7: a key whose implementation changed since its
     last driver row must be re-verified in the NEXT round — such keys

@@ -714,3 +714,65 @@ def test_benford_python_twin(spark):
         assert r.observed_share == round(digits[d] / total, 6)
         assert r.expected_share == round(math.log10(1 + 1 / d), 6)
     assert abs(out["mad_stat"].iloc[0] - mad) < 2e-6
+
+
+def test_km_oracle_handles_consumed_risk_set():
+    """ADVICE r8: DuckDB's ln(0) raises 'Out of Range Error' (it is not
+    -inf), so the committed _KM_SQL must short-circuit a duration where
+    events consume the whole remaining risk set — exactly like the
+    Spark kernel's consumed flag. Splice a consumed fixture into the
+    oracle's own cnt/risk/curve CTEs: 4 subjects, t=1 one event + one
+    censor (n_risk=4, S=0.75), t=2 two events with n_risk=2 → d ==
+    n_risk → survival exactly 0.0, no error."""
+    from ezbake_graph_spark.operators.analytics import _KM_SQL
+
+    head, sep, tail = _KM_SQL.partition("cnt AS")
+    assert sep, "oracle restructured: update this test's splice point"
+    sql = (
+        "WITH obs AS (SELECT * FROM (VALUES (1, 1), (1, 0), (2, 1), (2, 1))"
+        " AS v(t, ev)),\ncnt AS" + tail
+    )
+    out = duckdb.sql(sql).df().set_index("duration")
+    assert out.loc[1, "survival"] == 0.75
+    assert out.loc[2, "survival"] == 0.0
+    assert int(out.loc[2, "n_risk"]) == 2 and int(out.loc[2, "n_event"]) == 2
+
+
+def test_km_spark_kernel_consumed_matches_oracle_fixture(spark):
+    """The Spark kernel on the SAME consumed fixture as the oracle
+    splice test above — both engines must report S(2) = exactly 0.0."""
+    from ezbake_graph_spark.operators.analytics import km_survival
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1), (2, 1)], "duration long, event int"
+    )
+    got = {
+        int(r.duration): (int(r.n_risk), int(r.n_event), r.survival)
+        for r in km_survival(df).collect()
+    }
+    assert got == {1: (4, 1, 0.75), 2: (2, 2, 0.0)}
+
+
+def test_mmr_select_sparse_pairs_treated_as_zero_similarity(spark):
+    """ADVICE r8: a remaining candidate with NO pair row to an already
+    selected item must stay in the greedy argmax with similarity 0 —
+    the pre-fix INNER join silently dropped it. Fixture: item 1 wins
+    step 1; item 3 has no pair row to item 1, so its untouched
+    relevance (7*80=560) beats item 2's penalized 7*90-3*50=480."""
+    from ezbake_graph_spark.operators.llm_similarity import mmr_select
+
+    cand = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 90), (1, 3, 80)],
+        "group_id long, item_id long, rel_u long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 1, 50), (1, 1, 2, 50)],
+        "group_id long, id_a long, id_b long, sim_u long",
+    )
+    got = {
+        int(r.step): (int(r.item_id), int(r.max_sim_u), int(r.score10))
+        for r in mmr_select(cand, pairs, k=3, lam10=7).collect()
+    }
+    assert got[1] == (1, 0, 700)
+    assert got[2] == (3, 0, 560), "sparse candidate dropped from argmax"
+    assert got[3] == (2, 50, 480)
