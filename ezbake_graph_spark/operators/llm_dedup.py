@@ -1227,3 +1227,190 @@ def text_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor", "positive")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution composite (VERDICT r8 #3): blocking -> multi-signal
+# pair evidence -> Pregel WCC canonicalization -> survivorship, with
+# full per-record provenance. The record-linkage twin of curate_corpus:
+# every stage is individually oracled elsewhere (dedup_fuzzy_names'
+# blocked levenshtein, dedup_cluster_canonical's WCC canonical), this
+# key certifies the SEAMS cross-engine.
+# ---------------------------------------------------------------------------
+
+ER_NAME_DIST = 1  # direct match: edit distance <= 1 alone suffices
+ER_WEAK_DIST = 2  # weak match: distance 2 needs a corroborating signal
+
+
+def resolve_entities(records: DataFrame) -> DataFrame:
+    """Entity resolution over a ``(rec_id, name, block, segment, val)``
+    record table: block -> match -> cluster -> survive.
+
+    1. **Blocking**: candidate pairs come from an equi-join on
+       ``block`` only (``rec_id`` asymmetric to halve the pairs), so
+       the O(len^2) levenshtein runs on |block|^2/2 pairs, never
+       all-pairs — the same scale contract as ``dedup_fuzzy_names``.
+       At 100 TB the blocking key is the lever (first-k-chars +
+       length-bucket in production); everything downstream is bounded
+       by the match-pair count, not the corpus.
+    2. **Match rule** (multi-signal, integer-deterministic): edit
+       distance <= ER_NAME_DIST alone, OR <= ER_WEAK_DIST with the
+       corroborating ``segment`` equality — the classic strong-
+       evidence / weak-evidence-plus-agreement ladder.
+    3. **Clustering**: Pregel min-label WCC over the match pairs ONLY
+       (singletons never enter the loop; they keep themselves by a
+       left-join coalesce) — transitive closure, so A~B, B~C links
+       A and C even when A!~C.
+    4. **Survivorship**: ``entity_id`` = min rec_id of the cluster;
+       ``golden_name`` = the canonical record's name; ``golden_value``
+       = max ``val`` across the cluster (pick-the-max rule — an exact
+       selection of an existing value, no float arithmetic).
+
+    Output: one row per INPUT record (full provenance, mirroring
+    ``curate_corpus``): (rec_id, entity_id, cluster_size,
+    is_canonical, n_matches, golden_name, golden_value), where
+    n_matches is the record's match-pair degree (0 for singletons).
+    """
+    from ezbake_graph_spark.graph.pregel import connected_components
+
+    r = records.select("rec_id", "name", "block", "segment", "val")
+    # Spread the levenshtein pair build across the cluster: the source
+    # scan is tiny (few input splits), so without an explicit block
+    # repartition the self-join — the expensive stage, |block|^2/2
+    # levenshtein evals — runs at scan parallelism (measured 2 tasks /
+    # 60 s at sf0.1; block-partitioned it is bounded by block count).
+    # Self-join of ONE repartitioned frame: Spark reuses the exchange,
+    # so the block shuffle happens once.
+    n_part = max(4, records.sparkSession.sparkContext.defaultParallelism)
+    blocked = r.select("rec_id", "name", "block", "segment").repartition(
+        n_part, "block"
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .select(
+            F.col("a.rec_id").alias("src"),
+            F.col("b.rec_id").alias("dst"),
+            dist.cast("int").alias("name_dist"),
+            (F.col("a.segment") == F.col("b.segment")).alias("same_segment"),
+        )
+        .filter(
+            (F.col("name_dist") <= ER_NAME_DIST)
+            | ((F.col("name_dist") <= ER_WEAK_DIST) & F.col("same_segment"))
+        )
+        .select("src", "dst")
+        # The match-pair set is consumed three times downstream (WCC
+        # edges, vertex set, degree); checkpoint it so the levenshtein
+        # stage runs ONCE. Pairs are tiny relative to the corpus —
+        # that asymmetry is the whole point of blocking.
+        .localCheckpoint()
+    )
+    sym = pairs.union(pairs.select(F.col("dst"), F.col("src")))
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    comp = connected_components(verts, pairs).select(
+        F.col("id").alias("rec_id"), F.col("component").alias("entity_id")
+    )
+    deg = sym.groupBy(F.col("src").alias("rec_id")).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+    ent = (
+        r.join(comp, "rec_id", "left")
+        .join(deg, "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce(F.col("entity_id"), F.col("rec_id")).alias("entity_id"),
+            "name",
+            "val",
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
+        )
+    )
+    w = Window.partitionBy("entity_id")
+    is_canon = F.col("rec_id") == F.col("entity_id")
+    return (
+        ent.select(
+            "rec_id",
+            "entity_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            is_canon.alias("is_canonical"),
+            "n_matches",
+            F.max(F.when(is_canon, F.col("name"))).over(w).alias("golden_name"),
+            F.max("val").over(w).alias("golden_value"),
+        )
+        .orderBy("rec_id")
+    )
+
+
+_RESOLVE_SQL = f"""
+WITH RECURSIVE r AS (
+  SELECT c_custkey AS rec_id, c_name AS name, c_nationkey AS block,
+         c_mktsegment AS segment, c_acctbal AS val
+  FROM customer
+), pairs AS (
+  SELECT a.rec_id AS src, b.rec_id AS dst
+  FROM r a JOIN r b ON a.block = b.block AND a.rec_id < b.rec_id
+  WHERE levenshtein(a.name, b.name) <= {ER_NAME_DIST}
+     OR (levenshtein(a.name, b.name) <= {ER_WEAK_DIST}
+         AND a.segment = b.segment)
+), sym AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+), nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT s.dst AS node, re.label
+  FROM reach re JOIN sym s ON s.src = re.node
+  WHERE re.label < s.dst
+), comp AS (
+  SELECT node AS rec_id, min(label) AS entity_id FROM reach GROUP BY node
+), deg AS (
+  SELECT src AS rec_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM sym GROUP BY src
+), ent AS (
+  SELECT r.rec_id, coalesce(c.entity_id, r.rec_id) AS entity_id,
+         r.name, r.val, coalesce(d.n_matches, 0) AS n_matches
+  FROM r LEFT JOIN comp c ON c.rec_id = r.rec_id
+         LEFT JOIN deg d ON d.rec_id = r.rec_id
+)
+SELECT rec_id, entity_id,
+       CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS cluster_size,
+       (rec_id = entity_id) AS is_canonical,
+       n_matches,
+       max(CASE WHEN rec_id = entity_id THEN name END)
+         OVER (PARTITION BY entity_id) AS golden_name,
+       max(val) OVER (PARTITION BY entity_id) AS golden_value
+FROM ent
+ORDER BY rec_id
+"""
+
+
+@register(
+    "dedup_resolve_entities", oracle=_RESOLVE_SQL, tags=("ext", "er", "bench2")
+)
+def dedup_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the customer master: nation-blocked
+    levenshtein + market-segment corroboration as the match rule,
+    Pregel WCC transitive closure, min-custkey canonical with
+    golden-record survivorship (``resolve_entities`` verbatim) — the
+    most common enterprise use of this kernel family (record linkage:
+    same real-world entity, typo'd source records).
+
+    Fixture shape (sf0.01): 2288 match pairs across 25 nation blocks,
+    50 multi-record entities (largest 72 records — weak-evidence
+    chaining on display, exactly the over-linking transitive closure
+    must reproduce), everything else singleton. The oracle is a
+    recursive-CTE min-label propagation, fully SQL-checkable."""
+    c = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("block"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("val"),
+    )
+    return resolve_entities(c)

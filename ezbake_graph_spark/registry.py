@@ -126,6 +126,7 @@ _SLOW: frozenset[str] = frozenset(
         "graph_louvain",  # 4 local-move rounds + DuckDB unrolled oracle, ~8s
         "graph_louvain_weighted",  # same shape over weighted arcs, ~7s
         "graph_louvain_two_level",  # both levels + coarsen, ~12s
+        "dedup_resolve_entities",  # blocked pair build + WCC, ~15s
     }
 )
 

@@ -883,3 +883,54 @@ def test_lda_and_word2vec_shape_and_determinism(spark):
         for r in rows
     }
     assert by_probe(w2v).keys() == by_probe(w2v2).keys()
+
+
+def test_resolve_entities_planted_clusters(spark):
+    """resolve_entities recovers planted duplicate groups: a typo pair
+    (distance 1), a weak-evidence chain A~B~C linked transitively where
+    A!~C directly, a distance-2 pair WITHOUT segment agreement that
+    must NOT match, a cross-block near-name that must NOT match
+    (blocking boundary), and a singleton. Survivorship: min-id
+    canonical, canonical's name as golden_name, max val as
+    golden_value."""
+    from ezbake_graph_spark.operators.llm_dedup import resolve_entities
+
+    rows = [
+        # entity 1: typo pair in block 0 (distance 1, segments differ)
+        (1, "acme corp", 0, "AUTO", 10.0),
+        (2, "acme corq", 0, "BLDG", 99.0),
+        # entity 3: chain in block 1 — 3~4 dist 1; 4~5 dist 2 + same
+        # segment; 3 vs 5 dist 3 (no direct edge) -> one entity of 3
+        (3, "zeta aaaa", 1, "AUTO", 5.0),
+        (4, "zeta aaab", 1, "AUTO", 7.0),
+        (5, "zeta abbb", 1, "AUTO", 6.0),
+        # 6 vs 7: distance 2 but DIFFERENT segment -> no match
+        (6, "omega llc", 2, "AUTO", 1.0),
+        (7, "omega lxx", 2, "BLDG", 2.0),
+        # 8 vs 1: name distance 1 to "acme corp" but DIFFERENT block
+        (8, "acme corp", 3, "AUTO", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "rec_id long, name string, block long, segment string, val double"
+    )
+    out = {
+        int(r.rec_id): r for r in resolve_entities(df).collect()
+    }
+    assert len(out) == 8  # one provenance row per input record
+    # typo pair
+    assert out[1].entity_id == 1 and out[2].entity_id == 1
+    assert out[1].cluster_size == 2 and out[2].is_canonical is False
+    assert out[2].golden_name == "acme corp"  # canonical record's name
+    assert out[2].golden_value == 99.0  # max val survives
+    # transitive chain
+    assert {out[k].entity_id for k in (3, 4, 5)} == {3}
+    assert out[3].cluster_size == 3
+    assert out[3].n_matches == 1 and out[4].n_matches == 2
+    assert out[3].golden_name == "zeta aaaa"
+    assert out[5].golden_value == 7.0
+    # distance-2 without corroboration stays split
+    assert out[6].entity_id == 6 and out[7].entity_id == 7
+    assert out[6].cluster_size == 1 and out[6].n_matches == 0
+    # blocking boundary: identical name in another block never matches
+    assert out[8].entity_id == 8 and out[8].is_canonical is True
+    assert out[8].golden_name == "acme corp" and out[8].golden_value == 50.0
