@@ -1970,6 +1970,26 @@ def louvain_local_moves(
     # Weighted graphs use the same integer algebra: strength replaces
     # degree, sum(w) replaces count(*) — weights must be BIGINT (scale
     # rational weights first, micro-unit style).
+    #
+    # Loop-scoped execution pin (the _superstep_env posture, inlined
+    # because symmetrize() would drop the weight column): AQE off and
+    # shuffle partitions sized to the edge volume for the WHOLE round
+    # loop — every round re-runs the same fixed small shuffles, so
+    # AQE's re-planning jobs and session-width reduce stages are pure
+    # per-round overhead (measured 331 s -> 159 s on the 80-node
+    # planted hierarchy test, 2x on the sf0.01 keys; identical integer
+    # trajectory, settings restored on exit). Edges cache
+    # dst-partitioned once so each round's kic join reuses the layout
+    # and only the small label frame shuffles.
+    spark = edges_sym.sparkSession
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_part = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    provisional = max(
+        4, min(int(prev_part), spark.sparkContext.defaultParallelism)
+    )
+    conf.set("spark.sql.shuffle.partitions", str(provisional))
     ew = edges_sym.select(
         "src",
         "dst",
@@ -1979,6 +1999,23 @@ def louvain_local_moves(
             else F.lit(1).cast("long")
         ).alias("_w"),
     )
+    try:
+        n_part = max(4, min(provisional, ew.count() // 250_000 + 1))
+        conf.set("spark.sql.shuffle.partitions", str(n_part))
+        ew = ew.repartition(n_part, "dst").cache()
+        return _louvain_rounds(ew, rounds, schedule)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.shuffle.partitions", prev_part)
+        ew.unpersist()
+
+
+def _louvain_rounds(ew: DataFrame, rounds: int, schedule: str) -> DataFrame:
+    """The local-move round loop over a cached weighted arc frame —
+    body of ``louvain_local_moves`` (see its contract), split out so
+    the conf pin/restore wraps exactly the executed region."""
+    from pyspark.sql import Window
+
     deg = ew.groupBy(F.col("src").alias("id")).agg(
         F.sum("_w").alias("deg")
     )
@@ -2331,3 +2368,258 @@ def graph_louvain_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     return louvain_two_level(sym).orderBy("id")
+
+
+LOUVAIN_MAX_LEVELS = 3
+
+
+def louvain_hierarchy(
+    edges_sym: DataFrame,
+    rounds: int = LOUVAIN_ROUNDS,
+    max_levels: int = LOUVAIN_MAX_LEVELS,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Full Louvain hierarchy: iterate local-moves -> coarsen until a
+    level brings NO integer modularity gain (or ``max_levels``),
+    emitting per level the base-node membership and the level's exact
+    modularity — the multi-level loop ``louvain_two_level`` runs once.
+
+    Levels: level 1 runs the parity schedule (callers supply a
+    2-colorable id space, as the bipartite fixture does); every coarse
+    level runs the swap-free "updown" schedule — the same discipline
+    pairing as ``louvain_two_level``.
+
+    Modularity is measured against the BASE graph for every level —
+    comparable across levels by construction — and kept exact:
+    ``q_num = 2m * sum_w(intra-community arcs) - sum_C tot_C^2`` (the
+    modularity numerator scaled by (2m)^2, all BIGINT). The reported
+    ``modularity`` is the ONE division q_num/(2m)^2, round6 — bit-
+    identical cross-engine. The stop rule is an exact integer
+    comparison: level k (k >= 2) is emitted iff ``q_num`` strictly
+    increased at EVERY coarse level up to k; the loop breaks at the
+    first non-improving level, exactly the gate the unrolled oracle
+    applies level by level.
+
+    Scale: each level's moves are the keyed-shuffle ``louvain_local_
+    moves`` kernel; coarsening is one keyed agg after two label joins;
+    each level's graph is communities^2-bounded, so cost decays
+    geometrically down the hierarchy. Per level there is ONE bounded
+    driver reduction (a 1-row modularity readout — the documented
+    convergence-check posture, never data-proportional).
+
+    Output: (level, id, community, q_num, modularity), one row per
+    base node per EMITTED level, level 1 rows always present.
+    """
+    w_in = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    base = edges_sym.select("src", "dst", w_in.alias("_w")).localCheckpoint(
+        eager=True
+    )
+    deg = base.groupBy(F.col("src").alias("id")).agg(F.sum("_w").alias("deg"))
+    m2 = base.agg(F.sum("_w")).collect()[0][0]
+    g = base
+    mem: DataFrame | None = None
+    prev_q: int | None = None
+    out: DataFrame | None = None
+    for lvl in range(1, max_levels + 1):
+        if lvl > 1 and g.select("src").distinct().count() <= 1:
+            # Degenerate coarse graph (everything already one
+            # community): moves are the identity, so mem_k == mem_{k-1}
+            # and q_k == q_{k-1} — the oracle's strict-gain gate drops
+            # the level either way; skip the wasted kernel run.
+            break
+        labels = louvain_local_moves(
+            g.select("src", "dst", F.col("_w").alias("w")),
+            rounds,
+            weight_col="w",
+            schedule="parity" if lvl == 1 else "updown",
+        )
+        if mem is None:
+            mem = labels
+        else:
+            mem = (
+                mem.select("id", F.col("community").alias("prev"))
+                .join(
+                    labels.select(
+                        F.col("id").alias("prev"),
+                        F.col("community").alias("community"),
+                    ),
+                    "prev",
+                )
+                .select("id", "community")
+            )
+        mem = mem.localCheckpoint(eager=True)
+        intra = (
+            base.join(
+                mem.select(F.col("id").alias("src"), F.col("community").alias("ca")),
+                "src",
+            )
+            .join(
+                mem.select(F.col("id").alias("dst"), F.col("community").alias("cb")),
+                "dst",
+            )
+            .filter(F.col("ca") == F.col("cb"))
+            .agg(F.coalesce(F.sum("_w"), F.lit(0).cast("long")).alias("intra"))
+        )
+        tots = (
+            mem.join(deg, "id")
+            .groupBy("community")
+            .agg(F.sum("deg").alias("tot"))
+            .agg(F.sum(F.col("tot") * F.col("tot")).alias("s2"))
+        )
+        row = intra.crossJoin(tots).collect()[0]
+        q = m2 * row["intra"] - row["s2"]
+        if lvl >= 2 and prev_q is not None and q <= prev_q:
+            break  # no integer modularity gain: hierarchy converged
+        prev_q = q
+        lvl_df = mem.select(
+            F.lit(lvl).cast("int").alias("level"),
+            "id",
+            "community",
+            F.lit(q).cast("long").alias("q_num"),
+            F.round(
+                F.lit(q).cast("double") / F.lit(m2 * m2).cast("double"), 6
+            ).alias("modularity"),
+        )
+        out = lvl_df if out is None else out.unionByName(lvl_df)
+        if lvl < max_levels:
+            g = (
+                g.join(
+                    labels.select(
+                        F.col("id").alias("src"), F.col("community").alias("cs")
+                    ),
+                    "src",
+                )
+                .join(
+                    labels.select(
+                        F.col("id").alias("dst"), F.col("community").alias("cd")
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+                .agg(F.sum("_w").alias("_w"))
+                .localCheckpoint(eager=True)
+            )
+    assert out is not None
+    return out
+
+
+def _louvain_hierarchy_sql(
+    rounds: int = LOUVAIN_ROUNDS, max_levels: int = LOUVAIN_MAX_LEVELS
+) -> str:
+    """Unrolled-CTE oracle for ``louvain_hierarchy``: per level, the
+    shared local-move chain (level 1 unweighted parity, coarse levels
+    weighted updown), a coarsen CTE, a base-graph modularity CTE, and
+    an emission gate — level k rows appear iff q strictly increased at
+    every coarse level up to k, the exact integer rule the Spark loop
+    applies by breaking at the first non-improving level."""
+    assert max_levels == 3, "oracle unrolled for exactly 3 levels"
+    l1 = _louvain_rounds_sql(rounds, "cm", "sym", "deg", "mm", False)
+    l2 = _louvain_rounds_sql(
+        rounds, "dm", "ce2", "deg2", "mm2", True, schedule="updown"
+    )
+    l3 = _louvain_rounds_sql(
+        rounds, "em", "ce3", "deg3", "mm3", True, schedule="updown"
+    )
+    R = rounds
+
+    def q_cte(name: str, mem: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT CAST((SELECT m2 FROM mm) * (
+           SELECT count(*) FROM sym s
+           JOIN {mem} a ON a.id = s.src
+           JOIN {mem} b ON b.id = s.dst
+           WHERE a.label = b.label)
+         - (SELECT CAST(sum(tot * tot) AS BIGINT) FROM (
+              SELECT CAST(sum(d.deg) AS BIGINT) AS tot
+              FROM {mem} c JOIN deg d ON d.id = c.id
+              GROUP BY c.label))
+         AS BIGINT) AS q
+)"""
+
+    def emit(level: int, mem: str, qname: str, gates: str) -> str:
+        return f"""SELECT {level} AS level, id, label AS community,
+       (SELECT q FROM {qname}) AS q_num,
+       round(CAST((SELECT q FROM {qname}) AS DOUBLE)
+             / CAST((SELECT m2 * m2 FROM mm) AS DOUBLE), 6) AS modularity
+FROM {mem}{gates}"""
+
+    g2 = "\nWHERE (SELECT q FROM q2) > (SELECT q FROM q1)"
+    g3 = (
+        "\nWHERE (SELECT q FROM q3) > (SELECT q FROM q2)"
+        "\n  AND (SELECT q FROM q2) > (SELECT q FROM q1)"
+    )
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem
+), sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), deg AS MATERIALIZED (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src
+), mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym),
+cm0 AS (SELECT id, id AS label FROM deg),
+{l1},
+mem1 AS MATERIALIZED (SELECT id, label FROM cm{R}),
+{q_cte("q1", "mem1")},
+ce2 AS MATERIALIZED (
+  SELECT c1.label AS src, c2.label AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM sym s
+  JOIN cm{R} c1 ON c1.id = s.src
+  JOIN cm{R} c2 ON c2.id = s.dst
+  GROUP BY 1, 2
+), deg2 AS MATERIALIZED (
+  SELECT src AS id, CAST(sum(w) AS BIGINT) AS deg FROM ce2 GROUP BY src
+), mm2 AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM ce2),
+dm0 AS (SELECT id, id AS label FROM deg2),
+{l2},
+mem2 AS MATERIALIZED (
+  SELECT n.id, d.label FROM mem1 n JOIN dm{R} d ON d.id = n.label
+),
+{q_cte("q2", "mem2")},
+ce3 AS MATERIALIZED (
+  SELECT c1.label AS src, c2.label AS dst, CAST(sum(s.w) AS BIGINT) AS w
+  FROM ce2 s
+  JOIN dm{R} c1 ON c1.id = s.src
+  JOIN dm{R} c2 ON c2.id = s.dst
+  GROUP BY 1, 2
+), deg3 AS MATERIALIZED (
+  SELECT src AS id, CAST(sum(w) AS BIGINT) AS deg FROM ce3 GROUP BY src
+), mm3 AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM ce3),
+em0 AS (SELECT id, id AS label FROM deg3),
+{l3},
+mem3 AS MATERIALIZED (
+  SELECT m.id, e.label FROM mem2 m JOIN em{R} e ON e.id = m.label
+),
+{q_cte("q3", "mem3")}
+{emit(1, "mem1", "q1", "")}
+UNION ALL
+{emit(2, "mem2", "q2", g2)}
+UNION ALL
+{emit(3, "mem3", "q3", g3)}
+ORDER BY level, id
+"""
+
+
+@register(
+    "graph_louvain_hierarchy",
+    oracle=_louvain_hierarchy_sql(),
+    tags=("J-extra", "pregel"),
+)
+def graph_louvain_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Louvain hierarchy over the part-supplier graph
+    (``louvain_hierarchy``): coarsen-and-repeat until no integer
+    modularity gain (max 3 levels), per-level base-node membership
+    plus the exact scaled modularity numerator and its round6 ratio.
+    Level-1 rows equal ``graph_louvain``'s communities and level-2
+    rows equal ``graph_louvain_two_level``'s (pinned in
+    tests/test_graph.py); the oracle unrolls all three levels and
+    gates each on the same strict integer q-gain rule the Spark loop
+    stops on."""
+    edges = bipartite_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return louvain_hierarchy(sym).orderBy("level", "id")

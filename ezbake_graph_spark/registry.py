@@ -126,6 +126,7 @@ _SLOW: frozenset[str] = frozenset(
         "graph_louvain",  # 4 local-move rounds + DuckDB unrolled oracle, ~8s
         "graph_louvain_weighted",  # same shape over weighted arcs, ~7s
         "graph_louvain_two_level",  # both levels + coarsen, ~12s
+        "graph_louvain_hierarchy",  # 3 levels + per-level q, ~9s
         "dedup_resolve_entities",  # blocked pair build + WCC, ~15s
     }
 )
@@ -158,6 +159,13 @@ _RECENTLY_CHANGED = (
     "events_survival_km",  # oracle gained the consumed guard (ADVICE
     #   r8: DuckDB ln(0) raises, it is not -inf — latent on current
     #   fixtures but the SQL text changed, so re-verify)
+    # louvain_local_moves gained the loop-scoped execution pin (AQE
+    # off, edge-adapted partitions, cached dst-partitioned arcs):
+    # identical integer trajectory, but the construction path changed
+    # — re-verify per the r7 #7 rule.
+    "graph_louvain",
+    "graph_louvain_weighted",
+    "graph_louvain_two_level",
 )
 
 

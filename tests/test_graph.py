@@ -862,3 +862,109 @@ def test_two_level_louvain_merges_superclusters(spark):
     bg2 = {two[i] for i in range(28, 36)}
     assert len(bg1) == 1 and len(bg2) == 1 and bg1 != bg2
     assert not (bg1 & left) and not (bg2 & right)
+
+
+def test_louvain_hierarchy_levels_match_single_and_two_level(spark):
+    """graph_louvain_hierarchy's level-1 rows equal graph_louvain's
+    communities and its level-2 rows equal graph_louvain_two_level's —
+    the hierarchy is the same kernels iterated, so the prefix must be
+    bit-identical; q strictly increases across emitted levels (the
+    emission gate)."""
+    from ezbake_graph_spark import registry
+
+    qs = registry.queries()
+    hier = qs["graph_louvain_hierarchy"](spark, SF_SMOKE).collect()
+    lvl1 = {r["id"]: r["community"] for r in hier if r["level"] == 1}
+    lvl2 = {r["id"]: r["community"] for r in hier if r["level"] == 2}
+    one = {
+        r["id"]: r["community"]
+        for r in qs["graph_louvain"](spark, SF_SMOKE).collect()
+    }
+    two = {
+        r["id"]: r["community"]
+        for r in qs["graph_louvain_two_level"](spark, SF_SMOKE).collect()
+    }
+    assert lvl1 == one
+    if lvl2:  # emitted only when level 2 strictly gains
+        assert lvl2 == two
+    qn = {r["level"]: r["q_num"] for r in hier}
+    qs_sorted = [qn[k] for k in sorted(qn)]
+    assert qs_sorted == sorted(set(qs_sorted)), "q must strictly increase"
+    # modularity is the exact ratio of the emitted numerator
+    m2 = 2 * len(
+        {
+            (r["src"], r["dst"])
+            for r in __import__(
+                "ezbake_graph_spark.operators.graph", fromlist=["bipartite_edges"]
+            ).bipartite_edges(spark, SF_SMOKE).collect()
+        }
+    )
+    for r in hier:
+        assert r["modularity"] == round(r["q_num"] / (m2 * m2), 6)
+
+
+def test_louvain_hierarchy_recovers_planted_three_tiers(spark):
+    """Three-tier recovery on a chain of 12 5-cliques (3-bridge ties
+    between consecutive cliques, two 10-clique background communities
+    setting 2m): level 1 resolves the 12 cliques exactly; each further
+    level merges chain neighbours that the previous level's bounded
+    round budget could not, with STRICTLY increasing exact modularity
+    — the multi-pass behaviour full Louvain exists for. Cliques are
+    never split at any level and the background never joins the
+    chain."""
+    from ezbake_graph_spark.operators.graph import louvain_hierarchy
+
+    edges = []
+
+    def add(a, b):
+        edges.extend([(a, b), (b, a)])
+
+    cliques = []
+    nid = 0
+    for _ in range(12):
+        members = list(range(nid, nid + 5))
+        nid += 5
+        cliques.append(members)
+        for i in members:
+            for j in members:
+                if i < j:
+                    add(i, j)
+    for k in range(11):
+        for t in range(3):
+            add(cliques[k][t], cliques[k + 1][t])
+    bg = []
+    for _ in range(2):
+        members = list(range(nid, nid + 10))
+        nid += 10
+        bg.append(members)
+        for i in members:
+            for j in members:
+                if i < j:
+                    add(i, j)
+    sym = spark.createDataFrame(edges, "src long, dst long").distinct()
+    rows = louvain_hierarchy(sym, rounds=4, max_levels=3).collect()
+    levels = sorted({r["level"] for r in rows})
+    assert levels == [1, 2, 3]
+    by_level = {
+        lvl: {r["id"]: r["community"] for r in rows if r["level"] == lvl}
+        for lvl in levels
+    }
+    qn = [
+        next(r["q_num"] for r in rows if r["level"] == lvl) for lvl in levels
+    ]
+    assert qn[0] < qn[1] < qn[2], "each emitted level strictly gains"
+    # level 1: the 12 cliques are exactly the chain communities
+    mem1 = by_level[1]
+    comms1 = [{mem1[i] for i in c} for c in cliques]
+    assert all(len(c) == 1 for c in comms1)
+    assert len(set().union(*comms1)) == 12
+    n_comms = [len(set(by_level[lvl].values())) for lvl in levels]
+    assert n_comms[0] > n_comms[1] > n_comms[2], "every level merges further"
+    for lvl in levels:
+        mem = by_level[lvl]
+        # cliques never split; background cliques stay their own
+        # communities, disjoint from the chain
+        for c in cliques + bg:
+            assert len({mem[i] for i in c}) == 1
+        chain_comms = {mem[c[0]] for c in cliques}
+        assert not chain_comms & {mem[b[0]] for b in bg}
