@@ -2623,3 +2623,143 @@ def graph_louvain_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     return louvain_hierarchy(sym).orderBy("level", "id")
+
+
+HITS_EXACT_ITERS = 6
+
+
+def _hits_exact_sql(iterations: int = HITS_EXACT_ITERS) -> str:
+    """Unrolled-CTE oracle for integer HITS: per superstep, one grouped
+    sum per half-step and a floor-div micro-unit L1 normalization whose
+    total is a scalar subquery — the M77 regime applied to the one
+    fixpoint that still lacked an exactly-oracled twin (VERDICT r8 #5:
+    HITS' L1 denominators are data-dependent floats in the production
+    key; here they are exact BIGINTs)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        # each step references its predecessor several times (the
+        # grouped sum + the scalar total), so an unmarked chain
+        # re-expands exponentially — measured as fd exhaustion from
+        # thousands of repeated parquet scans at 6 supersteps.
+        steps.append(f"""araw{i} AS MATERIALIZED (
+  SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS raw
+  FROM edges e JOIN hub{i - 1} h ON h.id = e.src GROUP BY e.dst
+), auth{i} AS MATERIALIZED (
+  SELECT id, (raw * 1000000)
+             // (SELECT CAST(sum(raw) AS BIGINT) FROM araw{i}) AS a
+  FROM araw{i}
+), hraw{i} AS MATERIALIZED (
+  SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS raw
+  FROM edges e JOIN auth{i} a ON a.id = e.dst GROUP BY e.src
+), hub{i} AS MATERIALIZED (
+  SELECT id, (raw * 1000000)
+             // (SELECT CAST(sum(raw) AS BIGINT) FROM hraw{i}) AS h
+  FROM hraw{i}
+)""")
+    return (
+        "WITH edges AS MATERIALIZED (\n"
+        "  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst"
+        " FROM lineitem\n"
+        "), verts AS MATERIALIZED (\n"
+        "  SELECT src AS id FROM edges UNION SELECT dst FROM edges\n"
+        "), hub0 AS (\n"
+        "  SELECT id, CAST(1000000 AS BIGINT) AS h FROM verts\n"
+        "),\n" + ",\n".join(steps) + f"""
+SELECT v.id,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS hub_micro,
+       CAST(coalesce(a.a, 0) AS BIGINT) AS auth_micro,
+       round(CAST(coalesce(h.h, 0) AS DOUBLE) / 1000000, 6) AS hub,
+       round(CAST(coalesce(a.a, 0) AS DOUBLE) / 1000000, 6) AS auth
+FROM verts v
+LEFT JOIN hub{iterations} h ON h.id = v.id
+LEFT JOIN auth{iterations} a ON a.id = v.id
+ORDER BY v.id
+"""
+    )
+
+
+@register(
+    "graph_hits_exact",
+    oracle=_hits_exact_sql(),
+    tags=("J-extra", "iterative"),
+)
+def graph_hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS with a FULL cross-engine value-hash oracle — the exactly-
+    oracled twin of ``graph_hits`` (rows-only), completing the "every
+    fixpoint gets an exact twin" pattern (graph_pagerank_exact M77,
+    graph_betweenness_exact M155). The float hazard in HITS is the
+    per-half-step L1 normalization (data-dependent denominators); here
+    scores are micro-units and each normalization is ONE integer floor
+    division ``(raw * 1e6) div total`` against an exact BIGINT total,
+    so no float op exists inside the loop and both engines produce
+    bit-identical trajectories. Costs ≤1e-6 quantization per
+    half-step vs the float path (tracking pinned in tests); the two
+    double divisions happen on output only.
+
+    6 fixed supersteps on the directed part→supplier graph (hub mass
+    on parts, authority on suppliers — the bipartite Kleinberg
+    reading; suppliers have no out-edges so their hub is exactly 0,
+    and vice versa). Plan shape per superstep: two keyed join+grouped
+    sums (the pregel.hits posture) plus two 1-row totals broadcast
+    back — never a driver round trip inside the chain. BIGINT bound:
+    ``raw * 1e6`` needs Σhub_micro * 1e6 < 9.2e18, i.e. < 9.2e12
+    micro-mass — after the first normalization the L1 mass is ≤ 1e6,
+    so only superstep 1's raw (n_parts * 1e6) binds: safe below ~9e12
+    parts; pre-scale the init mass beyond that (chi2-style caveat).
+    """
+    with _pinned_loop_env(spark):
+        edges = bipartite_edges(spark, sf_dir).localCheckpoint()
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        hub = verts.select("id", F.lit(1_000_000).cast("long").alias("h"))
+        auth = None
+        for i in range(HITS_EXACT_ITERS):
+            araw = (
+                edges.join(hub.select(F.col("id").alias("src"), "h"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("h").alias("raw"))
+            )
+            t_a = araw.agg(F.sum("raw").alias("t"))
+            auth = (
+                araw.crossJoin(F.broadcast(t_a))
+                .select("id", F.expr("(raw * 1000000) div t").alias("a"))
+            )
+            hraw = (
+                edges.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("a").alias("raw"))
+            )
+            t_h = hraw.agg(F.sum("raw").alias("t"))
+            hub = (
+                hraw.crossJoin(F.broadcast(t_h))
+                .select("id", F.expr("(raw * 1000000) div t").alias("h"))
+            )
+            # Eager per superstep — NOT the fixed-iteration lazy
+            # cadence: each L1 total is a BroadcastExchange whose
+            # build job re-executes its upstream lineage, so an
+            # uncheckpointed chain recomputes every earlier superstep
+            # per broadcast (measured 27 s vs 8 s at sf0.01). The
+            # checkpoint bounds each superstep to ~3 executions of its
+            # own two keyed shuffles.
+            hub = hub.localCheckpoint(eager=True)
+        return (
+            verts.join(hub, "id", "left")
+            .join(auth.withColumnRenamed("a", "a_"), "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("h"), F.lit(0).cast("long")).alias("hub_micro"),
+                F.coalesce(F.col("a_"), F.lit(0).cast("long")).alias("auth_micro"),
+                F.round(
+                    F.coalesce(F.col("h"), F.lit(0)).cast("double") / 1_000_000, 6
+                ).alias("hub"),
+                F.round(
+                    F.coalesce(F.col("a_"), F.lit(0)).cast("double") / 1_000_000, 6
+                ).alias("auth"),
+            )
+            .orderBy("id")
+            .localCheckpoint()
+        )

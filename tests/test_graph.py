@@ -968,3 +968,40 @@ def test_louvain_hierarchy_recovers_planted_three_tiers(spark):
             assert len({mem[i] for i in c}) == 1
         chain_comms = {mem[c[0]] for c in cliques}
         assert not chain_comms & {mem[b[0]] for b in bg}
+
+
+def test_hits_exact_tracks_float_hits(spark):
+    """graph_hits_exact (micro-int, floor-div L1 per half-step) tracks
+    the float pregel.hits iteration at the same superstep count to
+    within the accumulated quantization (<= ~1e-6 per half-step), and
+    respects the bipartite structure: suppliers carry zero hub mass,
+    parts zero authority, each L1 mass sums to <= 1e6 with floor loss
+    bounded by the node count."""
+    from ezbake_graph_spark import registry
+    from ezbake_graph_spark.graph.pregel import hits
+    from ezbake_graph_spark.operators.graph import (
+        HITS_EXACT_ITERS,
+        bipartite_edges,
+    )
+
+    rows = registry.queries()["graph_hits_exact"](spark, SF_SMOKE).collect()
+    f = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in hits(
+            bipartite_edges(spark, SF_SMOKE), iterations=HITS_EXACT_ITERS
+        ).collect()
+    }
+    assert {r["id"] for r in rows} == set(f)
+    hub_mass = sum(r["hub_micro"] for r in rows)
+    auth_mass = sum(r["auth_micro"] for r in rows)
+    n = len(rows)
+    assert 1_000_000 - n <= hub_mass <= 1_000_000
+    assert 1_000_000 - n <= auth_mass <= 1_000_000
+    for r in rows:
+        if r["id"] % 2 == 0:  # part: hub side only
+            assert r["auth_micro"] == 0
+        else:  # supplier: authority side only
+            assert r["hub_micro"] == 0
+        fh, fa = f[r["id"]]
+        assert abs(r["hub_micro"] / 1e6 - fh) < 5e-5
+        assert abs(r["auth_micro"] / 1e6 - fa) < 5e-5
