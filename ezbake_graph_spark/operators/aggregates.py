@@ -81,18 +81,28 @@ ORDER BY event_type
 
 # Spark twin of _COUNT_DISTINCT_SQL minus the presentational ORDER BY
 # (bounded_sort outside the text); SQL-text form per tables.ensure_views.
+# TWO-LEVEL reaggregation instead of count(DISTINCT ...): the same two
+# keyed shuffles, but without the Expand operator that duplicates every
+# map-side row once per aggregate — measured 0.197 s -> 0.151 s warm at
+# sf0.1 (VERDICT r8 #7), and at 100 TB the halved map-side volume is
+# the difference that matters. Results are identical (sum of per-user
+# counts == count(*); count of (type, user) groups == count distinct).
 _COUNT_DISTINCT_SPARK = """
 SELECT event_type,
-       count(DISTINCT user_id) AS n_users,
-       count(*) AS n_events
-FROM events
+       count(*) AS n_users,
+       sum(cnt) AS n_events
+FROM (
+  SELECT event_type, user_id, count(*) AS cnt
+  FROM events
+  GROUP BY event_type, user_id
+)
 GROUP BY event_type
 """
 
 
 @register("agg_count_distinct", oracle=_COUNT_DISTINCT_SQL, tags=("D2", "bench"))
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact COUNT(DISTINCT) (D2): Spark expands to a two-phase plan."""
+    """Exact COUNT(DISTINCT) (D2) via skew-safe two-level reagg."""
     tables.ensure_views(spark, sf_dir)
     return spark.sql(_COUNT_DISTINCT_SPARK).transform(bounded_sort, "event_type")
 

@@ -166,6 +166,8 @@ _RECENTLY_CHANGED = (
     "graph_louvain",
     "graph_louvain_weighted",
     "graph_louvain_two_level",
+    "agg_count_distinct",  # two-level reagg replaced count(DISTINCT)
+    #   (same two shuffles, no Expand; VERDICT r8 #7)
 )
 
 

@@ -129,9 +129,28 @@ def spark_dirty_cols(df) -> list[str]:
     return out
 
 
+def _row(rows_match, schema_match, hash_match, spark_rows, oracle_rows, err):
+    """One report entry, shaped exactly like a driver CORRECTNESS row."""
+    return {
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "hash_match": hash_match,
+        "spark_rows": spark_rows,
+        "oracle_rows": oracle_rows,
+        "err": err,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("VERIFY_SF", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write a machine-readable report in the driver's "
+        "CORRECTNESS_rN.json row shape (VERDICT r8 #2: makes the "
+        "local full-registry sweep an auditable committed artifact)",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -146,6 +165,7 @@ def main() -> int:
     spark = get_session("verify-local")
     con = duckdb_conn(args.sf)
     failures = 0
+    report: dict[str, dict] = {}
     for k in keys:
         t0 = time.time()
         try:
@@ -155,12 +175,14 @@ def main() -> int:
             print(f"FAIL  {k}: spark raised")
             traceback.print_exc()
             failures += 1
+            report[k] = _row(None, None, None, None, None, "spark_raised")
             continue
         dt = time.time() - t0
         if k not in oracles:
             print(f"rows  {k}: {len(srows)} rows ({dt:.1f}s) [rows-only]")
             if len(srows) == 0 and "empty-ok" not in registry.REGISTRY[k].tags:
                 print(f"WARN  {k}: 0 rows from rows-only query")
+            report[k] = _row(None, None, None, len(srows), None, "no_oracle")
             continue
         try:
             dcols, drows, dirty = duck_collect(con, oracles[k])
@@ -168,6 +190,7 @@ def main() -> int:
             print(f"FAIL  {k}: duckdb oracle raised")
             traceback.print_exc()
             failures += 1
+            report[k] = _row(None, None, None, len(srows), None, "oracle_raised")
             continue
         sc, ss = canon_rows(scols, srows)
         dc, ds = canon_rows(dcols, drows)
@@ -188,6 +211,11 @@ def main() -> int:
                 problems.append(f"  spark-only: {r[:200]}")
             for r in only_d:
                 problems.append(f"  duck-only:  {r[:200]}")
+        hash_ok = value_hash(ss) == value_hash(ds)
+        report[k] = _row(
+            len(srows) == len(drows), sc == dc, hash_ok,
+            len(srows), len(drows), None,
+        )
         if problems:
             failures += 1
             print(f"FAIL  {k} ({dt:.1f}s): " + "; ".join(problems[:1]))
@@ -196,6 +224,12 @@ def main() -> int:
         else:
             print(f"ok    {k}: {len(srows)} rows ({dt:.1f}s)")
     print(f"\n{len(keys) - failures}/{len(keys)} passed")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"report written: {args.json}")
     return failures
 
 
