@@ -638,3 +638,120 @@ def filter_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nll_micro",
         (F.col("nll_micro") <= PERPLEXITY_NLL_MICRO_MAX).alias("keep"),
     ).orderBy("doc_id")
+
+
+DSIR_TARGET_LANG = "en"
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS cnt_all,
+         CAST(count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS BIGINT)
+           AS cnt_tgt
+  FROM tok GROUP BY term
+), llr AS (
+  SELECT term,
+         CAST(round((ln(CAST(cnt_tgt + 1 AS DOUBLE))
+                     - ln(CAST(cnt_all + 1 AS DOUBLE))) * 1000000) AS BIGINT)
+           AS llr_micro
+  FROM vocab
+), consts AS (
+  SELECT CAST(round((ln(CAST((SELECT CAST(sum(cnt_tgt) AS BIGINT) FROM vocab)
+                             + (SELECT count(*) FROM vocab) AS DOUBLE))
+                     - ln(CAST((SELECT CAST(sum(cnt_all) AS BIGINT) FROM vocab)
+                               + (SELECT count(*) FROM vocab) AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS c_micro
+), per_doc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(l.llr_micro) AS BIGINT) AS s_micro
+  FROM tok t JOIN llr l USING (term)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(s_micro - n_tokens * (SELECT c_micro FROM consts) AS BIGINT)
+         AS w_micro,
+       (s_micro - n_tokens * (SELECT c_micro FROM consts)) > 0 AS selected
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@register("filter_dsir_importance", oracle=_DSIR_SQL, tags=("ext", "filter"))
+def filter_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (Data Selection via Importance
+    Resampling, Xie et al. 2023, hashed-n-gram variant reduced to
+    unigrams): weight each document by the log-likelihood ratio of a
+    TARGET unigram LM (the lang='en' slice here — "select data that
+    looks like my target domain") against the full-corpus background
+    LM, add-1 smoothed; keep the docs the target model prefers
+    (w > 0). The standard pretraining-data selection step between raw
+    crawl and quality gates.
+
+    Determinism: the per-TERM log ratio ``ln(cnt_tgt+1)-ln(cnt_all+1)``
+    is two libm calls on exact integers, quantized ONCE to micro-units
+    per vocab entry; each document's weight is then an exact BIGINT
+    ``Σ count·llr_micro − n_tokens·C_micro`` (the smoothing-mass
+    constant C folded out of the per-term sum, same algebra as
+    text_unigram_logprob) — no float accumulates across rows, so
+    summation order cannot matter and the selection predicate is
+    bit-identical cross-engine.
+
+    Plan: explode → term-keyed vocab agg (one shuffle, map-side
+    combined, Zipf-bounded result) → broadcast the scored vocab back →
+    doc-keyed sum (second shuffle) → map-side threshold. The selection
+    is threshold-at-zero, not global-top-k, so no unpartitioned window
+    exists anywhere — at 100 TB it is two linear keyed passes."""
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt_all"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("cnt_tgt"),
+    )
+    llr = vocab.select(
+        "term",
+        F.round(
+            (
+                F.log((F.col("cnt_tgt") + 1).cast("double"))
+                - F.log((F.col("cnt_all") + 1).cast("double"))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("llr_micro"),
+    )
+    consts = vocab.agg(
+        F.round(
+            (
+                F.log((F.sum("cnt_tgt") + F.count(F.lit(1))).cast("double"))
+                - F.log((F.sum("cnt_all") + F.count(F.lit(1))).cast("double"))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("c_micro")
+    )
+    per_doc = (
+        tok.join(F.broadcast(llr), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("llr_micro").alias("s_micro"),
+        )
+    )
+    w = F.col("s_micro") - F.col("n_tokens") * F.col("c_micro")
+    return (
+        per_doc.crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "n_tokens",
+            w.alias("w_micro"),
+            (w > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

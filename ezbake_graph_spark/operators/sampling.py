@@ -283,3 +283,112 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "n_chars")
     )
+
+
+_LEAK_SPLIT_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < 200
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / CAST(len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        >= 0.8
+), sym AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM t
+  UNION
+  SELECT s.dst AS node, r.label
+  FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.label < s.dst
+), comp AS (
+  SELECT node AS doc_id, min(label) AS canonical_doc_id
+  FROM reach GROUP BY node
+), assigned AS (
+  SELECT doc_id, canonical_doc_id,
+         CASE WHEN substr(md5(CAST(canonical_doc_id AS VARCHAR)), 1, 2)
+                   < '{_SPLIT_HEX_THRESHOLD}'
+              THEN 'train' ELSE 'test' END AS split,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{_SPLIT_HEX_THRESHOLD}'
+              THEN 'train' ELSE 'test' END AS naive_split
+  FROM comp
+)
+SELECT doc_id, canonical_doc_id, split, naive_split,
+       CAST(count(*) OVER (PARTITION BY canonical_doc_id) AS BIGINT)
+         AS cluster_size,
+       (min(naive_split) OVER (PARTITION BY canonical_doc_id)
+        <> max(naive_split) OVER (PARTITION BY canonical_doc_id))
+         AS naive_leaks
+FROM assigned
+ORDER BY doc_id
+"""
+
+
+@register(
+    "sample_split_leakage_safe",
+    oracle=_LEAK_SPLIT_SQL,
+    tags=("ext", "sampling"),
+)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: hash the near-duplicate CLUSTER
+    canonical, not the document — so near-dups can never straddle the
+    split boundary (the eval-contamination failure mode a plain
+    per-doc hash split has: a test doc whose near-copy sits in train).
+    Same exact-Jaccard pair graph + Pregel WCC canonicalization as
+    ``dedup_cluster_canonical`` (doc_id<200 oracle scope; MinHash-LSH
+    feeds the same kernel at 100 TB), then the md5 split keyed on
+    ``canonical_doc_id``.
+
+    Output carries the audit: ``naive_split`` (what the per-doc hash
+    would do) and ``naive_leaks`` (true on every member of a cluster
+    the naive split straddles — the rows this operator exists to fix).
+    Split assignment stays a pure function of stable ids: stable under
+    re-runs, appends, and repartitioning. Plan: the pair+WCC stages
+    are the dedup kernel's (keyed shuffles, loop on the pair graph
+    only); the split itself is map-side; the audit windows are keyed
+    on the cluster id."""
+    from ezbake_graph_spark.graph.pregel import connected_components
+    from ezbake_graph_spark.operators.llm_dedup import (
+        JACCARD_THRESHOLD,
+        _doc_tokens,
+        _jaccard_pairs,
+    )
+
+    tok = _doc_tokens(spark, sf_dir, max_doc=200)
+    pairs = (
+        _jaccard_pairs(tok)
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    )
+    verts = tok.select(F.col("doc_id").alias("id")).distinct()
+    comp = connected_components(verts, pairs).select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical_doc_id"),
+    )
+
+    def hash_split(col: str):
+        first2 = F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+        return F.when(first2 < _SPLIT_HEX_THRESHOLD, "train").otherwise("test")
+
+    w = Window.partitionBy("canonical_doc_id")
+    assigned = comp.select(
+        "doc_id",
+        "canonical_doc_id",
+        hash_split("canonical_doc_id").alias("split"),
+        hash_split("doc_id").alias("naive_split"),
+    )
+    return assigned.select(
+        "doc_id",
+        "canonical_doc_id",
+        "split",
+        "naive_split",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.min("naive_split").over(w) != F.max("naive_split").over(w)).alias(
+            "naive_leaks"
+        ),
+    ).orderBy("doc_id")
