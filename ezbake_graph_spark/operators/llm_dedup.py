@@ -1414,3 +1414,178 @@ def dedup_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("val"),
     )
     return resolve_entities(c)
+
+
+def resolve_entities_append(
+    old_records: DataFrame,
+    old_resolution: DataFrame,
+    new_records: DataFrame,
+) -> DataFrame:
+    """Incremental entity resolution: fold a NEW batch of records into
+    an existing resolution WITHOUT re-matching the old corpus against
+    itself — the daily-ingest path (the ER twin of ``sim_ivf_append``'s
+    no-retrain contract). Produces EXACTLY what ``resolve_entities``
+    over (old ∪ new) would — pinned by the registered key's oracle,
+    which IS the full-batch SQL.
+
+    Inputs: ``old_records``/``new_records`` in the
+    (rec_id, name, block, segment, val) shape, and ``old_resolution``
+    = the prior ``resolve_entities`` output (rec_id, entity_id,
+    n_matches, ... — only those three are read).
+
+    Why it's equivalent: old↔old pairs were all examined when the old
+    resolution ran (same match rule), so the only NEW evidence is
+    pairs touching a new record. Collapsing each old record to its
+    entity label turns the incremental graph into (new records ∪
+    touched entities) — two old entities can merge only through a new
+    bridge record, which appears as a path in exactly that graph; and
+    since an entity label IS the min rec_id of its old cluster,
+    min-label WCC over the collapsed graph yields the same min the
+    full-batch WCC would.
+
+    Scale: the match stage is |new| × block-bounded (never old×old);
+    the WCC loop runs on the collapsed graph only. The survivorship
+    windows at the end re-emit every record for output parity with
+    the batch key — a production sink would restrict them to touched
+    entities and leave the rest of the table untouched.
+    """
+    from ezbake_graph_spark.graph.pregel import connected_components
+
+    cols = ["rec_id", "name", "block", "segment", "val"]
+    old_r = old_records.select(*cols)
+    new_r = new_records.select(*cols)
+    n_part = max(4, old_records.sparkSession.sparkContext.defaultParallelism)
+    all_r = (
+        old_r.withColumn("is_new", F.lit(False))
+        .unionByName(new_r.withColumn("is_new", F.lit(True)))
+        .repartition(n_part, "block")
+        .localCheckpoint(eager=True)
+    )
+    a = all_r.filter("is_new").alias("a")  # new side only
+    b = all_r.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    raw = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.rec_id") != F.col("b.rec_id")),
+        )
+        .select(
+            F.col("a.rec_id").alias("x"),
+            F.col("b.rec_id").alias("y"),
+            dist.cast("int").alias("name_dist"),
+            (F.col("a.segment") == F.col("b.segment")).alias("same_segment"),
+        )
+        .filter(
+            (F.col("name_dist") <= ER_NAME_DIST)
+            | ((F.col("name_dist") <= ER_WEAK_DIST) & F.col("same_segment"))
+        )
+        # normalize so a new-new pair (seen from both sides) dedups
+        .select(
+            F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # collapse old endpoints to their entity label; new endpoints stay
+    ent_src = old_resolution.select(
+        F.col("rec_id").alias("src"), F.col("entity_id").alias("e_src")
+    )
+    ent_dst = old_resolution.select(
+        F.col("rec_id").alias("dst"), F.col("entity_id").alias("e_dst")
+    )
+    edges = (
+        raw.join(ent_src, "src", "left")
+        .join(ent_dst, "dst", "left")
+        .select(
+            F.coalesce("e_src", "src").alias("src"),
+            F.coalesce("e_dst", "dst").alias("dst"),
+        )
+    )
+    verts = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst"))
+    ).distinct()
+    comp = connected_components(verts, edges).select(
+        F.col("id").alias("node"), F.col("component").alias("merged")
+    )
+    # final entity per record
+    old_ent = old_resolution.select("rec_id", "entity_id")
+    old_final = (
+        old_r.join(old_ent, "rec_id")
+        .join(comp, F.col("entity_id") == F.col("node"), "left")
+        .select(
+            "rec_id",
+            "name",
+            "val",
+            F.coalesce("merged", "entity_id").alias("entity_id"),
+        )
+    )
+    new_final = new_r.join(
+        comp, new_r.rec_id == comp.node, "left"
+    ).select(
+        "rec_id",
+        "name",
+        "val",
+        F.coalesce("merged", "rec_id").alias("entity_id"),
+    )
+    # degree: old degree (from the prior resolution) + new-pair degree
+    touch = raw.select(F.col("src").alias("rec_id")).union(
+        raw.select(F.col("dst"))
+    )
+    new_deg = touch.groupBy("rec_id").agg(F.count(F.lit(1)).alias("d_new"))
+    deg = (
+        old_resolution.select("rec_id", F.col("n_matches").alias("d_old"))
+        .unionByName(
+            new_r.select("rec_id", F.lit(0).cast("long").alias("d_old"))
+        )
+        .join(new_deg, "rec_id", "left")
+        .select(
+            "rec_id",
+            (F.col("d_old") + F.coalesce("d_new", F.lit(0))).alias("n_matches"),
+        )
+    )
+    ent = old_final.unionByName(new_final).join(deg, "rec_id")
+    w = Window.partitionBy("entity_id")
+    is_canon = F.col("rec_id") == F.col("entity_id")
+    return (
+        ent.select(
+            "rec_id",
+            "entity_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            is_canon.alias("is_canonical"),
+            "n_matches",
+            F.max(F.when(is_canon, F.col("name"))).over(w).alias("golden_name"),
+            F.max("val").over(w).alias("golden_value"),
+        )
+        .orderBy("rec_id")
+    )
+
+
+@register(
+    "dedup_resolve_entities_append", oracle=_RESOLVE_SQL, tags=("ext", "er")
+)
+def dedup_resolve_entities_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity resolution over the customer master: resolve
+    the 75% "existing" slice (c_custkey % 4 != 0) with the batch
+    kernel, then fold in the remaining 25% as the daily-ingest batch
+    via ``resolve_entities_append`` — new records match against the
+    corpus but the old corpus never re-matches against itself, and two
+    existing entities merge only through a bridging new record.
+
+    The oracle is ``dedup_resolve_entities``'s FULL-BATCH recursive-CTE
+    SQL, verbatim: the append path must value-hash-equal a from-scratch
+    resolution of the whole table — the strongest possible equivalence
+    contract for an incremental operator (the ER analogue of
+    sim_ivf_append's union-equivalence test, upgraded to a cross-engine
+    hash)."""
+    c = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("block"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("val"),
+    )
+    old = c.filter(F.col("rec_id") % 4 != 0)
+    new = c.filter(F.col("rec_id") % 4 == 0)
+    old_res = resolve_entities(old)
+    return resolve_entities_append(old, old_res, new)

@@ -934,3 +934,55 @@ def test_resolve_entities_planted_clusters(spark):
     # blocking boundary: identical name in another block never matches
     assert out[8].entity_id == 8 and out[8].is_canonical is True
     assert out[8].golden_name == "acme corp" and out[8].golden_value == 50.0
+
+
+def test_resolve_entities_append_bridge_and_empty_batch(spark):
+    """The incremental path merges two EXISTING entities when a new
+    record bridges them (the case incremental ER gets wrong if it only
+    assigns new records to one nearest entity), and an empty new batch
+    returns the old resolution unchanged."""
+    from ezbake_graph_spark.operators.llm_dedup import (
+        resolve_entities,
+        resolve_entities_append,
+    )
+
+    schema = "rec_id long, name string, block long, segment string, val double"
+    old = spark.createDataFrame(
+        [
+            # entity A: {1, 2} (distance-1 pair)
+            (1, "aaaa xxxx", 0, "AUTO", 10.0),
+            (2, "aaaa xxxy", 0, "AUTO", 20.0),
+            # entity B: {5, 6} — distance 4 from A, same block
+            (5, "aaaa zzzz", 0, "AUTO", 30.0),
+            (6, "aaaa zzzy", 0, "AUTO", 40.0),
+            # unrelated singleton in another block
+            (9, "qqqq qqqq", 1, "BLDG", 5.0),
+        ],
+        schema,
+    )
+    old_res = resolve_entities(old)
+    # empty batch: output == old resolution, row for row
+    empty = spark.createDataFrame([], schema)
+    same = resolve_entities_append(old, old_res, empty)
+    assert sorted(map(tuple, same.collect())) == sorted(
+        map(tuple, old_res.collect())
+    )
+    # bridge: "aaaa xzzy" weak-matches records on BOTH sides — 2
+    # ("aaaa xxxy", d=2), 5 ("aaaa zzzz", d=2) and 6 ("aaaa zzzy",
+    # d=1) — so entities A and B must merge, labeled min(1, 5, 10) = 1
+    bridge = spark.createDataFrame([(10, "aaaa xzzy", 0, "AUTO", 99.0)], schema)
+    out = {
+        int(r.rec_id): r
+        for r in resolve_entities_append(old, old_res, bridge).collect()
+    }
+    assert {out[k].entity_id for k in (1, 2, 5, 6, 10)} == {1}
+    assert out[1].cluster_size == 5
+    assert out[1].golden_value == 99.0  # the new record's val survives
+    assert out[10].n_matches == 3 and out[10].is_canonical is False
+    assert out[9].entity_id == 9 and out[9].cluster_size == 1
+    # equivalence with the batch kernel on the union
+    batch = {
+        int(r.rec_id): tuple(r)
+        for r in resolve_entities(old.unionByName(bridge)).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == batch
