@@ -1255,3 +1255,112 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity (M212)
+
+_BASKET_MIN_SUP = 2  # apriori minimum pair support
+
+_BASKET_SQL = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n AS (
+  SELECT count(DISTINCT o) AS n_baskets FROM b
+), item AS (
+  SELECT p, count(*) AS sup FROM b GROUP BY p
+), pair AS (
+  SELECT a.p AS part_a, c.p AS part_b, count(*) AS pair_support
+  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+  GROUP BY 1, 2
+  HAVING count(*) >= {_BASKET_MIN_SUP}
+)
+SELECT pr.part_a, pr.part_b, pr.pair_support,
+       ia.sup AS support_a, ib.sup AS support_b,
+       n.n_baskets,
+       round(CAST(pr.pair_support AS DOUBLE) / ia.sup, 6) AS conf_a_to_b,
+       round(CAST(pr.pair_support AS DOUBLE) / ib.sup, 6) AS conf_b_to_a,
+       round(CAST(pr.pair_support AS DOUBLE) * n.n_baskets
+             / (ia.sup * ib.sup), 6) AS lift
+FROM pair pr
+JOIN item ia ON ia.p = pr.part_a
+JOIN item ib ON ib.p = pr.part_b
+CROSS JOIN n
+ORDER BY pr.pair_support DESC, pr.part_a, pr.part_b
+"""
+
+
+@register("events_market_basket", oracle=_BASKET_SQL, tags=("ext", "analytics"))
+def events_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity mining: support / confidence / lift for
+    every co-purchased part pair with pair support >= 2, over the
+    order baskets (distinct parts per order).
+
+    Scale shape — the apriori candidate-pruning pattern: items whose
+    OWN support is below the pair threshold cannot appear in any
+    qualifying pair (item support >= pair support, monotonicity), so
+    they are dropped BEFORE the self-join; the pair stream is then a
+    keyed self-join on the basket id, never an all-pairs product, and
+    per-basket work is bounded by the basket-size cap real pipelines
+    apply (fixture max basket = 13 distinct parts). At 100 TB: two
+    keyed shuffles (basket dedup, pair count) plus one broadcast of
+    the pruned item-support table; skewed mega-baskets are excluded
+    by the cap rather than salted — dropping degenerate baskets is
+    the standard semantics in affinity analysis.
+
+    Determinism: supports are exact BIGINT counts; confidence and
+    lift are round6 of single divisions of exact integers — identical
+    IEEE doubles in both engines.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_baskets = baskets.select(
+        F.countDistinct("o").alias("n_baskets")
+    )
+    item = baskets.groupBy("p").agg(F.count(F.lit(1)).alias("sup"))
+    # apriori prune: only items that can still reach the pair threshold
+    frequent = item.filter(F.col("sup") >= _BASKET_MIN_SUP)
+    pruned = baskets.join(
+        F.broadcast(frequent.select("p")), "p"
+    ).select("o", "p")
+    a = pruned.alias("a")
+    c = pruned.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("c.p").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= _BASKET_MIN_SUP)
+    )
+    ia = F.broadcast(item.select(F.col("p"), F.col("sup").alias("support_a")))
+    ib = F.broadcast(item.select(F.col("p"), F.col("sup").alias("support_b")))
+    return (
+        pairs.join(ia, pairs.part_a == ia.p)
+        .drop("p")
+        .join(ib, pairs.part_b == ib.p)
+        .drop("p")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_support",
+            "support_a",
+            "support_b",
+            "n_baskets",
+            F.round(
+                F.col("pair_support").cast("double") / F.col("support_a"), 6
+            ).alias("conf_a_to_b"),
+            F.round(
+                F.col("pair_support").cast("double") / F.col("support_b"), 6
+            ).alias("conf_b_to_a"),
+            F.round(
+                F.col("pair_support").cast("double") * F.col("n_baskets")
+                / (F.col("support_a") * F.col("support_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_support").desc(), "part_a", "part_b")
+    )
