@@ -1326,3 +1326,199 @@ def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic permutation test (M213)
+
+_PERM_B = 32  # permutations
+
+
+def _perm_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS in_a
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+tot AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS na,
+         CAST(sum(1 - in_a) AS BIGINT) AS nb,
+         CAST(sum(in_a * cents) AS BIGINT) AS sa,
+         CAST(sum((1 - in_a) * cents) AS BIGINT) AS sb
+  FROM base
+),
+ex AS (
+  SELECT k, cents, unnest(range(0, {_PERM_B})) AS b FROM base
+),
+assigned AS (
+  SELECT b, cents,
+         CASE WHEN ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||
+                                       CAST(b AS VARCHAR)), 1, 8))::BIGINT
+                   * (t.na + t.nb) < t.na * 4294967296
+              THEN 1 ELSE 0 END AS in_a
+  FROM ex CROSS JOIN tot t
+),
+perm AS (
+  SELECT b,
+         CAST(sum(in_a) AS BIGINT) AS n_a_perm,
+         CAST(sum(1 - in_a) AS BIGINT) AS n_b_perm,
+         CAST(sum(in_a * cents) AS BIGINT) AS sa,
+         CAST(sum((1 - in_a) * cents) AS BIGINT) AS sb
+  FROM assigned GROUP BY b
+),
+scored AS (
+  SELECT p.b, p.n_a_perm, p.n_b_perm,
+         round((CAST(p.sa AS DOUBLE) / p.n_a_perm
+                - CAST(p.sb AS DOUBLE) / p.n_b_perm) / 100, 6) AS perm_diff,
+         round((CAST(t.sa AS DOUBLE) / t.na
+                - CAST(t.sb AS DOUBLE) / t.nb) / 100, 6) AS obs_diff
+  FROM perm p CROSS JOIN tot t
+)
+SELECT b, n_a_perm, n_b_perm, perm_diff, obs_diff,
+       CASE WHEN abs(perm_diff) >= abs(obs_diff) THEN 1 ELSE 0 END AS exceed,
+       round(CAST(1 + sum(CASE WHEN abs(perm_diff) >= abs(obs_diff)
+                               THEN 1 ELSE 0 END) OVER () AS DOUBLE)
+             / {_PERM_B + 1}, 6) AS p_value
+FROM scored ORDER BY b
+"""
+
+
+def permutation_test_mean(
+    df: DataFrame,
+    key_col: str,
+    value_cents_col: str,
+    group_col: str,
+    n_perms: int = _PERM_B,
+) -> DataFrame:
+    """Randomization test for a two-group mean difference with NO RNG
+    state: permutation b reassigns each row to group A with
+    probability n_a/n via a 32-bit md5 uniform of (key, b), compared
+    through EXACT integer cross-multiplication ``u * n < n_a * 2^32``
+    (never a float threshold). This is the Bernoulli-randomization
+    variant of the permutation test — group sizes float around their
+    expectation instead of being held fixed, the standard trade made
+    to keep the test embarrassingly parallel: an exact size-preserving
+    shuffle needs a global permutation (one total sort per resample),
+    while this needs only a per-row hash, so B resamples cost ONE
+    B-way map-side explode + one keyed agg at any corpus size.
+
+    Group sums are exact BIGINT cents; each mean difference is round6
+    of single double divisions of those exact integers (identical IEEE
+    doubles in both engines), so the exceedance indicator and the
+    add-one-smoothed p-value ``(1 + #{|perm| >= |obs|}) / (B + 1)``
+    are cross-engine value-hash-exact — a permutation test with a
+    full SQL oracle, same regime as ``poisson_bootstrap_mean``.
+
+    ``group_col`` must be 1 (group A) / 0 (group B).
+    """
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(value_cents_col).alias("cents"),
+        F.col(group_col).alias("in_a"),
+    )
+    tot = base.agg(
+        F.sum("in_a").alias("na"),
+        F.sum(1 - F.col("in_a")).alias("nb"),
+        F.sum(F.col("in_a") * F.col("cents")).alias("sa"),
+        F.sum((1 - F.col("in_a")) * F.col("cents")).alias("sb"),
+    )
+    ex = base.select(
+        "_k",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("b"),
+    ).crossJoin(F.broadcast(tot))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("_k").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    in_a = F.when(
+        u * (F.col("na") + F.col("nb")) < F.col("na") * F.lit(4294967296),
+        1,
+    ).otherwise(0)
+    perm = (
+        ex.select(
+            "b",
+            "cents",
+            "na",
+            "nb",
+            "sa",
+            "sb",
+            in_a.alias("in_a"),
+        )
+        .groupBy("b", "na", "nb", "sa", "sb")
+        .agg(
+            F.sum("in_a").alias("n_a_perm"),
+            F.sum(1 - F.col("in_a")).alias("n_b_perm"),
+            F.sum(F.col("in_a") * F.col("cents")).alias("psa"),
+            F.sum((1 - F.col("in_a")) * F.col("cents")).alias("psb"),
+        )
+    )
+    perm_diff = F.round(
+        (
+            F.col("psa").cast("double") / F.col("n_a_perm")
+            - F.col("psb").cast("double") / F.col("n_b_perm")
+        )
+        / 100,
+        6,
+    )
+    obs_diff = F.round(
+        (
+            F.col("sa").cast("double") / F.col("na")
+            - F.col("sb").cast("double") / F.col("nb")
+        )
+        / 100,
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    exceed = F.when(F.abs(F.col("perm_diff")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)
+    return (
+        perm.select(
+            "b",
+            "n_a_perm",
+            "n_b_perm",
+            perm_diff.alias("perm_diff"),
+            obs_diff.alias("obs_diff"),
+        )
+        .select(
+            "b",
+            "n_a_perm",
+            "n_b_perm",
+            "perm_diff",
+            "obs_diff",
+            exceed.alias("exceed"),
+            F.round(
+                (1 + F.sum(exceed).over(w)).cast("double") / (n_perms + 1), 6
+            ).alias("p_value"),
+        )
+        .orderBy("b")
+    )
+
+
+@register("stats_permutation_test", oracle=_perm_sql(), tags=("ext", "dq"))
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test of mean(o_totalprice), finished (F) vs open
+    (O) orders, B=32 — ``permutation_test_mean`` applied to orders."""
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("in_a"),
+    )
+    return permutation_test_mean(base, "o_orderkey", "cents", "in_a", _PERM_B)

@@ -53,3 +53,46 @@ def test_market_basket_python_twin(spark):
         # invariants: support monotonicity and confidence bounds
         assert sup <= min(item[key[0]], item[key[1]])
         assert 0 < r.conf_a_to_b <= 1 and 0 < r.conf_b_to_a <= 1
+
+
+def test_permutation_test_python_twin(spark):
+    import hashlib
+
+    out = _rows(spark, "stats_permutation_test")
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT), "
+        f"o_orderstatus FROM '{SF_SMOKE}/orders.parquet' "
+        f"WHERE o_orderstatus IN ('F','O')"
+    ).fetchall()
+    na = sum(1 for *_, s in rows if s == "F")
+    nb = len(rows) - na
+    sa = sum(c for _, c, s in rows if s == "F")
+    sb = sum(c for _, c, s in rows if s == "O")
+    obs = round((sa / na - sb / nb) / 100, 6)
+    B = 32
+    exceeds = 0
+    by_b = {}
+    for b in range(B):
+        pna = pnb = psa = psb = 0
+        for k, c, _ in rows:
+            u = int(hashlib.md5(f"{k}:{b}".encode()).hexdigest()[:8], 16)
+            if u * (na + nb) < na * 4294967296:
+                pna += 1
+                psa += c
+            else:
+                pnb += 1
+                psb += c
+        d = round((psa / pna - psb / pnb) / 100, 6)
+        by_b[b] = (pna, pnb, d)
+        exceeds += abs(d) >= abs(obs)
+    p = round((1 + exceeds) / (B + 1), 6)
+    assert len(out) == B
+    for r in out.itertuples():
+        pna, pnb, d = by_b[int(r.b)]
+        assert (int(r.n_a_perm), int(r.n_b_perm)) == (pna, pnb)
+        assert r.perm_diff == d
+        assert r.obs_diff == obs
+        assert int(r.exceed) == (abs(d) >= abs(obs))
+        assert r.p_value == p
+    # permuted group sizes hover around their expectation
+    assert abs(sum(v[0] for v in by_b.values()) / B - na) < 0.1 * (na + nb)
