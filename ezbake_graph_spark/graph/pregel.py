@@ -484,6 +484,94 @@ def shortest_paths_weighted(
     return state.filter(F.col("dist").isNotNull())
 
 
+def temporal_earliest_arrival(
+    vertices: DataFrame,
+    contacts: DataFrame,
+    source_ids: list[int],
+    n_rounds: int = 12,
+) -> DataFrame:
+    """Bounded-horizon earliest-arrival over a TEMPORAL contact list
+    (src, dst, t): a time-respecting path may take contact (u, v, t)
+    only when t >= the arrival time at u, and the arrival it yields at
+    v is t itself. Jacobi relaxation — every round relaxes ALL
+    contacts against the previous round's full state and keeps the
+    min — run for EXACTLY ``n_rounds`` rounds (the operator's
+    semantics: earliest arrival using at most n_rounds contacts).
+    Fixing the horizon instead of iterating to convergence keeps the
+    result exact at every corpus size: reachability depth grows with
+    the data (measured 5/10/21+ rounds at sf0.001/0.01/0.1), so a
+    convergence-defined key would need a data-dependent unroll in its
+    oracle; a bounded horizon is the same contract at any scale.
+    Early rounds that no longer change anything are skipped — the
+    relaxation is monotone (arrivals only decrease, and a lower
+    arrival only WIDENS the feasible contact set), so a converged
+    state equals the n_rounds state. Sources start at arrival 0
+    (before every real timestamp). Returns (id, arr) for reached
+    vertices."""
+    spark = contacts.sparkSession
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_part = conf.get("spark.sql.shuffle.partitions", "200")
+    e = None
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        provisional = max(
+            4, min(int(prev_part), spark.sparkContext.defaultParallelism)
+        )
+        conf.set("spark.sql.shuffle.partitions", str(provisional))
+        e = contacts.select("src", "dst", "t").cache()
+        n_part = max(4, min(provisional, e.count() // 250_000 + 1))
+        conf.set("spark.sql.shuffle.partitions", str(n_part))
+        state = _truncate(
+            vertices.select(
+                "id",
+                F.when(
+                    F.col("id").isin(source_ids), F.lit(0).cast("long")
+                ).alias("arr"),
+            ),
+            0,
+        )
+        for step in range(n_rounds):
+            reached = state.filter(F.col("arr").isNotNull())
+            msgs = (
+                e.join(reached, e.src == reached.id)
+                .filter(F.col("t") >= F.col("arr"))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("t").alias("msg"))
+            )
+            new_state = _truncate(
+                state.withColumnRenamed("arr", "old")
+                .join(msgs, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce(F.col("old"), F.lit(2**62)),
+                        F.coalesce(F.col("msg"), F.lit(2**62)),
+                    ).alias("a2"),
+                    "old",
+                )
+                .select(
+                    "id",
+                    F.when(F.col("a2") < 2**62, F.col("a2")).alias("arr"),
+                    "old",
+                ),
+                step,
+            )
+            improved = new_state.filter(
+                F.col("arr").eqNullSafe(F.col("old")) == F.lit(False)
+            )
+            converged = improved.isEmpty()
+            state = new_state.select("id", "arr")
+            if converged:
+                break
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.shuffle.partitions", prev_part)
+        if e is not None:
+            e.unpersist()
+    return state.filter(F.col("arr").isNotNull())
+
+
 def pregel_run(
     vertices: DataFrame,
     edges: DataFrame,

@@ -96,3 +96,39 @@ def test_permutation_test_python_twin(spark):
         assert r.p_value == p
     # permuted group sizes hover around their expectation
     assert abs(sum(v[0] for v in by_b.values()) / B - na) < 0.1 * (na + nb)
+
+
+def test_temporal_reachability_python_twin(spark):
+    out = _rows(spark, "graph_temporal_reachability")
+    rows = duckdb.sql(
+        f"""
+        WITH s AS (
+          SELECT user_id, epoch_us(ts) AS t, event_id,
+                 CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
+          FROM '{SF_SMOKE}/events.parquet')
+        SELECT k, t, event_id, user_id FROM s ORDER BY k, t, event_id
+        """
+    ).fetchall()
+    contacts = []
+    prev = {}
+    for k, t, _e, u in rows:
+        if k in prev and prev[k] != u:
+            contacts.append((prev[k], u, t))
+        prev[k] = u
+    seed = min(r[3] for r in rows)
+    arr = {seed: 0}
+    for _ in range(12):
+        new = dict(arr)
+        for s_, d_, t_ in contacts:
+            if s_ in arr and t_ >= arr[s_]:
+                if d_ not in new or t_ < new[d_]:
+                    new[d_] = t_
+        if new == arr:
+            break
+        arr = new
+    got = {int(r.user_id): int(r.arrival_us) for r in out.itertuples()}
+    assert got == arr
+    # time-respecting invariant: every non-seed arrival is a real
+    # contact timestamp reachable monotonically
+    ts_set = {t for *_, t in contacts}
+    assert all(a in ts_set for u, a in arr.items() if u != seed)
