@@ -602,3 +602,79 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_good_chars"
         ),
     )
+
+
+_TIME_TRAVEL_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 3 = 0
+ORDER BY o_orderkey
+"""
+
+
+@register("scan_time_travel", oracle=_TIME_TRAVEL_SQL, tags=("A2g", "M215"))
+def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated time travel over plain parquet — the
+    Delta/Iceberg `VERSION AS OF` primitive emulated with an explicit
+    manifest layer: each commit is a JSON manifest naming exactly the
+    data files in that snapshot, and a versioned read plans the scan
+    from the MANIFEST's file list, never from directory listing.
+
+    The fixture builds two commits of an orders slice: v1 = two file
+    sets (A, B); v2 = a MERGE-shaped commit that rewrites B with
+    bumped prices (update), adds C (insert), and leaves B's old files
+    on disk (they are dead in v2 but live in v1 — exactly how Delta
+    keeps time travel cheap until VACUUM). Reading v1 AFTER v2 is
+    committed must return v1's bytes; a directory-listing reader
+    would return A + B + B' + C (duplicates plus phantom updates),
+    which the value-hash oracle (v1's defining predicate over the
+    base table) catches loudly.
+
+    At 100 TB this is the metadata design every table format uses:
+    manifests are O(files) driver-side metadata, data files are
+    immutable, and snapshot isolation is a pointer swap — the scan
+    itself remains an ordinary pushed-predicate parquet read over the
+    manifest's files. tests/test_plans.py asserts v2 sees the update
+    and the insert and that the dead files really are still on disk.
+    """
+    import json
+
+    table = os.path.join(_ARTIFACTS, "orders_versioned")
+    mdir = os.path.join(table, "_manifests")
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 3 == 0)
+    a = v1.filter(F.col("o_custkey") % 2 == 0)
+    b = v1.filter(F.col("o_custkey") % 2 == 1)
+    a.write.mode("overwrite").parquet(os.path.join(table, "a1"))
+    b.write.mode("overwrite").parquet(os.path.join(table, "b1"))
+    # v2: rewrite B (price bump = the update), append C (the insert)
+    b.withColumn("o_totalprice", F.col("o_totalprice") + 1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(table, "b2"))
+    o.filter(F.col("o_orderkey") % 3 == 1).write.mode("overwrite").parquet(
+        os.path.join(table, "c2")
+    )
+
+    def _files(*subdirs: str) -> list[str]:
+        import pathlib
+
+        out: list[str] = []
+        for s in subdirs:
+            out.extend(
+                str(p) for p in sorted(pathlib.Path(table, s).glob("*.parquet"))
+            )
+        return out
+
+    os.makedirs(mdir, exist_ok=True)
+    manifests = {1: _files("a1", "b1"), 2: _files("a1", "b2", "c2")}
+    for v, files in manifests.items():
+        with open(os.path.join(mdir, f"v{v}.json"), "w") as f:
+            json.dump({"version": v, "files": files}, f)
+
+    def read_version(v: int) -> DataFrame:
+        with open(os.path.join(mdir, f"v{v}.json")) as f:
+            manifest = json.load(f)
+        return spark.read.parquet(*manifest["files"])
+
+    return read_version(1).orderBy("o_orderkey")

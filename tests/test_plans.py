@@ -320,3 +320,43 @@ def test_star_join_runs_five_jobs_cached(spark):
     fn(spark, SF_SMOKE).collect()
     jobs = [j for j in st.getJobIdsForGroup(None) if j not in before]
     assert len(jobs) <= 5, f"{len(jobs)} jobs: {sorted(jobs)}"
+
+
+def test_time_travel_v2_sees_update_and_insert_v1_does_not(spark, duck, no_cache):
+    """Snapshot isolation: after the v2 commit (rewrite B with bumped
+    prices + append C), reading v1 via its manifest returns the
+    original bytes, reading v2 returns the update+insert, and B's dead
+    v1 files remain on disk (time travel's whole storage contract)."""
+    import glob
+    import json
+
+    v1_df = registry.queries()["scan_time_travel"](spark, SF_SMOKE)
+    v1 = v1_df.toPandas()
+    from ezbake_graph_spark.operators.scans import _ARTIFACTS
+
+    table = os.path.join(_ARTIFACTS, "orders_versioned")
+    with open(os.path.join(table, "_manifests", "v2.json")) as f:
+        v2_files = json.load(f)["files"]
+    v2 = spark.read.parquet(*v2_files).toPandas()
+    # v1: exactly the %3==0 slice, original prices
+    base = duck.execute(
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM "
+        f"'{SF_SMOKE}/orders.parquet' WHERE o_orderkey % 3 = 0 "
+        f"ORDER BY o_orderkey"
+    ).df()
+    assert len(v1) == len(base)
+    assert float((v1.sort_values('o_orderkey').o_totalprice.values
+                  - base.o_totalprice.values).max()) == 0.0
+    # v2: the B half is bumped by exactly +1, C rows appended
+    odd = base[base.o_custkey % 2 == 1]
+    n_c = duck.execute(
+        f"SELECT count(*) FROM '{SF_SMOKE}/orders.parquet' "
+        f"WHERE o_orderkey % 3 = 1"
+    ).fetchone()[0]
+    assert len(v2) == len(base) + n_c
+    v2_b = v2[(v2.o_orderkey % 3 == 0) & (v2.o_custkey % 2 == 1)]
+    merged = v2_b.merge(odd, on=["o_orderkey", "o_custkey"], suffixes=("_2", "_1"))
+    assert len(merged) == len(odd)
+    assert ((merged.o_totalprice_2 - merged.o_totalprice_1).round(6) == 1.0).all()
+    # dead v1 files still on disk
+    assert glob.glob(os.path.join(table, "b1", "*.parquet"))
