@@ -697,3 +697,137 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------------------------ CDC apply
+
+_CDC_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS value_micro,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id,
+       event_type AS last_event_type,
+       value_micro AS last_value_micro, n_ops
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+
+def cdc_merge(old: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """One CDC merge step: (ts_us, event_id)-max of {old latest} ∪
+    {batch rows} per user_id, with additive n_ops. Tombstone rows
+    ('error') stay IN the state so a late-arriving older update
+    cannot resurrect a deleted key. Order-insensitive: any batch
+    partition of the changelog converges to the same state
+    (associative + commutative merge), pinned in
+    tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    if old is not None:
+        adds = (
+            old.select("user_id", "n_ops")
+            .unionByName(batch.select("user_id", "n_ops"))
+            .groupBy("user_id")
+            .agg(F.sum("n_ops").alias("n_ops"))
+        )
+        cand = old.drop("n_ops").unionByName(batch.drop("n_ops"))
+    else:
+        adds = batch.groupBy("user_id").agg(F.sum("n_ops").alias("n_ops"))
+        cand = batch.drop("n_ops")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .join(adds, "user_id")
+    )
+
+
+@register("stream_cdc_apply", oracle=_CDC_SQL, tags=("I-extra", "stream"))
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply — the streaming MERGE that keeps a serving
+    table in sync with a change stream: events are upserts keyed on
+    user_id ('error' rows are DELETE tombstones), applied micro-batch
+    by micro-batch via foreachBatch into a parquet state table with
+    last-write-wins (ts, event_id) semantics.
+
+    The state table keeps the LATEST op per key INCLUDING tombstones
+    (a late-arriving older update must not resurrect a deleted key —
+    dropping tombstones at merge time is the classic CDC bug;
+    compaction may purge them only past the lateness horizon). The
+    merge itself is order-insensitive: each batch takes the (ts,
+    event_id)-max of {old latest} ∪ {batch rows}, so any batch
+    arrival order converges to the same state — which is what makes
+    the full-changelog SQL window its exact oracle. The final read
+    drops tombstoned keys.
+
+    At 100 TB this is foreachBatch MERGE INTO a keyed table (SCALE.md
+    §6b): per-batch cost is one keyed window over batch ∪ matched
+    state rows (state size ∝ live keys, not history), and n_ops
+    accumulates as an additive column — no history rescan anywhere.
+    """
+    import shutil
+
+    src = _events_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run = uuid.uuid4().hex[:8]
+    state_dir = os.path.join(_STREAM_TMP, "cdc", run)
+    ckpt = os.path.join(_STREAM_TMP, "ckpt", f"cdc_{run}")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch = batch_df.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            F.round(F.col("value") * 1_000_000)
+            .cast("long")
+            .alias("value_micro"),
+            F.lit(1).cast("long").alias("n_ops"),
+        )
+        old = (
+            sess.read.parquet(state_dir)
+            if os.path.exists(state_dir)
+            else None
+        )
+        latest = cdc_merge(old, batch)
+        tmp = state_dir + ".tmp"
+        latest.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    with _stream_shuffle_conf(spark):
+        q = (
+            sdf.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(state_dir)
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value_micro").alias("last_value_micro"),
+            "n_ops",
+        )
+        .orderBy("user_id")
+    )

@@ -116,3 +116,28 @@ def test_incremental_mv_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_cdc_merge_tombstone_blocks_late_resurrection(spark):
+    """A late-arriving OLDER update must not resurrect a deleted key,
+    and the merge must be batch-partition-insensitive."""
+    from ezbake_graph_spark.operators.streaming import cdc_merge
+
+    cols = "user_id long, event_id long, ts_us long, event_type string, " \
+           "value_micro long, n_ops long"
+    b1 = spark.createDataFrame([(1, 10, 100, "error", 0, 1),
+                                (2, 11, 100, "click", 5, 1)], cols)
+    b2 = spark.createDataFrame([(1, 5, 50, "click", 7, 1),
+                                (2, 12, 200, "view", 9, 1)], cols)
+    s = cdc_merge(cdc_merge(None, b1), b2)
+    rows = {r.user_id: r for r in s.collect()}
+    # key 1: tombstone at t=100 wins over late t=50 update — still dead
+    assert rows[1].event_type == "error" and rows[1].n_ops == 2
+    # key 2: newest update wins
+    assert rows[2].event_id == 12 and rows[2].n_ops == 2
+    # batch-order insensitivity: applying b2 before b1 converges equally
+    s2 = cdc_merge(cdc_merge(None, b2), b1)
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, s2.collect()))
+    # single-batch apply equals two-batch apply
+    s3 = cdc_merge(None, b1.unionByName(b2))
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, s3.collect()))
