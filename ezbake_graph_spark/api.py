@@ -2007,6 +2007,33 @@ def within_radius(
     )
 
 
+def knn_within_radius(
+    points: DataFrame,
+    k: int = 3,
+    radius_km: float = 40.0,
+    cell_deg: float = 1.0,
+    wrap_lon: bool = False,
+) -> DataFrame:
+    """k nearest neighbors per point among those within ``radius_km``
+    — the bounded-radius kNN join over the same grid-bucketed
+    candidate generation as ``within_radius`` (the radius bound is
+    what keeps the pruned candidate set EXACT; unbounded kNN would
+    need ring-growing probes). Ranks on the rounded 3-decimal
+    distance with neighbor-id tiebreak (engine-independent order).
+    Returns (point_id, rank, neighbor_id, dist_km); points with no
+    in-range neighbor emit nothing.
+
+    >>> p = spark.createDataFrame(
+    ...     [(1, 48.85, 2.35), (2, 48.86, 2.36), (3, 48.87, 2.37)],
+    ...     "point_id long, lat double, lon double")
+    >>> [tuple(r) for r in knn_within_radius(p, k=1).collect()]
+    [(1, 1, 2, 1.331), (2, 1, 1, 1.331), (3, 1, 2, 1.331)]
+    """
+    from ezbake_graph_spark.operators import geo
+
+    return geo.knn_within_radius(points, k, radius_km, cell_deg, wrap_lon)
+
+
 def geo_cell_counts(
     points: DataFrame,
     lat_col: str = "lat",

@@ -743,3 +743,41 @@ def test_pit_join_matches_bruteforce(spark, f1, f2, obs):
         want_a_ts = max(cand_a)[0] if cand_a else None
         want_b = max(cand_b)[1] if cand_b else None
         assert got[(k, ts)] == (want_a, want_a_ts, want_b), (k, ts)
+
+
+@given(pts=st.lists(_latlon, min_size=2, max_size=25, unique=True))
+@settings(**_SETTINGS)
+def test_knn_within_radius_matches_python_bruteforce(spark, pts):
+    """Bounded-radius kNN vs all-pairs python: for every point the
+    top-3 in-range neighbors (rounded-distance order, id tiebreak)
+    must match exactly — the bucketed candidate set loses nothing."""
+    import itertools
+    import math
+
+    from ezbake_graph_spark import api
+
+    rows = [(i, la / 100.0, lo / 100.0) for i, (la, lo) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "point_id long, lat double, lon double")
+    got = [
+        (r.point_id, r.rank, r.neighbor_id, r.dist_km)
+        for r in api.knn_within_radius(df, k=3, radius_km=80.0).collect()
+    ]
+
+    def hav(a, b):
+        (_, la1, lo1), (_, la2, lo2) = a, b
+        dla, dlo = math.radians(la2 - la1) / 2, math.radians(lo2 - lo1) / 2
+        x = (math.sin(dla) ** 2
+             + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+             * math.sin(dlo) ** 2)
+        return round(2 * 6371.0 * math.asin(math.sqrt(min(1.0, x))), 3)
+
+    want = []
+    for a in rows:
+        nbrs = sorted(
+            (hav(a, b), b[0]) for b in rows
+            if b[0] != a[0] and hav(a, b) <= 80.0
+        )
+        want.extend(
+            (a[0], r + 1, nid, d) for r, (d, nid) in enumerate(nbrs[:3])
+        )
+    assert sorted(got) == sorted(want)
