@@ -392,3 +392,94 @@ def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "naive_leaks"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (M218)
+
+_CURRICULUM_EPOCHS = 4
+
+_CURRICULUM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(length(t.term)) AS BIGINT) AS tok_chars,
+         CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare
+  FROM tok t JOIN df d ON d.term = t.term
+  GROUP BY t.doc_id
+),
+scored AS (
+  SELECT doc_id, n_tok, n_rare,
+         (tok_chars * 1000000) // n_tok
+           + (n_rare * 1000000) // n_tok AS difficulty_micro
+  FROM per_doc
+)
+SELECT doc_id, n_tok, n_rare, difficulty_micro,
+       row_number() OVER (ORDER BY difficulty_micro, doc_id)
+         AS curriculum_rank,
+       ntile({_CURRICULUM_EPOCHS})
+         OVER (ORDER BY difficulty_micro, doc_id) AS epoch_bucket
+FROM scored
+ORDER BY curriculum_rank
+"""
+
+
+@register("sample_curriculum_order", oracle=_CURRICULUM_SQL, tags=("ext", "sampling"))
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: schedule training documents
+    easiest-first by an exact integer difficulty score — mean word
+    length plus rare-word share (corpus df <= 2), both in micro-units
+    via BIGINT floor division — then assign equal-depth epoch buckets
+    (ntile over the same total order), the easy-to-hard curriculum
+    schedule between data selection and packing.
+
+    Determinism: the score is all-integer (no float op exists), and
+    the (difficulty_micro, doc_id) order is total, so rank and epoch
+    assignment are engine-exact. Scale shape: one token explode + one
+    df agg + one broadcast-df join back + one per-doc agg; the global
+    rank/ntile is a single total-order window — at 100 TB that
+    becomes rank-within-shard + shard offsets (a distributed prefix
+    sum, the same shape as ``text_pack_sequences``'s manifest), which
+    preserves the curriculum because shards are difficulty-bucketed
+    first."""
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per_doc = (
+        tok.join(F.broadcast(df), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.length("term")).alias("tok_chars"),
+            F.sum(F.when(F.col("df") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "n_tok",
+        "n_rare",
+        (
+            F.expr("tok_chars * 1000000 div n_tok")
+            + F.expr("n_rare * 1000000 div n_tok")
+        ).alias("difficulty_micro"),
+    )
+    w = Window.orderBy("difficulty_micro", "doc_id")
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        "n_rare",
+        "difficulty_micro",
+        F.row_number().over(w).alias("curriculum_rank"),
+        F.ntile(_CURRICULUM_EPOCHS).over(w).alias("epoch_bucket"),
+    ).orderBy("curriculum_rank")

@@ -132,3 +132,37 @@ def test_temporal_reachability_python_twin(spark):
     # contact timestamp reachable monotonically
     ts_set = {t for *_, t in contacts}
     assert all(a in ts_set for u, a in arr.items() if u != seed)
+
+
+def test_curriculum_order_python_twin(spark):
+    out = _rows(spark, "sample_curriculum_order")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    df = collections.Counter()
+    toks = {}
+    for d, t in rows:
+        toks[d] = t.split(" ")
+        for term in set(toks[d]):
+            df[term] += 1
+    want = {}
+    for d, ts in toks.items():
+        n_tok = len(ts)
+        tok_chars = sum(len(x) for x in ts)
+        n_rare = sum(1 for x in ts if df[x] <= 2)
+        want[d] = (n_tok, n_rare,
+                   tok_chars * 1_000_000 // n_tok
+                   + n_rare * 1_000_000 // n_tok)
+    order = sorted(want, key=lambda d: (want[d][2], d))
+    n = len(order)
+    assert list(out.doc_id) == order
+    for r in out.itertuples():
+        n_tok, n_rare, diff = want[int(r.doc_id)]
+        assert (int(r.n_tok), int(r.n_rare), int(r.difficulty_micro)) == (
+            n_tok, n_rare, diff)
+    # rank is 1..n in difficulty order; epoch buckets are equal-depth
+    assert list(out.curriculum_rank) == list(range(1, n + 1))
+    assert out.difficulty_micro.is_monotonic_increasing
+    sizes = out.epoch_bucket.value_counts()
+    assert sizes.max() - sizes.min() <= 1
+    assert out.epoch_bucket.is_monotonic_increasing
