@@ -2020,3 +2020,147 @@ def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mmr_select(cand, pairs, MMR_K, MMR_LAM10)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation (M219)
+
+_MRL_DIMS = 16
+_MRL_K = 20
+
+_MRL_SQL = f"""
+SELECT a.vec_id AS vid1, b.vec_id AS vid2,
+       round(list_cosine_similarity(
+         CAST(a.embedding AS DOUBLE[])[1:{_MRL_DIMS}],
+         CAST(b.embedding AS DOUBLE[])[1:{_MRL_DIMS}]), 6) AS cos_trunc,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cos_full
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos_trunc DESC, vid1, vid2
+LIMIT {_MRL_K}
+"""
+
+
+def _mrl_pair_topk(pdf, n_blocks: int, dims: int, k: int):
+    """Per-pair-group kernel: cosine over the FIRST ``dims``
+    components (truncation implies renormalization) AND over the full
+    vector, local top-k by the ROUNDED truncated cosine with full
+    (vid1, vid2) tiebreak — an exact local selection (each global
+    winner lives in exactly one group and survives its group's top-k
+    under the same comparator), so no raw-value slack is needed."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+    def unit(m):
+        norms = np.sqrt((m * m).sum(axis=1))
+        return m / np.where(norms == 0.0, 1.0, norms)[:, None], norms == 0.0
+
+    full, zfull = unit(mat)
+    trunc, ztr = unit(mat[:, :dims])
+    blocks = pdf["b"].to_numpy()
+    bi, bj = divmod(int(pdf["pk"].iat[0]), n_blocks)
+    if bi == bj:
+        srt = np.argsort(ids, kind="stable")
+        q_ids = c_ids = ids[srt]
+        st = trunc[srt] @ trunc[srt].T
+        sf = full[srt] @ full[srt].T
+        mask = np.zeros_like(st, dtype=bool)
+        for i in range(st.shape[0]):
+            mask[i, : i + 1] = True
+        mask |= (ztr | zfull)[srt][:, None] | (ztr | zfull)[srt][None, :]
+    else:
+        qsel, csel = blocks == bi, blocks == bj
+        if not qsel.any() or not csel.any():
+            return None
+        q_ids, c_ids = ids[qsel], ids[csel]
+        st = trunc[qsel] @ trunc[csel].T
+        sf = full[qsel] @ full[csel].T
+        zq = (ztr | zfull)[qsel]
+        zc = (ztr | zfull)[csel]
+        mask = zq[:, None] | zc[None, :]
+    str_ = np.round(st, 6)
+    str_[mask] = -np.inf
+    valid = int((~mask).sum())
+    kk = min(k, valid)
+    if kk == 0:
+        return None
+    flat = str_.ravel()
+    kth = np.partition(flat, flat.size - kk)[flat.size - kk]
+    cand = np.flatnonzero(flat >= kth)
+    qi, ci = np.unravel_index(cand, str_.shape)
+    v1 = np.minimum(q_ids[qi], c_ids[ci])
+    v2 = np.maximum(q_ids[qi], c_ids[ci])
+    order = np.lexsort((v2, v1, -flat[cand]))[:kk]
+    return pd.DataFrame(
+        {
+            "vid1": v1[order],
+            "vid2": v2[order],
+            "cos_trunc": flat[cand][order],
+            "cos_full": np.round(sf.ravel()[cand][order], 6),
+        }
+    )
+
+
+@register("embed_matryoshka_topk", oracle=_MRL_SQL, tags=("K-extra",))
+def embed_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation: retrieval over the FIRST
+    16 of 64 embedding components (truncate + renormalize — the MRL
+    serving trade: 4x less bandwidth/compute per query, ranked by a
+    prefix of the representation), returning the truncated-cosine
+    top-20 with the full-dimension cosine alongside — the columns a
+    recall@k audit of the cheap prefix index needs.
+
+    Same grid block-pair physical strategy as ``sim_cosine_topk``
+    (linear B x corpus shuffle, bounded pair tasks, local top-k merged
+    by TakeOrderedAndProject); the kernel computes both the 16-dim and
+    64-dim BLAS products in one pass over each block pair. Local
+    selection ranks on the ROUNDED truncated cosine with (vid1, vid2)
+    tiebreak — exactly the oracle's comparator, so the local top-k is
+    provably a superset of each group's contribution to the global
+    top-k with no float-slack argument needed."""
+    import pandas as pd
+
+    n_blocks = _grid_blocks(spark, sf_dir)
+    schema = "vid1 long, vid2 long, cos_trunc double, cos_full double"
+
+    def per_group(pdf):
+        out = _mrl_pair_topk(pdf, n_blocks, _MRL_DIMS, _MRL_K)
+        if out is None:
+            return pd.DataFrame(
+                {"vid1": [], "vid2": [], "cos_trunc": [], "cos_full": []}
+            ).astype(
+                {
+                    "vid1": "int64",
+                    "vid2": "int64",
+                    "cos_trunc": "float64",
+                    "cos_full": "float64",
+                }
+            )
+        return out
+
+    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if n_blocks > 1:
+        local = _grid_pairs(emb, n_blocks).groupBy("pk").applyInPandas(
+            per_group, schema
+        )
+    else:
+        one = emb.select(
+            "vec_id",
+            "embedding",
+            F.lit(0).cast("int").alias("b"),
+            F.lit(0).cast("int").alias("pk"),
+        )
+
+        def run(batches):
+            pdfs = [p for p in batches if len(p)]
+            if pdfs:
+                yield per_group(pd.concat(pdfs, ignore_index=True))
+
+        local = one.coalesce(1).mapInPandas(run, schema)
+    return local.orderBy(
+        F.col("cos_trunc").desc(), "vid1", "vid2"
+    ).limit(_MRL_K)

@@ -166,3 +166,36 @@ def test_curriculum_order_python_twin(spark):
     sizes = out.epoch_bucket.value_counts()
     assert sizes.max() - sizes.min() <= 1
     assert out.epoch_bucket.is_monotonic_increasing
+
+
+def test_matryoshka_topk_python_twin(spark):
+    import numpy as np
+
+    out = _rows(spark, "embed_matryoshka_topk")
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+
+    def unit(m):
+        n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        return m / np.where(n == 0, 1, n)
+
+    t, f = unit(mat[:, :16]), unit(mat)
+    cand = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+            cand.append((round(float(t[i] @ t[j]), 6),
+                         round(float(f[i] @ f[j]), 6), a, b))
+    cand.sort(key=lambda r: (-r[0], r[2], r[3]))
+    want = cand[:20]
+    assert len(out) == 20
+    for r, (ct, cf, a, b) in zip(out.itertuples(), want):
+        assert (int(r.vid1), int(r.vid2)) == (a, b)
+        assert abs(r.cos_trunc - ct) < 2e-6
+        assert abs(r.cos_full - cf) < 2e-6
+    # truncation changes the ranking: full-dim cosine of the truncated
+    # winners is NOT itself sorted (the audit the key exists for)
+    assert not out.cos_full.is_monotonic_decreasing
