@@ -1218,3 +1218,87 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (M220)
+
+_DP_EPS = 0.5  # epsilon; Laplace scale b = sensitivity/eps = 2.0
+
+_DP_SQL = f"""
+WITH cnt AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderpriority
+),
+u AS (
+  SELECT o_orderpriority, n,
+         (('0x' || substr(md5('dp:' || o_orderpriority), 1, 8))::BIGINT
+          + 0.5) / 4294967296.0 AS u01
+  FROM cnt
+),
+noise AS (
+  SELECT o_orderpriority, n,
+         round(-(1.0 / {_DP_EPS})
+               * CASE WHEN u01 >= 0.5 THEN 1.0 ELSE -1.0 END
+               * ln(1.0 - 2.0 * abs(u01 - 0.5)), 6) AS noise
+  FROM u
+)
+SELECT o_orderpriority, n, CAST({_DP_EPS} AS DOUBLE) AS epsilon, noise,
+       round(n + noise, 6) AS noisy_n
+FROM noise
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_dp_counts", oracle=_DP_SQL, tags=("D-extra", "dp"))
+def agg_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release: per-group counts plus
+    Laplace(sensitivity/epsilon) noise via the inverse CDF
+    ``-b * sign(u - 1/2) * ln(1 - 2|u - 1/2|)`` over a unit uniform,
+    epsilon = 0.5, sensitivity 1 (each orders ROW contributes once per
+    group — event-level DP; user-level DP would first bound each
+    customer's contribution with a per-user clamp).
+
+    The uniform here is an md5 hash of the group key — which makes
+    this a PARITY HARNESS for the mechanism's plumbing (inverse-CDF
+    transform, sensitivity/epsilon accounting, post-processing), NOT a
+    private release: deterministic noise that anyone can recompute
+    from the group name provides zero privacy. Production swaps the
+    one ``u01`` expression for a secure RNG draw; everything else —
+    and the cross-engine oracle pinning it — stays. ln() on identical
+    doubles agrees to 1 ulp across engines and the fixture magnitudes
+    sit far from round6 boundaries (same regime as BM25's ln-IDF).
+
+    Scale shape: one keyed count + map-side noise arithmetic."""
+    o = tables.load(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    u01 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("o_orderpriority"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noise = F.round(
+        F.lit(-1.0 / _DP_EPS)
+        * F.when(u01 >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u01 - 0.5)),
+        6,
+    )
+    return (
+        cnt.select(
+            "o_orderpriority",
+            "n",
+            F.lit(_DP_EPS).cast("double").alias("epsilon"),
+            noise.alias("noise"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "epsilon",
+            "noise",
+            F.round(F.col("n") + F.col("noise"), 6).alias("noisy_n"),
+        )
+        .orderBy("o_orderpriority")
+    )

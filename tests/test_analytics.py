@@ -199,3 +199,28 @@ def test_matryoshka_topk_python_twin(spark):
     # truncation changes the ranking: full-dim cosine of the truncated
     # winners is NOT itself sorted (the audit the key exists for)
     assert not out.cos_full.is_monotonic_decreasing
+
+
+def test_dp_counts_python_twin(spark):
+    import hashlib
+    import math
+
+    out = _rows(spark, "agg_dp_counts")
+    truth = dict(duckdb.sql(
+        f"SELECT o_orderpriority, count(*) FROM "
+        f"'{SF_SMOKE}/orders.parquet' GROUP BY 1"
+    ).fetchall())
+    assert len(out) == len(truth)
+    for r in out.itertuples():
+        n = truth[r.o_orderpriority]
+        u = int(hashlib.md5(f"dp:{r.o_orderpriority}".encode())
+                .hexdigest()[:8], 16)
+        u01 = (u + 0.5) / 4294967296.0
+        want = round(-2.0 * math.copysign(1.0, u01 - 0.5)
+                     * math.log(1.0 - 2.0 * abs(u01 - 0.5)), 6)
+        assert int(r.n) == n
+        assert r.epsilon == 0.5
+        assert r.noise == want
+        assert r.noisy_n == round(n + want, 6)
+    # mechanism sanity: noise is Laplace-scaled (b=2), not degenerate
+    assert out.noise.abs().max() > 0
