@@ -1793,3 +1793,139 @@ def text_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_exact"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking evaluation (M221)
+
+
+def _eval_ranking_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    n_q = len(BM25_QUERY)
+    bm25 = _bm25_sql().rstrip()
+    return f"""
+WITH ranking AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM ({bm25}) bm
+),
+rel AS (
+  SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS rel
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) t
+  WHERE term IN ({terms})
+  GROUP BY doc_id
+),
+ranked_rel AS (
+  SELECT r.rank, coalesce(v.rel, 0) AS rel
+  FROM ranking r LEFT JOIN rel v USING (doc_id)
+),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rank
+  FROM rel
+),
+dcg AS (
+  SELECT sum((power(2.0, rel) - 1.0) / (ln(rank + 1.0) / ln(2.0))) AS dcg
+  FROM ranked_rel
+),
+idcg AS (
+  SELECT sum((power(2.0, rel) - 1.0) / (ln(rank + 1.0) / ln(2.0))) AS idcg
+  FROM ideal WHERE rank <= {BM25_TOPN}
+),
+bin AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rel_total FROM rel
+  WHERE rel = {n_q}
+),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rel_retrieved,
+         min(CASE WHEN rel = {n_q} THEN rank END) AS first_hit
+  FROM ranked_rel WHERE rel = {n_q}
+)
+SELECT {BM25_TOPN} AS k,
+       b.n_rel_total,
+       h.n_rel_retrieved,
+       round(CAST(h.n_rel_retrieved AS DOUBLE) / {BM25_TOPN}, 6)
+         AS precision_k,
+       round(CAST(h.n_rel_retrieved AS DOUBLE) / b.n_rel_total, 6)
+         AS recall_k,
+       round(coalesce(1.0 / h.first_hit, 0.0), 6) AS mrr,
+       round(d.dcg, 6) AS dcg,
+       round(i.idcg, 6) AS idcg,
+       round(d.dcg / i.idcg, 6) AS ndcg
+FROM dcg d CROSS JOIN idcg i CROSS JOIN bin b CROSS JOIN hits h
+"""
+
+
+@register("ml_eval_ranking", oracle=_eval_ranking_sql(), tags=("ext", "ml"))
+def ml_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the BM25 arm: NDCG@25 (graded
+    gain 2^rel - 1, rel = number of distinct query terms present,
+    ideal DCG from the best achievable ordering), MRR, precision@k,
+    recall@k — the retrieval-eval readout the classification twin
+    (``ml_eval_classification``) doesn't cover. Relevance is a
+    deterministic function of the corpus (term containment), so the
+    whole scorecard is value-hash-exact; the discount ln(rank+1)/ln 2
+    is the only transcendental, over ranks 1..25.
+
+    Scale shape: rel is one filtered explode + keyed agg; the eval
+    itself reduces a k-row ranking against broadcast 1-row totals —
+    evaluation cost is O(k + |relevant|) regardless of corpus size."""
+    d = tables.load(spark, sf_dir, "documents")
+    n_q = len(BM25_QUERY)
+    ranking = bm25_scores(d, BM25_QUERY).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    rel = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("rel"))
+    )
+    ranked_rel = ranking.join(F.broadcast(rel), "doc_id", "left").select(
+        "rank", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / (
+        F.log(F.col("rank") + 1.0) / F.log(F.lit(2.0))
+    )
+    dcg = ranked_rel.agg(F.sum(gain).alias("dcg"))
+    ideal = rel.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+        .alias("rank"),
+    ).filter(F.col("rank") <= BM25_TOPN)
+    idcg = ideal.agg(F.sum(gain).alias("idcg"))
+    bins = rel.filter(F.col("rel") == n_q).agg(
+        F.count(F.lit(1)).alias("n_rel_total")
+    )
+    hits = ranked_rel.filter(F.col("rel") == n_q).agg(
+        F.count(F.lit(1)).alias("n_rel_retrieved"),
+        F.min("rank").alias("first_hit"),
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(bins))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            F.lit(BM25_TOPN).alias("k"),
+            "n_rel_total",
+            "n_rel_retrieved",
+            F.round(
+                F.col("n_rel_retrieved").cast("double") / BM25_TOPN, 6
+            ).alias("precision_k"),
+            F.round(
+                F.col("n_rel_retrieved").cast("double")
+                / F.col("n_rel_total"),
+                6,
+            ).alias("recall_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(F.col("dcg"), 6).alias("dcg"),
+            F.round(F.col("idcg"), 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )

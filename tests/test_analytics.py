@@ -224,3 +224,36 @@ def test_dp_counts_python_twin(spark):
         assert r.noisy_n == round(n + want, 6)
     # mechanism sanity: noise is Laplace-scaled (b=2), not degenerate
     assert out.noise.abs().max() > 0
+
+
+def test_eval_ranking_python_twin(spark):
+    import math
+
+    out = _rows(spark, "ml_eval_ranking")
+    assert len(out) == 1
+    r = out.iloc[0]
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    q = ("spark", "window", "merge")
+    rel = {d: len(set(q) & set(t.split(" "))) for d, t in docs}
+    rel = {d: v for d, v in rel.items() if v > 0}
+    bm = _rows(spark, "text_bm25")
+    ranking = list(bm.sort_values(["bm25", "doc_id"],
+                                  ascending=[False, True]).doc_id)
+    dcg = sum((2 ** rel.get(d, 0) - 1) / (math.log(i + 2) / math.log(2))
+              for i, d in enumerate(ranking))
+    ideal = sorted(rel.values(), reverse=True)[:25]
+    idcg = sum((2 ** v - 1) / (math.log(i + 2) / math.log(2))
+               for i, v in enumerate(ideal))
+    n_rel = sum(1 for v in rel.values() if v == 3)
+    hits = [i + 1 for i, d in enumerate(ranking) if rel.get(d, 0) == 3]
+    assert int(r.k) == 25
+    assert int(r.n_rel_total) == n_rel
+    assert int(r.n_rel_retrieved) == len(hits)
+    assert r.precision_k == round(len(hits) / 25, 6)
+    assert r.recall_k == round(len(hits) / n_rel, 6)
+    assert r.mrr == (round(1 / hits[0], 6) if hits else 0.0)
+    assert abs(r.dcg - dcg) < 1e-5 and abs(r.idcg - idcg) < 1e-5
+    assert r.ndcg == round(r.dcg / r.idcg, 6) or abs(r.ndcg - dcg / idcg) < 1e-5
+    assert 0 < r.ndcg <= 1
