@@ -1290,7 +1290,7 @@ ORDER BY pr.pair_support DESC, pr.part_a, pr.part_b
 """
 
 
-@register("events_market_basket", oracle=_BASKET_SQL, tags=("ext", "analytics"))
+@register("events_market_basket", oracle=_BASKET_SQL, tags=("ext", "analytics", "bench2"))
 def events_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity mining: support / confidence / lift for
     every co-purchased part pair with pair support >= 2, over the

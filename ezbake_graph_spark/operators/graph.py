@@ -2817,7 +2817,7 @@ def _temporal_sql(rounds: int = _TEMPORAL_ROUNDS) -> str:
 @register(
     "graph_temporal_reachability",
     oracle=_temporal_sql(),
-    tags=("J-extra", "pregel"),
+    tags=("J-extra", "pregel", "bench2"),
 )
 def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-respecting reachability from the earliest user: which
@@ -2876,3 +2876,93 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("user_id"), F.col("arr").alias("arrival_us"))
         .orderBy("arrival_us", "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental WCC maintenance (M222)
+
+
+def incremental_components(
+    assignments: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """Fold a batch of NEW edges into an existing component assignment
+    without re-traversing the old graph: every old component contracts
+    to a super-node (its label), new edges project onto super-node
+    ids, and the min-label loop runs over that CONTRACTED graph only —
+    |affected components| + |batch| work, not |graph|. Because labels
+    are min-reachable-ids, min-of-mins over merged super-nodes equals
+    the from-scratch label, so the result is value-identical to a
+    full recompute (the equivalence the registered key's oracle pins).
+
+    ``assignments``: (id, component) from a prior run;
+    ``new_edges``: (src, dst). New vertices may appear only in
+    ``new_edges``. Returns (id, component) for the union vertex set.
+    """
+    from ezbake_graph_spark.graph.pregel import connected_components
+
+    asg = assignments.cache()
+    # project new edges onto super-nodes (unknown endpoints keep
+    # their own id — they are their own super-node)
+    lab_src = asg.select(
+        F.col("id").alias("src"), F.col("component").alias("c_src")
+    )
+    lab_dst = asg.select(
+        F.col("id").alias("dst"), F.col("component").alias("c_dst")
+    )
+    proj = (
+        new_edges.join(lab_src, "src", "left")
+        .join(lab_dst, "dst", "left")
+        .select(
+            F.coalesce("c_src", F.col("src")).alias("src"),
+            F.coalesce("c_dst", F.col("dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    super_verts = (
+        proj.select(F.col("src").alias("id"))
+        .unionByName(proj.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    merged = connected_components(super_verts, proj).select(
+        F.col("id").alias("component"), F.col("component").alias("merged")
+    )
+    # remap old assignments whose label merged; untouched labels stand
+    updated = (
+        asg.join(merged, "component", "left")
+        .select("id", F.coalesce("merged", F.col("component")).alias("component"))
+    )
+    # vertices introduced by the batch (not in the old assignment)
+    newly = (
+        super_verts.join(asg.select(F.col("component").alias("id")).distinct(),
+                         "id", "left_anti")
+        .join(asg.select("id"), "id", "left_anti")
+        .join(merged.withColumnRenamed("component", "id"), "id", "left")
+        .select("id", F.coalesce("merged", F.col("id")).alias("component"))
+    )
+    return updated.unionByName(newly)
+
+
+@register(
+    "graph_wcc_incremental", oracle=_WCC_SQL, tags=("J-extra", "pregel")
+)
+def graph_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: resolve the 75% "existing"
+    edge slice ((src+dst) % 4 != 0) with the batch Pregel loop, then
+    fold in the remaining 25% as the arriving batch via
+    ``incremental_components`` — old components contract to
+    super-nodes, only the contracted graph re-runs. The oracle is
+    ``graph_wcc``'s FULL-GRAPH recursive CTE verbatim: the append
+    path must value-hash-equal a from-scratch run over all edges (the
+    graph analogue of ``dedup_resolve_entities_append``'s
+    batch-equivalence contract). At 100 TB this is how component ids
+    survive daily edge ingest without re-traversing the accumulated
+    graph: per-batch cost scales with the batch and the components it
+    touches, never with history."""
+    from ezbake_graph_spark.graph.pregel import connected_components
+
+    edges = bipartite_edges(spark, sf_dir)
+    existing = edges.filter((F.col("src") + F.col("dst")) % 4 != 0)
+    batch = edges.filter((F.col("src") + F.col("dst")) % 4 == 0)
+    base = connected_components(graph_vertices(existing), existing)
+    return incremental_components(base, batch).orderBy("id")

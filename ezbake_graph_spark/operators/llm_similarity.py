@@ -2105,7 +2105,7 @@ def _mrl_pair_topk(pdf, n_blocks: int, dims: int, k: int):
     )
 
 
-@register("embed_matryoshka_topk", oracle=_MRL_SQL, tags=("K-extra",))
+@register("embed_matryoshka_topk", oracle=_MRL_SQL, tags=("K-extra", "bench2"))
 def embed_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style dimension truncation: retrieval over the FIRST
     16 of 64 embedding components (truncate + renormalize — the MRL

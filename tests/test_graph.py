@@ -1005,3 +1005,25 @@ def test_hits_exact_tracks_float_hits(spark):
         fh, fa = f[r["id"]]
         assert abs(r["hub_micro"] / 1e6 - fh) < 5e-5
         assert abs(r["auth_micro"] / 1e6 - fa) < 5e-5
+
+
+def test_incremental_components_bridge_and_new_nodes(spark):
+    """A batch node chain that bridges two existing components must
+    merge them to the global min label; untouched components keep
+    their labels; batch-only vertices join correctly."""
+    from ezbake_graph_spark.operators.graph import incremental_components
+
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (20, 20)],
+        "id long, component long",
+    )
+    batch = spark.createDataFrame(
+        [(2, 100), (100, 11), (200, 201)], "src long, dst long"
+    )
+    got = {r.id: r.component for r in
+           incremental_components(asg, batch).collect()}
+    assert got == {
+        1: 1, 2: 1, 10: 1, 11: 1, 100: 1,   # bridged via new node 100
+        20: 20,                               # untouched
+        200: 200, 201: 200,                   # batch-only component
+    }
