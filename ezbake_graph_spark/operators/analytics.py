@@ -1364,3 +1364,104 @@ def events_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pair_support").desc(), "part_a", "part_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel (M223)
+
+_FUNNEL_WINDOW_US = 86_400 * 1_000_000  # 1 day per step
+
+_WINDOW_FUNNEL_SQL = f"""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+),
+s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) >= s1.t1_us
+    AND epoch_us(e.ts) <= s1.t1_us + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) >= s2.t2_us
+    AND epoch_us(e.ts) <= s2.t2_us + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CASE WHEN s3.t3_us IS NOT NULL THEN 3
+            WHEN s2.t2_us IS NOT NULL THEN 2
+            WHEN s1.t1_us IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_depth,
+       s1.t1_us, s2.t2_us, s3.t3_us
+FROM users u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+ORDER BY user_id
+"""
+
+
+@register("events_window_funnel", oracle=_WINDOW_FUNNEL_SQL, tags=("ext", "analytics"))
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel: per-user maximum funnel depth through the
+    earliest view -> click -> purchase chain whose successive steps
+    each land within a 1-day window of the previous step — the
+    ClickHouse ``windowFunnel`` / Amplitude funnel semantics, which
+    differ from plain sequence matching (``events_pattern_match``) by
+    the BOUNDED inter-step gap and from ``events_funnel_conversion``
+    by anchoring each step to the EARLIEST feasible previous step
+    (the deterministic greedy chain).
+
+    Each step is one filtered keyed aggregate joined back on user_id
+    — three pushed-predicate scans, no per-user sequence
+    materialization; timestamps stay exact BIGINT µs throughout, so
+    every chain anchor value-hashes. At 100 TB each stage filters to
+    one event type BEFORE its shuffle (predicate pushdown visible in
+    the scan), and state per stage is one row per surviving user."""
+    ev = tables.load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    users = ev.select("user_id").distinct()
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1_us"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((us >= F.col("t1_us")) & (us <= F.col("t1_us") + _FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t2_us"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((us >= F.col("t2_us")) & (us <= F.col("t2_us") + _FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t3_us"))
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3_us").isNotNull(), 3)
+            .when(F.col("t2_us").isNotNull(), 2)
+            .when(F.col("t1_us").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_depth"),
+            "t1_us",
+            "t2_us",
+            "t3_us",
+        )
+        .orderBy("user_id")
+    )

@@ -257,3 +257,31 @@ def test_eval_ranking_python_twin(spark):
     assert abs(r.dcg - dcg) < 1e-5 and abs(r.idcg - idcg) < 1e-5
     assert r.ndcg == round(r.dcg / r.idcg, 6) or abs(r.ndcg - dcg / idcg) < 1e-5
     assert 0 < r.ndcg <= 1
+
+
+def test_window_funnel_python_twin(spark):
+    out = _rows(spark, "events_window_funnel")
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts), event_type FROM "
+        f"'{SF_SMOKE}/events.parquet' ORDER BY user_id, 1"
+    ).fetchall()
+    W = 86_400 * 1_000_000
+    by_user = collections.defaultdict(list)
+    for u, t, ty in rows:
+        by_user[u].append((t, ty))
+    for r in out.itertuples():
+        evs = sorted(by_user[int(r.user_id)])
+        t1 = min((t for t, ty in evs if ty == "view"), default=None)
+        t2 = t3 = None
+        if t1 is not None:
+            t2 = min((t for t, ty in evs
+                      if ty == "click" and t1 <= t <= t1 + W), default=None)
+        if t2 is not None:
+            t3 = min((t for t, ty in evs
+                      if ty == "purchase" and t2 <= t <= t2 + W), default=None)
+        depth = 3 if t3 else 2 if t2 else 1 if t1 else 0
+        assert int(r.funnel_depth) == depth
+        for got, want in ((r.t1_us, t1), (r.t2_us, t2), (r.t3_us, t3)):
+            assert (want is None) == (got != got or got is None) or int(got) == want
+            if want is not None:
+                assert int(got) == want
