@@ -1033,3 +1033,123 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series", "h_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency sweep (M224)
+
+_CONCURRENCY_SQL = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, t_us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id,
+         min(t_us) AS start_us,
+         max(t_us) + CAST(1800000000 AS BIGINT) AS end_us
+  FROM numbered GROUP BY user_id, session_id
+), sweep AS (
+  SELECT start_us AS t_us, CAST(1 AS BIGINT) AS delta,
+         user_id, session_id
+  FROM sessions
+  UNION ALL
+  SELECT end_us AS t_us, CAST(-1 AS BIGINT) AS delta,
+         user_id, session_id
+  FROM sessions
+), running AS (
+  SELECT t_us, delta,
+         sum(delta) OVER (ORDER BY t_us, delta, user_id, session_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS active
+  FROM sweep
+)
+SELECT CAST(make_timestamp(t_us) AS DATE) AS day,
+       CAST(max(active) AS BIGINT) AS peak_concurrency,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions_started
+FROM running
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register("ts_max_concurrency", oracle=_CONCURRENCY_SQL, tags=("ext", "ts"))
+def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — the interval-occupancy sweep line:
+    sessionize (30-min gap, end = last event + 30 min, END-EXCLUSIVE
+    via the -1 < +1 tiebreak so a back-to-back handoff at the same
+    microsecond never double-counts), explode each session interval
+    into a +1 start / -1 end event, and take the running sum over the
+    total (t, delta, user, session) order. The capacity-planning
+    readout (max simultaneous sessions/connections/jobs) that
+    windowed counts get wrong — a session spanning a bucket boundary
+    is concurrent in BOTH buckets.
+
+    Determinism: timestamps are exact BIGINT µs, deltas are ±1, and
+    the sweep order is total, so every prefix — hence every peak —
+    is integer-exact. Scale shape: sessionize = one keyed window;
+    the sweep's global running sum becomes per-shard sums + shard
+    offsets at 100 TB (the distributed-prefix-sum shape shared with
+    ``text_pack_sequences``); the per-day peak then maxes within
+    repartitioned day ranges."""
+    ev = tables.load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (us - F.unix_micros(F.lag("ts").over(w)) >= 1_800_000_000),
+        1,
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id",
+        us.alias("t_us"),
+        F.sum(new_s)
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_id"),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("t_us").alias("start_us"),
+        (F.max("t_us") + F.lit(1_800_000_000).cast("long")).alias("end_us"),
+    )
+    sweep = sessions.select(
+        F.col("start_us").alias("t_us"),
+        F.lit(1).cast("long").alias("delta"),
+        "user_id",
+        "session_id",
+    ).unionByName(
+        sessions.select(
+            F.col("end_us").alias("t_us"),
+            F.lit(-1).cast("long").alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    )
+    sw = Window.orderBy("t_us", "delta", "user_id", "session_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = sweep.select(
+        "t_us", "delta", F.sum("delta").over(sw).alias("active")
+    )
+    return (
+        running.groupBy(
+            F.timestamp_micros(F.col("t_us")).cast("date").alias("day")
+        )
+        .agg(
+            F.max("active").alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "n_sessions_started"
+            ),
+        )
+        .orderBy("day")
+    )

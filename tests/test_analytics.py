@@ -285,3 +285,43 @@ def test_window_funnel_python_twin(spark):
             assert (want is None) == (got != got or got is None) or int(got) == want
             if want is not None:
                 assert int(got) == want
+
+
+def test_max_concurrency_python_twin(spark):
+    out = _rows(spark, "ts_max_concurrency")
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts) FROM '{SF_SMOKE}/events.parquet' "
+        f"ORDER BY user_id, 2"
+    ).fetchall()
+    GAP = 1_800_000_000
+    sessions = []
+    cur = None
+    for u, t in rows:
+        if cur and cur[0] == u and t - cur[2] < GAP:
+            cur = (u, cur[1], t)
+        else:
+            if cur:
+                sessions.append(cur)
+            cur = (u, t, t)
+    if cur:
+        sessions.append(cur)
+    sweep = [(s[1], 1) for s in sessions] + [(s[2] + GAP, -1) for s in sessions]
+    sweep.sort()
+    active = 0
+    import datetime
+    per_day_peak = collections.Counter()
+    starts = collections.Counter()
+    for t, d in sweep:
+        active += d
+        day = datetime.datetime.fromtimestamp(t / 1e6,
+                                              tz=datetime.timezone.utc).date()
+        per_day_peak[day] = max(per_day_peak[day], active)
+        if d == 1:
+            starts[day] += 1
+    got_days = list(out.day)
+    assert got_days == sorted(per_day_peak)
+    for r in out.itertuples():
+        assert int(r.peak_concurrency) == per_day_peak[r.day]
+        assert int(r.n_sessions_started) == starts[r.day]
+    # occupancy sanity: total starts equal total sessions
+    assert int(out.n_sessions_started.sum()) == len(sessions)
