@@ -831,3 +831,95 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------------------------ streaming top-k
+
+_STREAM_TOPK_K = 5
+
+_STREAM_TOPK_SQL = f"""
+WITH counts AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rank
+  FROM counts
+)
+SELECT event_type, rank, user_id, n
+FROM ranked WHERE rank <= {_STREAM_TOPK_K}
+ORDER BY event_type, rank
+"""
+
+
+@register("stream_topk_counters", oracle=_STREAM_TOPK_SQL, tags=("I-extra", "stream"))
+def stream_topk_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k serving: per event type, the 5 heaviest users
+    by event count, maintained as an ADDITIVE counter table merged
+    per micro-batch via foreachBatch (counts are the canonical
+    commutative-monoid state: any batch partition of the stream
+    converges to the same counters, which is why the full-stream SQL
+    window is an exact oracle). The rank is computed at READ time over
+    the counter table — ranking inside the merge would break
+    additivity (a rank is not a monoid).
+
+    State is one row per live (type, user) key — at 100 TB the exact
+    counter table is what Count-Min (``text_cms_sketch``) replaces
+    when the key space itself outgrows storage; this key is the exact
+    twin that bounds that trade. Per-batch cost: one keyed partial
+    count + one keyed merge, no history rescan."""
+    import shutil
+
+    src = _events_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run = uuid.uuid4().hex[:8]
+    state_dir = os.path.join(_STREAM_TMP, "topk", run)
+    ckpt = os.path.join(_STREAM_TMP, "ckpt", f"topk_{run}")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        partial = batch_df.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        if os.path.exists(state_dir):
+            old = sess.read.parquet(state_dir)
+            merged = (
+                old.unionByName(partial)
+                .groupBy("event_type", "user_id")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = partial
+        tmp = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    with _stream_shuffle_conf(spark):
+        q = (
+            sdf.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), "user_id"
+    )
+    return (
+        spark.read.parquet(state_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _STREAM_TOPK_K)
+        .select("event_type", "rank", "user_id", "n")
+        .orderBy("event_type", "rank")
+    )
