@@ -678,3 +678,123 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(*manifest["files"])
 
     return read_version(1).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource API (M226)
+
+_PYDS_PARTS = 8
+_PYDS_ROWS = 10_000  # per the whole source, split across partitions
+
+
+def _pyds_value(i: int) -> int:
+    """Deterministic row payload: 32-bit integer from md5(id) — the
+    same hash-uniform construction the sampling/bootstrap keys use,
+    reproducible in any engine."""
+    import hashlib
+
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+
+def _make_pyds():
+    """Build the custom DataSource class lazily (pyspark.sql.datasource
+    import kept out of module import time)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        InputPartition,
+    )
+
+    class _GenReader(DataSourceReader):
+        def __init__(self, n_rows: int, n_parts: int):
+            self.n_rows = n_rows
+            self.n_parts = n_parts
+            self.only_part: int | None = None
+
+        def pushFilters(self, filters):
+            """Accept EqualTo on the partition column — the pruning
+            contract: ``partitions()`` then returns ONLY the matching
+            partition, so non-matching splits are never scheduled
+            (the Python-source analogue of parquet partition
+            pruning). Everything else is returned as unsupported and
+            re-applied by Spark above the scan."""
+            for f in filters:
+                if (
+                    isinstance(f, EqualTo)
+                    and tuple(f.attribute) == ("part",)
+                    and isinstance(f.value, int)
+                ):
+                    self.only_part = int(f.value)
+                else:
+                    yield f
+
+        def partitions(self):
+            parts = range(self.n_parts)
+            if self.only_part is not None:
+                parts = [p for p in parts if p == self.only_part]
+            return [InputPartition(p) for p in parts]
+
+        def read(self, partition):
+            p = partition.value
+            for i in range(p, self.n_rows, self.n_parts):
+                yield (i, p, _pyds_value(i))
+
+    class GenSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "ezgs_gen"
+
+        def schema(self):
+            return "id bigint, part int, value bigint"
+
+        def reader(self, schema):
+            return _GenReader(_PYDS_ROWS, _PYDS_PARTS)
+
+    return GenSource
+
+
+_PYDS_SQL = f"""
+WITH src AS (
+  SELECT i AS id, CAST(i % {_PYDS_PARTS} AS INTEGER) AS part,
+         ('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8))::BIGINT AS value
+  FROM range(0, {_PYDS_ROWS}) t(i)
+)
+SELECT part, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(value) AS BIGINT) AS sum_value,
+       CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+FROM src WHERE part = 3
+GROUP BY part ORDER BY part
+"""
+
+
+@register("scan_python_datasource", oracle=_PYDS_SQL, tags=("A2h", "M226"))
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON data source (Spark 4 DataSource API): a
+    partitioned deterministic generator source with FILTER PUSHDOWN —
+    ``pushFilters`` accepts ``part = 3`` and ``partitions()`` then
+    schedules only that split, the Python-source analogue of parquet
+    partition pruning (7 of 8 splits never run; driver-side pruning
+    behavior unit-tested directly on the reader in
+    tests/test_plans.py since python scans expose no PushedFilters
+    plan node). This is the extension seam for reading bespoke feeds
+    (internal APIs, tickers, simulation output) as first-class
+    partitioned DataFrames instead of driver-side collect loops."""
+    # runtime conf (idempotent) so caller-provided vanilla sessions —
+    # the driver builds its own — take the pushdown path
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(_make_pyds())
+    except Exception:
+        pass  # already registered in this session
+    src = spark.read.format("ezgs_gen").load().filter(F.col("part") == 3)
+    return (
+        src.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("part")
+    )

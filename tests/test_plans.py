@@ -360,3 +360,25 @@ def test_time_travel_v2_sees_update_and_insert_v1_does_not(spark, duck, no_cache
     assert ((merged.o_totalprice_2 - merged.o_totalprice_1).round(6) == 1.0).all()
     # dead v1 files still on disk
     assert glob.glob(os.path.join(table, "b1", "*.parquet"))
+
+
+def test_python_datasource_prunes_partitions_on_pushed_filter():
+    """Driver-side pruning contract of the custom python source: after
+    pushFilters accepts part=3, partitions() schedules exactly one of
+    the 8 splits; unsupported filters are returned to Spark."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from ezbake_graph_spark.operators.scans import _PYDS_PARTS, _make_pyds
+
+    src = _make_pyds()(options={})
+    r = src.reader(None)
+    assert len(r.partitions()) == _PYDS_PARTS
+    leftover = list(r.pushFilters([EqualTo(("part",), 3),
+                                   GreaterThanOrEqual(("id",), 100)]))
+    # the EqualTo was consumed; the range filter is Spark's to apply
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThanOrEqual)
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].value == 3
+    # the pruned read really yields only part-3 rows
+    rows = list(r.read(parts[0]))
+    assert rows and all(p == 3 and i % _PYDS_PARTS == 3 for i, p, _ in rows)
