@@ -923,3 +923,62 @@ def stream_topk_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "rank", "user_id", "n")
         .orderBy("event_type", "rank")
     )
+
+
+# ------------------------------------------------------- state introspection
+
+_STATE_SCAN_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS micro_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("scan_stream_state", oracle=_STATE_SCAN_SQL, tags=("I-extra", "stream"))
+def scan_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STATE STORE introspection — the state data source
+    (``spark.read.format("statestore")``): run a keyed streaming
+    aggregation to completion, then read the operator's state files
+    from the checkpoint directly as a DataFrame. This is the ops
+    surface for debugging stateful streams (inspect hot keys, audit
+    state after an incident, verify a migration) without stopping or
+    re-running the query; the oracle is the equivalent batch
+    aggregate — after an availableNow run, operator state IS the full
+    aggregation, which makes the introspection value-hash-checkable.
+
+    State rows come back as (key struct, value struct, partition_id);
+    the value struct carries the aggregation buffer (count, micro
+    sum) in exact integers. At 100 TB the same read targets one
+    operator/partition of a live checkpoint (options batchId/
+    operatorId), and cost scales with state size, not stream
+    history."""
+    src = _events_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    run = uuid.uuid4().hex[:8]
+    ckpt = os.path.join(_STREAM_TMP, "ckpt", f"state_{run}")
+    sdf = spark.readStream.schema(schema).parquet(src)
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+            "micro_value"
+        ),
+    )
+    with _stream_shuffle_conf(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    st = spark.read.format("statestore").load(ckpt)
+    return (
+        st.select("key.*", "value.*")
+        .toDF("event_type", "n_events", "micro_value")
+        .orderBy("event_type")
+    )
