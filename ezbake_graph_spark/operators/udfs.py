@@ -341,3 +341,52 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         length_class("n_chars").alias("length_class"),
         est_tokens("n_chars").alias("est_tokens"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SQL-declared UDF (M228)
+
+_SQL_UDF_SQL = """
+SELECT CASE WHEN l_quantity >= 40 THEN 'bulk'
+            WHEN l_quantity >= 10 THEN 'mid'
+            ELSE 'small' END AS tier,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS disc_cents
+FROM lineitem
+GROUP BY tier
+ORDER BY tier
+"""
+
+
+@register("udf_sql_declared", oracle=_SQL_UDF_SQL, tags=("L7", "M228"))
+def udf_sql_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-declared scalar functions (Spark 4 ``CREATE FUNCTION ...
+    RETURN <expr>``): business logic named and shared in pure SQL —
+    unlike every python rung of the L tier, the body INLINES into the
+    calling plan (Catalyst substitutes the expression), so a SQL UDF
+    keeps whole-stage codegen, pushdown, and vectorization; it is the
+    zero-cost way to share semantics (tiering rules, money math)
+    across queries, with python UDFs reserved for logic SQL cannot
+    express. The oracle is the inlined expression itself — the
+    equivalence that makes the feature safe."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_tier(q DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN q >= 40 THEN 'bulk' "
+        "WHEN q >= 10 THEN 'mid' ELSE 'small' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(p * (1 - d) * 100) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT qty_tier(l_quantity) AS tier,
+               count(*) AS n,
+               sum(disc_cents(l_extendedprice, l_discount)) AS disc_cents
+        FROM lineitem
+        GROUP BY tier
+        ORDER BY tier
+        """
+    )

@@ -382,3 +382,12 @@ def test_python_datasource_prunes_partitions_on_pushed_filter():
     # the pruned read really yields only part-3 rows
     rows = list(r.read(parts[0]))
     assert rows and all(p == 3 and i % _PYDS_PARTS == 3 for i, p, _ in rows)
+
+
+def test_sql_udf_inlines_into_codegen(spark, no_cache):
+    """The SQL-declared UDF must inline: no python eval node anywhere,
+    and the aggregation stays inside whole-stage codegen."""
+    plan = _plan(spark, "udf_sql_declared")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # codegen spans render as *(n) stage prefixes in the executed plan
+    assert "*(" in plan
