@@ -798,3 +798,124 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource writer (M231)
+
+
+def _make_pyds_sink(out_dir: str):
+    """Custom python SINK with the two-phase commit protocol: each
+    task writes a UNIQUELY-NAMED temp file and returns its path in a
+    WriterCommitMessage; only the driver-side ``commit`` (called once
+    ALL tasks succeeded) renames them into place and writes the
+    manifest — a failed/speculative task's file is never visible
+    (``abort`` removes strays). Exactly the contract every real sink
+    (parquet committer, JDBC txn, Kafka txn producer) implements."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, path: str, n: int):
+            self.path = path
+            self.n = n
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, iterator):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            from pyspark import TaskContext
+
+            tmp = _os.path.join(
+                self.path, f"_tmp_{TaskContext.get().partitionId()}_"
+                f"{_uuid.uuid4().hex[:8]}.jsonl"
+            )
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            return _Msg(tmp, n)
+
+        def commit(self, messages):
+            import json as _json
+            import os as _os
+
+            final = []
+            for i, m in enumerate(messages):
+                dst = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+                _os.replace(m.path, dst)
+                final.append({"file": _os.path.basename(dst), "rows": m.n})
+            with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                _json.dump(final, f)
+
+        def abort(self, messages):
+            import os as _os
+
+            for m in messages:
+                if m is not None and _os.path.exists(m.path):
+                    _os.remove(m.path)
+
+    class SinkSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "ezgs_jsonl_sink"
+
+        def schema(self):
+            return "o_orderpriority string, n bigint"
+
+        def writer(self, schema, overwrite):
+            import os as _os
+
+            _os.makedirs(out_dir, exist_ok=True)
+            if overwrite:
+                for p in _os.listdir(out_dir):
+                    _os.remove(_os.path.join(out_dir, p))
+            return _Writer(out_dir)
+
+    return SinkSource
+
+
+_PYDS_SINK_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sink_python_datasource", oracle=_PYDS_SINK_SQL, tags=("A3g", "M231"))
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON sink (Spark 4 DataSource writer API) with the
+    real two-phase commit protocol — tasks write uniquely-named temp
+    files and return commit messages; the driver's ``commit`` renames
+    into place and writes a manifest only after every task succeeded,
+    so partial/speculative output is never visible (``abort`` cleans
+    strays). The round trip back through plain JSON reads the
+    MANIFEST's files, proving the committed set is complete and
+    exactly-once; value-hashed against the direct aggregate."""
+    import json
+
+    out_dir = os.path.join(_ARTIFACTS, "pyds_sink")
+    agg = (
+        tables.load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    try:
+        spark.dataSource.register(_make_pyds_sink(out_dir))
+    except Exception:
+        pass
+    agg.write.format("ezgs_jsonl_sink").mode("overwrite").save()
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    paths = [os.path.join(out_dir, m["file"]) for m in manifest]
+    back = spark.read.json(paths, schema="o_orderpriority string, n long")
+    return back.orderBy("o_orderpriority")
