@@ -1522,3 +1522,105 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("in_a"),
     )
     return permutation_test_mean(base, "o_orderkey", "cents", "in_a", _PERM_B)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe target encoding (M232)
+
+_TENC_SMOOTH = 20  # prior weight (rows of global mean blended in)
+
+_TARGET_ENC_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS cat,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+grp AS (
+  SELECT cat,
+         CAST(count(*) AS BIGINT) AS n_cat,
+         CAST(sum(cents) AS BIGINT) AS sum_cat
+  FROM base GROUP BY cat
+),
+gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(cents) AS BIGINT) AS sum_all
+  FROM base
+)
+SELECT b.o_orderkey, b.cat,
+       g.n_cat,
+       round((CAST(g.sum_cat - b.cents AS DOUBLE) / 100
+              + {_TENC_SMOOTH} * (CAST(gl.sum_all AS DOUBLE) / gl.n_all / 100))
+             / (g.n_cat - 1 + {_TENC_SMOOTH}), 6) AS loo_encoding
+FROM base b
+JOIN grp g ON g.cat = b.cat
+CROSS JOIN gtot gl
+ORDER BY b.o_orderkey
+"""
+
+
+def target_encode_loo(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    target_cents_col: str,
+    smoothing: int = _TENC_SMOOTH,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing: each
+    row's categorical feature becomes ``(sum_cat - own + m*prior) /
+    (n_cat - 1 + m)`` — the category's mean target EXCLUDING the row
+    itself, shrunk toward the global mean. Leave-one-out is the
+    leakage rule: encoding a row with a statistic that contains its
+    own target leaks the label into the feature (the train-serve gap
+    every naive mean-encoder ships); the smoothing keeps rare
+    categories from collapsing onto their own noise.
+
+    All sums are exact BIGINT cents; the one blended division is
+    round6 of exact-integer operands. One keyed agg + one broadcast
+    of the per-category table + a 1-row global — the encode itself is
+    map-side, so the op costs one shuffle at any corpus size."""
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(cat_col).alias("cat"),
+        F.col(target_cents_col).alias("cents"),
+    )
+    grp = base.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum("cents").alias("sum_cat"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("cents").alias("sum_all"),
+    )
+    prior = F.col("sum_all").cast("double") / F.col("n_all") / 100
+    enc = F.round(
+        (
+            (F.col("sum_cat") - F.col("cents")).cast("double") / 100
+            + smoothing * prior
+        )
+        / (F.col("n_cat") - 1 + smoothing),
+        6,
+    )
+    return (
+        base.join(F.broadcast(grp), "cat")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("_k").alias("o_orderkey"),
+            "cat",
+            "n_cat",
+            enc.alias("loo_encoding"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register("ml_target_encoding", oracle=_TARGET_ENC_SQL, tags=("ext", "ml"))
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of o_orderpriority
+    against the order amount — ``target_encode_loo`` on orders."""
+    o = tables.load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return target_encode_loo(base, "o_orderkey", "o_orderpriority", "cents")

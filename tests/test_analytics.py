@@ -325,3 +325,40 @@ def test_max_concurrency_python_twin(spark):
         assert int(r.n_sessions_started) == starts[r.day]
     # occupancy sanity: total starts equal total sessions
     assert int(out.n_sessions_started.sum()) == len(sessions)
+
+
+def test_target_encoding_python_twin_and_leakage(spark):
+    out = _rows(spark, "ml_target_encoding")
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_orderpriority, "
+        f"CAST(round(o_totalprice*100) AS BIGINT) FROM "
+        f"'{SF_SMOKE}/orders.parquet'"
+    ).fetchall()
+    m = 20
+    grp = collections.defaultdict(lambda: [0, 0])
+    tot = [0, 0]
+    for _, c, v in rows:
+        grp[c][0] += 1
+        grp[c][1] += v
+        tot[0] += 1
+        tot[1] += v
+    prior = tot[1] / tot[0] / 100
+    want = {}
+    for k, c, v in rows:
+        n, s = grp[c]
+        want[k] = (c, n, round(((s - v) / 100 + m * prior) / (n - 1 + m), 6))
+    assert len(out) == len(rows)
+    for r in out.itertuples():
+        c, n, enc = want[int(r.o_orderkey)]
+        assert (r.cat, int(r.n_cat), r.loo_encoding) == (c, n, enc)
+    # leakage check: two rows of the same category with different
+    # targets must get DIFFERENT encodings (own target excluded)
+    by_cat = collections.defaultdict(set)
+    vals = {k: v for k, _, v in rows}
+    for r in out.itertuples():
+        by_cat[r.cat].add((vals[int(r.o_orderkey)], r.loo_encoding))
+    for c, pairs in by_cat.items():
+        cents = {p[0] for p in pairs}
+        encs = {p[1] for p in pairs}
+        if len(cents) > 1:
+            assert len(encs) > 1
