@@ -1624,3 +1624,107 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return target_encode_loo(base, "o_orderkey", "o_orderpriority", "cents")
+
+
+# ---------------------------------------------------------------------------
+# Weight of evidence / information value (M233)
+
+_WOE_SQL = """
+WITH base AS (
+  SELECT n.n_name AS nation,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+cell AS (
+  SELECT nation,
+         CAST(sum(ev) AS BIGINT) AS n_events,
+         CAST(sum(1 - ev) AS BIGINT) AS n_nonevents
+  FROM base GROUP BY nation
+),
+tot AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS e_tot,
+         CAST(sum(n_nonevents) AS BIGINT) AS ne_tot
+  FROM cell
+),
+scored AS (
+  SELECT c.nation, c.n_events, c.n_nonevents,
+         ln(((c.n_events + 0.5) / t.e_tot)
+            / ((c.n_nonevents + 0.5) / t.ne_tot)) AS woe_raw,
+         (CAST(c.n_events AS DOUBLE) / t.e_tot
+          - CAST(c.n_nonevents AS DOUBLE) / t.ne_tot) AS share_gap
+  FROM cell c CROSS JOIN tot t
+)
+SELECT nation, n_events, n_nonevents,
+       round(woe_raw, 6) AS woe,
+       round(share_gap * woe_raw, 6) AS iv_contrib,
+       round(sum(share_gap * woe_raw) OVER (), 6) AS iv_total
+FROM scored
+ORDER BY nation
+"""
+
+
+@register("ml_woe_iv", oracle=_WOE_SQL, tags=("ext", "ml"))
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence + information value of the customer nation
+    against order finality — the credit-scoring feature audit (WoE =
+    ln of the event/non-event share ratio per category; IV = the
+    share-gap-weighted sum, the standard predictive-power screen with
+    the <0.02 useless / >0.5 suspicious reading). The +0.5 cell
+    adjustment (adjusted WoE) is applied to EVERY cell in BOTH
+    engines — not a zero-cell branch, so there is no latent oracle
+    divergence on a future fixture with an empty cell (the ADVICE r8
+    Kaplan-Meier lesson).
+
+    Counts are exact BIGINT; ln over identical doubles; the IV window
+    runs over the 25-row category table. One fact scan + two
+    broadcast dims + one keyed agg — map-side at any scale."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    ev = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    base = (
+        o.select("o_custkey", ev.alias("ev"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "ev")
+    )
+    cell = base.groupBy("nation").agg(
+        F.sum("ev").alias("n_events"),
+        F.sum(1 - F.col("ev")).alias("n_nonevents"),
+    )
+    tot = cell.agg(
+        F.sum("n_events").alias("e_tot"),
+        F.sum("n_nonevents").alias("ne_tot"),
+    )
+    woe_raw = F.log(
+        ((F.col("n_events") + 0.5) / F.col("e_tot"))
+        / ((F.col("n_nonevents") + 0.5) / F.col("ne_tot"))
+    )
+    share_gap = (
+        F.col("n_events").cast("double") / F.col("e_tot")
+        - F.col("n_nonevents").cast("double") / F.col("ne_tot")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    scored = cell.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "n_events",
+        "n_nonevents",
+        woe_raw.alias("woe_raw"),
+        share_gap.alias("share_gap"),
+    )
+    return scored.select(
+        "nation",
+        "n_events",
+        "n_nonevents",
+        F.round(F.col("woe_raw"), 6).alias("woe"),
+        F.round(F.col("share_gap") * F.col("woe_raw"), 6).alias("iv_contrib"),
+        F.round(
+            F.sum(F.col("share_gap") * F.col("woe_raw")).over(w), 6
+        ).alias("iv_total"),
+    ).orderBy("nation")

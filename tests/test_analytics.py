@@ -362,3 +362,35 @@ def test_target_encoding_python_twin_and_leakage(spark):
         encs = {p[1] for p in pairs}
         if len(cents) > 1:
             assert len(encs) > 1
+
+
+def test_woe_iv_python_twin(spark):
+    import math
+
+    out = _rows(spark, "ml_woe_iv")
+    rows = duckdb.sql(f"""
+        SELECT n.n_name, CASE WHEN o.o_orderstatus='F' THEN 1 ELSE 0 END
+        FROM '{SF_SMOKE}/orders.parquet' o
+        JOIN '{SF_SMOKE}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        JOIN '{SF_SMOKE}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+    """).fetchall()
+    cell = collections.defaultdict(lambda: [0, 0])
+    for nat, e in rows:
+        cell[nat][e] += 1
+    E = sum(v[1] for v in cell.values())
+    NE = sum(v[0] for v in cell.values())
+    iv = 0.0
+    want = {}
+    for nat, (ne, e) in cell.items():
+        woe = math.log(((e + 0.5) / E) / ((ne + 0.5) / NE))
+        gap = e / E - ne / NE
+        want[nat] = (e, ne, round(woe, 6), round(gap * woe, 6))
+        iv += gap * woe
+    assert len(out) == len(cell)
+    for r in out.itertuples():
+        e, ne, woe, contrib = want[r.nation]
+        assert (int(r.n_events), int(r.n_nonevents)) == (e, ne)
+        assert r.woe == woe and r.iv_contrib == contrib
+        assert abs(r.iv_total - iv) < 1e-5
+    # IV is nonnegative by construction (gap and woe share sign)
+    assert out.iv_total.iloc[0] >= 0
