@@ -2045,10 +2045,12 @@ LIMIT {_MRL_K}
 def _mrl_pair_topk(pdf, n_blocks: int, dims: int, k: int):
     """Per-pair-group kernel: cosine over the FIRST ``dims``
     components (truncation implies renormalization) AND over the full
-    vector, local top-k by the ROUNDED truncated cosine with full
-    (vid1, vid2) tiebreak — an exact local selection (each global
-    winner lives in exactly one group and survives its group's top-k
-    under the same comparator), so no raw-value slack is needed."""
+    vector, local top-k by the rounded truncated cosine with full
+    (vid1, vid2) tiebreak. Candidates are preselected on the RAW
+    matrix with the slack bound _pair_group_topk documents (a provable
+    superset of the rounded top-k incl. boundary ties), so only ~k
+    cells are rounded/sorted — rounding the full n^2 matrix first
+    measured 7.9x wall growth at 4x volume."""
     import numpy as np
     import pandas as pd
 
@@ -2082,24 +2084,28 @@ def _mrl_pair_topk(pdf, n_blocks: int, dims: int, k: int):
         zq = (ztr | zfull)[qsel]
         zc = (ztr | zfull)[csel]
         mask = zq[:, None] | zc[None, :]
-    str_ = np.round(st, 6)
-    str_[mask] = -np.inf
+    st[mask] = -np.inf
     valid = int((~mask).sum())
     kk = min(k, valid)
     if kk == 0:
         return None
-    flat = str_.ravel()
+    flat = st.ravel()
+    # preselect on RAW cosines with the same slack bound
+    # _pair_group_topk documents (|round6(x) - x| <= 5e-7 + ulp terms,
+    # 1.01e-6 over-covers), so only ~k cells are ever rounded/sorted —
+    # rounding the full n^2 matrix first measured 7.9x at 4x volume.
     kth = np.partition(flat, flat.size - kk)[flat.size - kk]
-    cand = np.flatnonzero(flat >= kth)
-    qi, ci = np.unravel_index(cand, str_.shape)
+    cand = np.flatnonzero(flat >= kth - 1.01e-6)
+    qi, ci = np.unravel_index(cand, st.shape)
     v1 = np.minimum(q_ids[qi], c_ids[ci])
     v2 = np.maximum(q_ids[qi], c_ids[ci])
-    order = np.lexsort((v2, v1, -flat[cand]))[:kk]
+    ct = np.round(flat[cand], 6)
+    order = np.lexsort((v2, v1, -ct))[:kk]
     return pd.DataFrame(
         {
             "vid1": v1[order],
             "vid2": v2[order],
-            "cos_trunc": flat[cand][order],
+            "cos_trunc": ct[order],
             "cos_full": np.round(sf.ravel()[cand][order], 6),
         }
     )
