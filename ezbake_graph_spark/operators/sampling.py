@@ -483,3 +483,135 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("curriculum_rank"),
         F.ntile(_CURRICULUM_EPOCHS).over(w).alias("epoch_bucket"),
     ).orderBy("curriculum_rank")
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling (M234)
+
+_NEYMAN_N = 1000  # total sample target
+
+_NEYMAN_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS stratum,
+         CAST(round(o_totalprice / 10) AS BIGINT) AS x10
+  FROM orders
+),
+mom AS (
+  SELECT stratum,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(x10) AS BIGINT) AS sx,
+         CAST(sum(x10 * x10) AS BIGINT) AS sxx
+  FROM base GROUP BY stratum
+),
+sd AS (
+  SELECT stratum, n_h,
+         sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)) / n_h AS sd_h
+  FROM mom
+),
+w AS (
+  SELECT stratum, n_h, sd_h, n_h * sd_h AS w_h,
+         sum(n_h * sd_h) OVER () AS w_tot
+  FROM sd
+),
+alloc AS (
+  SELECT stratum, n_h, sd_h,
+         CAST(floor({_NEYMAN_N} * w_h / w_tot + 0.5) AS BIGINT) AS alloc_h
+  FROM w
+),
+ranked AS (
+  SELECT b.stratum, b.x10, a.alloc_h, a.n_h, a.sd_h,
+         row_number() OVER (
+           PARTITION BY b.stratum
+           ORDER BY md5(CAST(b.o_orderkey AS VARCHAR)), b.o_orderkey
+         ) AS rk
+  FROM base b JOIN alloc a USING (stratum)
+)
+SELECT stratum, n_h, round(sd_h * 10, 6) AS sd_dollars, alloc_h,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       round(CAST(sum(x10) AS DOUBLE) * 10 / count(*), 6) AS sample_mean
+FROM ranked WHERE rk <= alloc_h
+GROUP BY stratum, n_h, sd_h, alloc_h
+ORDER BY stratum
+"""
+
+
+@register("sample_neyman_allocation", oracle=_NEYMAN_SQL, tags=("ext", "sampling"))
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling: allocate a 1000-row budget
+    across the order-priority strata proportionally to N_h * S_h (the
+    allocation that minimizes the stratified-mean variance for a fixed
+    budget — big, heterogeneous strata get more samples), then draw
+    each stratum's quota DETERMINISTICALLY by md5-rank (rank <=
+    alloc_h), so the drawn set — not just its size — value-hashes
+    cross-engine, the same no-RNG-state regime as the bootstrap and
+    the permutation test.
+
+    Determinism of the variance: values are quantized to exact $10
+    BIGINT units so the moment sums (sum x, sum x²) stay exact BIGINT
+    at any fixture scale (cents² overflows at sf0.1); S_h is then one
+    sqrt over identical doubles. Per-stratum rounding of allocations
+    is to-nearest — the summed allocation may differ from the budget
+    by a couple of rows, the standard trade (exact-sum allocation
+    needs a largest-remainder pass; documented, not needed for the
+    variance argument). Scale shape: one keyed moment agg + broadcast
+    allocation + one rank window per stratum."""
+    o = tables.load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("stratum"),
+        F.round(F.col("o_totalprice") / 10).cast("long").alias("x10"),
+    )
+    mom = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("x10").alias("sx"),
+        F.sum(F.col("x10") * F.col("x10")).alias("sxx"),
+    )
+    sd_h = (
+        F.sqrt(
+            (F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        / F.col("n_h")
+    )
+    w = mom.select("stratum", "n_h", sd_h.alias("sd_h")).select(
+        "stratum",
+        "n_h",
+        "sd_h",
+        (F.col("n_h") * F.col("sd_h")).alias("w_h"),
+    )
+    wt = Window.partitionBy()
+    alloc = w.select(
+        "stratum",
+        "n_h",
+        "sd_h",
+        F.floor(
+            _NEYMAN_N * F.col("w_h") / F.sum("w_h").over(wt) + 0.5
+        ).cast("long").alias("alloc_h"),
+    )
+    rk = Window.partitionBy("stratum").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    ranked = (
+        base.join(F.broadcast(alloc), "stratum")
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= F.col("alloc_h"))
+    )
+    return (
+        ranked.groupBy("stratum", "n_h", "sd_h", "alloc_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(
+                F.sum("x10").cast("double") * 10 / F.count(F.lit(1)), 6
+            ).alias("sample_mean"),
+        )
+        .select(
+            "stratum",
+            "n_h",
+            F.round(F.col("sd_h") * 10, 6).alias("sd_dollars"),
+            "alloc_h",
+            "n_sampled",
+            "sample_mean",
+        )
+        .orderBy("stratum")
+    )

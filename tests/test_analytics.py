@@ -394,3 +394,44 @@ def test_woe_iv_python_twin(spark):
         assert abs(r.iv_total - iv) < 1e-5
     # IV is nonnegative by construction (gap and woe share sign)
     assert out.iv_total.iloc[0] >= 0
+
+
+def test_neyman_allocation_python_twin(spark):
+    import hashlib
+    import math
+
+    out = _rows(spark, "sample_neyman_allocation")
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_orderpriority, "
+        f"CAST(round(o_totalprice/10) AS BIGINT) FROM "
+        f"'{SF_SMOKE}/orders.parquet'"
+    ).fetchall()
+    strata = collections.defaultdict(list)
+    for k, s, x in rows:
+        strata[s].append((k, x))
+    mom = {
+        s: (len(v), sum(x for _, x in v), sum(x * x for _, x in v))
+        for s, v in strata.items()
+    }
+    sd = {s: math.sqrt(n * sxx - sx * sx) / n for s, (n, sx, sxx) in mom.items()}
+    wtot = sum(mom[s][0] * sd[s] for s in mom)
+    alloc = {s: int(math.floor(1000 * mom[s][0] * sd[s] / wtot + 0.5))
+             for s in mom}
+    assert len(out) == len(strata)
+    for r in out.itertuples():
+        s = r.stratum
+        n, sx, sxx = mom[s]
+        assert int(r.n_h) == n
+        assert r.sd_dollars == round(sd[s] * 10, 6)
+        assert int(r.alloc_h) == alloc[s]
+        chosen = sorted(
+            strata[s],
+            key=lambda kv: (hashlib.md5(str(kv[0]).encode()).hexdigest(),
+                            kv[0]),
+        )[: alloc[s]]
+        assert int(r.n_sampled) == len(chosen)
+        assert r.sample_mean == round(
+            sum(x for _, x in chosen) * 10 / len(chosen), 6)
+    # Neyman property: allocation share tracks N_h * S_h share
+    tot_alloc = int(out.alloc_h.sum())
+    assert abs(tot_alloc - 1000) <= len(strata)  # rounding slack
