@@ -2966,3 +2966,193 @@ def graph_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = edges.filter((F.col("src") + F.col("dst")) % 4 == 0)
     base = connected_components(graph_vertices(existing), existing)
     return incremental_components(base, batch).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# k-truss (M235)
+
+_TRUSS_K = 4
+_TRUSS_ROUNDS = 24  # measured peeling depth 2/17/4 at sf0.001/0.01/0.1
+
+
+
+def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
+    """localCheckpoint + STATISTICS reset — required in any loop whose
+    superstep multiplies plan-size estimates, i.e. 2+ self-joins per
+    round. ``Dataset.localCheckpoint`` truncates lineage but INHERITS
+    the parent plan's ``sizeInBytes`` into the new LogicalRDD, and the
+    size-only join estimator multiplies child sizes — so a round with
+    J joins makes size_{n+1} ~ size_n^(J+1). The BigInteger's DIGIT
+    count then grows (J+1)x per round and the driver disappears into
+    Karatsuba/Toom-Cook multiplications: measured on the 4-truss loop
+    (3 self-joins/round), rounds 0-11 ran 0.4-1.6 s and rounds
+    12/13/14 ran 6/25/127 s with a CONSTANT 33-char logical plan and
+    SHRINKING data — jstack pinned 107 s of the 115-s wall on
+    ``java.math.BigInteger.multiply``. Two-join loops (WCC, SSSP)
+    square per round and stay under the radar only because they
+    converge in <= ~10 rounds (19 x 2^10 digits is still cheap) —
+    the hazard is latent there, structural here.
+
+    The reset rebuilds a LogicalRDD over the SAME materialized
+    partitions without the inherited stats (back to
+    ``defaultSizeInBytes``), so estimates stay constant-size forever.
+    Everything remains JVM-side and distributed — no python round
+    trip."""
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck._jdf
+    spark = df.sparkSession
+    jds = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(jds, spark)
+
+
+def _truss_sql(rounds: int = _TRUSS_ROUNDS, k: int = _TRUSS_K) -> str:
+    """Unrolled-CTE oracle for k-truss peeling: per round, edge
+    support = common-neighbor count over the CURRENT edge set; keep
+    edges with support >= k-2; repeat. Peeling is idempotent once
+    stable, so ``rounds`` overshoots the measured fixpoint the same
+    way _sssp_sql does — a deeper peel on future data fails the
+    verify hash loudly, never silently."""
+    parts = []
+    for i in range(rounds):
+        parts.append(
+            f"sym{i} AS MATERIALIZED (\n"
+            f"  SELECT a AS u, b AS v FROM e{i}\n"
+            f"  UNION ALL SELECT b AS u, a AS v FROM e{i}\n"
+            f"), sup{i} AS MATERIALIZED (\n"
+            f"  SELECT e.a, e.b, count(*) AS sup\n"
+            f"  FROM e{i} e\n"
+            f"  JOIN sym{i} x ON x.u = e.a\n"
+            f"  JOIN sym{i} y ON y.u = e.b AND y.v = x.v\n"
+            f"  GROUP BY e.a, e.b\n"
+            f"), e{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT s.a, s.b FROM sup{i} s WHERE s.sup >= {k - 2}\n"
+            f")"
+        )
+    return (
+        "WITH s AS (\n"
+        "  SELECT user_id, epoch_us(ts) AS t, event_id,\n"
+        "         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k\n"
+        "  FROM events\n"
+        "), c AS (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY k ORDER BY t, event_id)\n"
+        "           AS src,\n"
+        "         user_id AS dst\n"
+        "  FROM s\n"
+        "), eall AS (\n"
+        "  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b\n"
+        "  FROM c WHERE src IS NOT NULL AND src <> dst\n"
+        "), e0 AS (\n"
+        "  SELECT a, b FROM eall\n"
+        "  WHERE ('0x' || substr(md5(CAST(a AS VARCHAR) || '-' ||\n"
+        "                            CAST(b AS VARCHAR)), 1, 8))::BIGINT\n"
+        "        % 5 = 0\n"
+        "),\n" + ",\n".join(parts) + "\n"
+        f"SELECT a, b, sup AS support FROM sup{rounds - 1}\n"
+        f"WHERE sup >= {_TRUSS_K - 2} ORDER BY a, b"
+    )
+
+
+@register("graph_ktruss", oracle=_truss_sql(), tags=("J-extra", "pregel"))
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the (hash-sparsified) user contact graph: the
+    maximal subgraph where every surviving edge closes >= k-2 = 2
+    triangles WITHIN the subgraph — the cohesion mining standard
+    between triangle counting (local, no peeling) and clique finding
+    (NP-hard): trusses are computable by monotone peeling yet far
+    stricter than k-core (an edge needs triangles, not just degree).
+
+    The contact graph is fabricated as in
+    ``graph_temporal_reachability`` and hash-sparsified to 20% (the
+    fixture projections are near-complete, where a truss is trivially
+    everything; md5-mod keeps the sparsification deterministic).
+    Peeling loop: per round, edge support = common-neighbor count
+    (two keyed joins + one agg over the current edge set), drop
+    edges under k-2, stop when stable — measured depth 2/17/4 at
+    sf0.001/0.01/0.1, loop capped at the oracle's 24-round unroll
+    (overshoot idempotent; deeper data fails the hash loudly). At
+    100 TB each round is the standard triangle-enumeration shuffle
+    bounded by current-edge adjacency, and rounds-to-stable is the
+    usual truss-decomposition trade documented in the literature —
+    all integers end to end."""
+    ev = tables.load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("k").orderBy("t", "event_id")
+    s = ev.select(
+        "user_id",
+        us.alias("t"),
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    c = s.select(
+        F.lag("user_id").over(w).alias("src"),
+        F.col("user_id").alias("dst"),
+    ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    eall = c.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("a").cast("string"),
+                        F.lit("-"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        == 0
+    )
+    edges = eall.filter(keep)
+    with _pinned_loop_env(spark):
+        cur = _checkpoint_reset_stats(edges)
+        n_cur = cur.count()
+        sup = None
+        for _ in range(_TRUSS_ROUNDS):
+            sym = cur.select(
+                F.col("a").alias("u"), F.col("b").alias("v")
+            ).unionByName(
+                cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            x = sym.select(F.col("u").alias("xa"), F.col("v").alias("wx"))
+            y = sym.select(F.col("u").alias("yb"), F.col("v").alias("wy"))
+            sup = (
+                cur.join(x, cur.a == x.xa)
+                .join(y, (cur.b == F.col("yb")) & (F.col("wy") == F.col("wx")))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("support"))
+            )
+            nxt = _checkpoint_reset_stats(
+                sup.filter(F.col("support") >= _TRUSS_K - 2).select("a", "b")
+            )
+            n_nxt = nxt.count()
+            if n_nxt == n_cur:
+                cur = nxt
+                break
+            cur, n_cur = nxt, n_nxt
+        # final support on the stable set
+        sym = cur.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        x = sym.select(F.col("u").alias("xa"), F.col("v").alias("wx"))
+        y = sym.select(F.col("u").alias("yb"), F.col("v").alias("wy"))
+        out = (
+            cur.join(x, cur.a == x.xa)
+            .join(y, (cur.b == F.col("yb")) & (F.col("wy") == F.col("wx")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= _TRUSS_K - 2)
+            .orderBy("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return out

@@ -1027,3 +1027,44 @@ def test_incremental_components_bridge_and_new_nodes(spark):
         20: 20,                               # untouched
         200: 200, 201: 200,                   # batch-only component
     }
+
+
+def test_ktruss_python_twin(spark):
+    """4-truss peeling vs a python reference on the sparsified contact
+    graph: final edge set AND final supports must match, and the truss
+    property must hold (every edge closes >= 2 triangles inside)."""
+    import collections
+    import hashlib
+
+    import duckdb
+
+    from ezbake_graph_spark import registry
+
+    out = registry.queries()["graph_ktruss"](spark, SF_SMOKE).toPandas()
+    rows = duckdb.sql(f"""
+        WITH s AS (SELECT user_id, epoch_us(ts) t, event_id,
+                   CAST(json_extract_string(props,'$.k') AS INTEGER) k
+                   FROM '{SF_SMOKE}/events.parquet'),
+        c AS (SELECT lag(user_id) OVER (PARTITION BY k ORDER BY t, event_id)
+                       src, user_id dst FROM s)
+        SELECT DISTINCT least(src,dst), greatest(src,dst)
+        FROM c WHERE src IS NOT NULL AND src <> dst
+    """).fetchall()
+    edges = {
+        (a, b) for a, b in rows
+        if int(hashlib.md5(f"{a}-{b}".encode()).hexdigest()[:8], 16) % 5 == 0
+    }
+    while True:
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        new = {e for e in edges if sup[e] >= 2}
+        if new == edges:
+            break
+        edges = new
+    got = {(int(r.a), int(r.b)): int(r.support) for r in out.itertuples()}
+    assert set(got) == edges
+    for e, s in got.items():
+        assert s == sup[e] and s >= 2
