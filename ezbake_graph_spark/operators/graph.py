@@ -2864,9 +2864,16 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
     )
     seed = ev.agg(F.min("user_id")).collect()[0][0]
+    # The seed must ALWAYS be a vertex: the oracle's d0 emits
+    # (seed, 0) unconditionally, but a contact-isolated seed (sole or
+    # first event on every channel it touches, or only self-contacts)
+    # never appears in `contacts` — union it in so both engines agree
+    # on fixtures where the min user has no surviving contact (ADVICE
+    # r9 #2).
     verts = (
         contacts.select(F.col("src").alias("id"))
         .unionByName(contacts.select(F.col("dst").alias("id")))
+        .unionByName(ev.agg(F.min("user_id").alias("id")))
         .distinct()
     )
     return (

@@ -1741,18 +1741,23 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     platform-LAPACK-dependent; cross-engine bit parity is not
     defined): orthonormality, variance capture, centering, and
     determinism across runs are pinned in tests/test_llm.py. Output:
-    one row per vector, proj = 8 principal scores (round6), plus pc1
-    for a quick scan, ordered by vec_id.
+    one row per vector with the 8 principal scores FLATTENED to
+    scalar columns ``pc1..pc8`` (round6), ordered by vec_id — the
+    driver's correctness harness canonicalizes results through a
+    pandas sort, where a top-level ``array<double>`` cell raises
+    ``TypeError: unhashable type: 'list'`` (the CORRECTNESS_r09
+    hard-error record). ``pca_project`` keeps the array form for API
+    users; only the registered readout flattens.
     """
     e = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     mean, comps, _eigvals, _n = pca_fit(e, dim=64, k=_PCA_K)
-    return (
-        pca_project(e, mean, comps)
-        .select("vec_id", "proj", F.col("proj")[0].alias("pc1"))
-        .orderBy("vec_id")
-    )
+    proj = pca_project(e, mean, comps)
+    return proj.select(
+        "vec_id",
+        *[F.col("proj")[i].alias(f"pc{i + 1}") for i in range(_PCA_K)],
+    ).orderBy("vec_id")
 
 
 MMR_PROBES = 5  # probe query vectors: vec_id < MMR_PROBES

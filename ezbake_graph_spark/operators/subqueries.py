@@ -242,7 +242,7 @@ WITH t AS (
 SELECT l_returnflag,
        n,
        cents,
-       CASE WHEN n >= (SELECT CAST(sum(n) AS BIGINT) / 3 FROM t)
+       CASE WHEN n >= (SELECT CAST(sum(n) AS BIGINT) // 3 FROM t)
             THEN 'major' ELSE 'minor' END AS share_class
 FROM t ORDER BY l_returnflag
 """
@@ -265,7 +265,7 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         BEGIN
           DECLARE third BIGINT DEFAULT 0;
-          SET third = (SELECT CAST(count(*) AS BIGINT) / 3 FROM lineitem);
+          SET third = (SELECT CAST(count(*) AS BIGINT) DIV 3 FROM lineitem);
           SELECT l_returnflag,
                  count(*) AS n,
                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents,

@@ -1040,15 +1040,19 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONCURRENCY_SQL = """
 WITH flagged AS (
-  SELECT user_id, epoch_us(ts) AS t_us,
+  SELECT user_id, epoch_us(ts) AS t_us, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
+  -- event_id tiebreak so this cumulative window shares the SAME
+  -- total order as the new_session flag window above and the two
+  -- Spark windows: with duplicate (user_id, ts) rows a t_us-only
+  -- order could split sessions differently per engine (ADVICE r9 #3)
   SELECT user_id, t_us,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW) AS session_id
   FROM flagged

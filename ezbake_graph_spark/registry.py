@@ -152,23 +152,19 @@ _ROTATE_PREGEL = ("graph_wcc", "graph_bfs")
 # this list next round once the driver re-verifies them. Brand-new
 # keys need no entry (never-green keys already sort first).
 _RECENTLY_CHANGED = (
-    # round 9 edits over green rows (all 23 round-8 entries got fresh
-    # r8 driver rows and left this list — VERDICT r8 #1):
-    "agg_hll_registers",  # exact `u div 64` bucket split (ADVICE r8:
-    #   the (u/64).cast('long') double division could flip a register
-    #   rank at a 2^j boundary vs the oracle's integral u // 64)
-    "events_survival_km",  # oracle gained the consumed guard (ADVICE
-    #   r8: DuckDB ln(0) raises, it is not -inf — latent on current
-    #   fixtures but the SQL text changed, so re-verify)
-    # louvain_local_moves gained the loop-scoped execution pin (AQE
-    # off, edge-adapted partitions, cached dst-partitioned arcs):
-    # identical integer trajectory, but the construction path changed
-    # — re-verify per the r7 #7 rule.
-    "graph_louvain",
-    "graph_louvain_weighted",
-    "graph_louvain_two_level",
-    "agg_count_distinct",  # two-level reagg replaced count(DISTINCT)
-    #   (same two shuffles, no Expand; VERDICT r8 #7)
+    # round 10 edits over checked rows (all 6 round-9 entries got
+    # fresh green r9 driver rows and left this list):
+    "embed_pca",  # proj array<double> flattened to scalar pc1..pc8 —
+    #   the r9 driver-harness crash (pandas canonicalizer can't hash
+    #   list cells); re-emit for a CLEAN rows-only record
+    "sql_scripting_block",  # integer division on both sides (ADVICE
+    #   r9 #1: Spark SET truncated count(*)/3 while the DuckDB oracle
+    #   compared against the fractional quotient)
+    "graph_temporal_reachability",  # seed unioned into verts (ADVICE
+    #   r9 #2: contact-isolated seed emitted by the oracle's d0 only)
+    "ts_max_concurrency",  # oracle's session-number window gained the
+    #   event_id tiebreak (ADVICE r9 #3: duplicate (user_id, ts) rows
+    #   could order differently across engines)
 )
 
 

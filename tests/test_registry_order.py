@@ -108,14 +108,17 @@ def test_green_set_reads_correctness_files():
     assert len(green) >= 52
 
 
-def test_never_checked_keys_lead_the_window():
-    """VERDICT r8 #1: every non-Pregel key with NO driver row of any
-    kind (neither a green row nor a rows-only record in any committed
-    CORRECTNESS_r*.json) must emit directly behind the
-    ``_RECENTLY_CHANGED`` front and inside the driver window —
-    first-time coverage beats any re-verification. At round-9 start
-    that is the 8 late-landing r8 keys (sim_mmr_select,
-    ts_downsample_lttb, ts_forecast_linear + 5 rows-only)."""
+def test_window_head_is_the_stalest_cohort():
+    """Retires the r8 never-checked sentinel (every registry key has a
+    driver row as of CORRECTNESS_r09; its own assert message said to
+    retire it) and replaces it with the steady-state policy (VERDICT
+    r9 #8): with coverage complete, the driver window's spare slots
+    must be spent on the STALEST records — every re-verification slot
+    inside the window (behind the ``_RECENTLY_CHANGED`` front,
+    excluding the Pregel tail splice) must be at least as stale as
+    every same-class key left outside the window. New keys without any
+    driver row still jump ahead via the never-checked classes; this
+    test only pins the rotation once they're checked."""
     keys = list(registry.queries())
     checked = registry._checked_rounds()
     never = {
@@ -125,12 +128,30 @@ def test_never_checked_keys_lead_the_window():
         and "pregel" not in spec.tags
         and k not in registry._RECENTLY_CHANGED
     }
-    assert never, "no never-checked keys left: retire this test's assert"
-    changed = [k for k in registry._RECENTLY_CHANGED if k in registry.REGISTRY]
-    head = keys[len(changed) : len(changed) + len(never)]
-    assert set(head) == never, f"window head {head} != never-checked {sorted(never)}"
-    for k in never:
-        assert keys.index(k) < registry._WINDOW, f"{k} outside driver window"
+    assert not never, (
+        f"never-checked keys reappeared ({sorted(never)}): they must "
+        f"lead the window — restore the r8 sentinel ordering if this fires"
+    )
+    override = _tail_override()
+    rounds = registry._latest_green_round()
+
+    def staleness(k):
+        return rounds.get(k, checked.get(k, 0))
+
+    rotation = [
+        k
+        for k in keys
+        if k not in override
+        and k not in registry._RECENTLY_CHANGED
+        and "pregel" not in registry.REGISTRY[k].tags
+        and k in checked
+    ]
+    n_window = sum(1 for k in keys[: registry._WINDOW] if k in set(rotation))
+    inside, outside = rotation[:n_window], rotation[n_window:]
+    assert inside and outside, "rotation degenerate: widen the registry"
+    assert max(staleness(k) for k in inside) <= min(
+        staleness(k) for k in outside
+    ), "window head must be drawn from the stalest checked cohort"
 
 
 def test_recently_changed_keys_emit_at_window_front():
