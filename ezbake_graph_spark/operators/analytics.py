@@ -810,7 +810,11 @@ ORDER BY a.arm
 """
 
 
-@register("events_cuped_adjusted", oracle=_CUPED_SQL, tags=("ext", "analytics"))
+@register(
+    "events_cuped_adjusted",
+    oracle=_CUPED_SQL,
+    tags=("ext", "analytics", "bench2"),
+)
 def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance reduction (public: Deng, Xu, Kohavi, Walker 2013,
     "Improving the Sensitivity of Online Controlled Experiments") over

@@ -3061,7 +3061,9 @@ def _truss_sql(rounds: int = _TRUSS_ROUNDS, k: int = _TRUSS_K) -> str:
     )
 
 
-@register("graph_ktruss", oracle=_truss_sql(), tags=("J-extra", "pregel"))
+@register(
+    "graph_ktruss", oracle=_truss_sql(), tags=("J-extra", "pregel", "bench2")
+)
 def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the (hash-sparsified) user contact graph: the
     maximal subgraph where every surviving edge closes >= k-2 = 2

@@ -1242,17 +1242,97 @@ ER_NAME_DIST = 1  # direct match: edit distance <= 1 alone suffices
 ER_WEAK_DIST = 2  # weak match: distance 2 needs a corroborating signal
 
 
+def _deletion_sigs(name: str = "name", k: int = ER_WEAK_DIST):
+    """``array<bigint>`` of xxhash64 signatures of every variant of
+    ``name`` obtainable by deleting up to ``k`` (=2) characters — the
+    symmetric-delete (SymSpell) candidate signature. LOSSLESS for the
+    match rule: if ``levenshtein(a, b) <= 2`` then deleting the edited
+    positions from each side reaches a common string, so a and b share
+    at least one signature (each edit op costs at most one deletion on
+    each side). Sharing a signature is NOT sufficient (it implies only
+    ed <= 4), so candidates are still levenshtein-verified.
+
+    Built entirely from codegen'd SQL collection functions (sequence/
+    transform/flatten/substring/xxhash64) — no UDF, no shuffle; ~1 +
+    L + L(L-1)/2 signatures per record (172 at L=18), generated
+    map-side and exploded into the candidate join. Variants are hashed
+    so the shuffle carries 8-byte keys instead of strings; a hash
+    collision can only ADD a candidate (removed by the verify stage),
+    never lose one. Assumes ``k == 2`` (the d1/d2 expansions below are
+    written for exactly two deletion levels)."""
+    assert k == 2, "deletion-signature expansion is written for k=2"
+    s = name
+    d1 = (
+        f"transform(sequence(1, length({s})), i -> "
+        f"concat(substring({s}, 1, i-1), substring({s}, i+1, length({s}))))"
+    )
+    d2 = (
+        f"flatten(transform(sequence(1, length({s}) - 1), i -> "
+        f"transform(sequence(i + 1, length({s})), j -> "
+        f"concat(substring({s}, 1, i-1), substring({s}, i+1, j-i-1), "
+        f"substring({s}, j+1, length({s}))))))"
+    )
+    return F.expr(
+        f"transform(CASE WHEN length({s}) >= 2 "
+        f"THEN concat(array({s}), {d1}, {d2}) "
+        f"WHEN length({s}) = 1 THEN concat(array({s}), {d1}) "
+        f"ELSE array({s}) END, v -> xxhash64(v))"
+    )
+
+
+def _er_candidate_pairs(records: DataFrame, new_only: bool = False) -> DataFrame:
+    """Candidate (src, dst) id pairs for the ER match rule: pairs of
+    records sharing (block, deletion-signature). Replaces the original
+    block-only self-join whose within-block pair count grew
+    QUADRATICALLY with the corpus (the nation key has fixed cardinality
+    25, so block size tracks corpus size — VERDICT r9 #4, measured
+    x4/x1 = 10.6x): signature buckets are keyed by string CONTENT, so
+    bucket sizes track true-neighbor density, not corpus size, and the
+    levenshtein verify runs on |candidates| ~ |true pairs|, never
+    |block|^2/2.
+
+    ``new_only``: restrict the LEFT side to rows flagged ``is_new``
+    (the append path — new x all, normalized src<dst), else the
+    asymmetric batch self-join (src < dst). Output is distinct: a pair
+    sharing several signatures (or seen from both sides) emits once.
+    """
+    sigs = records.select(
+        "rec_id",
+        "block",
+        *(["is_new"] if new_only else []),
+        F.explode(_deletion_sigs("name")).alias("sig"),
+    )
+    a = (sigs.filter("is_new") if new_only else sigs).alias("a")
+    b = sigs.alias("b")
+    ids = (F.col("a.rec_id") != F.col("b.rec_id")) if new_only else (
+        F.col("a.rec_id") < F.col("b.rec_id")
+    )
+    pair = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & ids,
+    )
+    return pair.select(
+        F.least(F.col("a.rec_id"), F.col("b.rec_id")).alias("src"),
+        F.greatest(F.col("a.rec_id"), F.col("b.rec_id")).alias("dst"),
+    ).distinct()
+
+
 def resolve_entities(records: DataFrame) -> DataFrame:
     """Entity resolution over a ``(rec_id, name, block, segment, val)``
     record table: block -> match -> cluster -> survive.
 
-    1. **Blocking**: candidate pairs come from an equi-join on
-       ``block`` only (``rec_id`` asymmetric to halve the pairs), so
-       the O(len^2) levenshtein runs on |block|^2/2 pairs, never
-       all-pairs — the same scale contract as ``dedup_fuzzy_names``.
-       At 100 TB the blocking key is the lever (first-k-chars +
-       length-bucket in production); everything downstream is bounded
-       by the match-pair count, not the corpus.
+    1. **Blocking**: candidate pairs share (``block``, a symmetric-
+       delete signature) — every variant of the name with up to
+       ER_WEAK_DIST characters deleted (``_deletion_sigs``), which is
+       provably lossless for the levenshtein <= 2 rule. Signature
+       buckets are keyed by string content, so candidate counts track
+       true-neighbor density, not corpus size — the fix for the
+       block-only join whose 25-value nation key made within-block
+       pair work quadratic in the corpus (VERDICT r9 #4, x4 curve
+       10.6x). The O(len^2) levenshtein verify runs on |candidates|
+       ~ |true pairs|, never |block|^2/2.
     2. **Match rule** (multi-signal, integer-deterministic): edit
        distance <= ER_NAME_DIST alone, OR <= ER_WEAK_DIST with the
        corroborating ``segment`` equality — the classic strong-
@@ -1274,30 +1354,31 @@ def resolve_entities(records: DataFrame) -> DataFrame:
     from ezbake_graph_spark.graph.pregel import connected_components
 
     r = records.select("rec_id", "name", "block", "segment", "val")
-    # Spread the levenshtein pair build across the cluster: the source
-    # scan is tiny (few input splits), so without an explicit block
-    # repartition the self-join — the expensive stage, |block|^2/2
-    # levenshtein evals — runs at scan parallelism (measured 2 tasks /
-    # 60 s at sf0.1; block-partitioned it is bounded by block count).
-    # Self-join of ONE repartitioned frame: Spark reuses the exchange,
-    # so the block shuffle happens once.
-    n_part = max(4, records.sparkSession.sparkContext.defaultParallelism)
-    blocked = r.select("rec_id", "name", "block", "segment").repartition(
-        n_part, "block"
+    # Candidate generation: signature-bucketed join (deletion
+    # neighborhoods), shuffled on the 8-byte (block, sig) key across
+    # spark.sql.shuffle.partitions — parallelism comes from the
+    # signature shuffle, so no explicit repartition is needed (the
+    # old block-only self-join ran at scan parallelism without one).
+    cand = _er_candidate_pairs(r)
+    lhs = r.select(
+        F.col("rec_id").alias("src"),
+        F.col("name").alias("name_a"),
+        F.col("segment").alias("seg_a"),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    rhs = r.select(
+        F.col("rec_id").alias("dst"),
+        F.col("name").alias("name_b"),
+        F.col("segment").alias("seg_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.rec_id") < F.col("b.rec_id")),
-        )
+        cand.join(lhs, "src")
+        .join(rhs, "dst")
         .select(
-            F.col("a.rec_id").alias("src"),
-            F.col("b.rec_id").alias("dst"),
+            "src",
+            "dst",
             dist.cast("int").alias("name_dist"),
-            (F.col("a.segment") == F.col("b.segment")).alias("same_segment"),
+            (F.col("seg_a") == F.col("seg_b")).alias("same_segment"),
         )
         .filter(
             (F.col("name_dist") <= ER_NAME_DIST)
@@ -1305,9 +1386,10 @@ def resolve_entities(records: DataFrame) -> DataFrame:
         )
         .select("src", "dst")
         # The match-pair set is consumed three times downstream (WCC
-        # edges, vertex set, degree); checkpoint it so the levenshtein
-        # stage runs ONCE. Pairs are tiny relative to the corpus —
-        # that asymmetry is the whole point of blocking.
+        # edges, vertex set, degree); checkpoint it so the candidate
+        # join + levenshtein verify run ONCE. Pairs are tiny relative
+        # to the corpus — that asymmetry is the whole point of
+        # blocking.
         .localCheckpoint()
     )
     sym = pairs.union(pairs.select(F.col("dst"), F.col("src")))
@@ -1443,7 +1525,8 @@ def resolve_entities_append(
     min-label WCC over the collapsed graph yields the same min the
     full-batch WCC would.
 
-    Scale: the match stage is |new| × block-bounded (never old×old);
+    Scale: the match stage is new x signature-bucket-bounded (never
+    old x old, and never block-quadratic);
     the WCC loop runs on the collapsed graph only. The survivorship
     windows at the end re-emit every record for output parity with
     the batch key — a production sink would restrict them to touched
@@ -1454,37 +1537,41 @@ def resolve_entities_append(
     cols = ["rec_id", "name", "block", "segment", "val"]
     old_r = old_records.select(*cols)
     new_r = new_records.select(*cols)
-    n_part = max(4, old_records.sparkSession.sparkContext.defaultParallelism)
     all_r = (
         old_r.withColumn("is_new", F.lit(False))
         .unionByName(new_r.withColumn("is_new", F.lit(True)))
-        .repartition(n_part, "block")
         .localCheckpoint(eager=True)
     )
-    a = all_r.filter("is_new").alias("a")  # new side only
-    b = all_r.alias("b")
-    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    # Candidate pairs via the same deletion-signature blocking as the
+    # batch kernel, restricted to new x all (the helper normalizes
+    # src<dst and dedups new-new pairs seen from both sides); then the
+    # exact levenshtein verify over candidate ids only.
+    cand = _er_candidate_pairs(all_r, new_only=True)
+    lhs = all_r.select(
+        F.col("rec_id").alias("src"),
+        F.col("name").alias("name_a"),
+        F.col("segment").alias("seg_a"),
+    )
+    rhs = all_r.select(
+        F.col("rec_id").alias("dst"),
+        F.col("name").alias("name_b"),
+        F.col("segment").alias("seg_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
     raw = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.rec_id") != F.col("b.rec_id")),
-        )
+        cand.join(lhs, "src")
+        .join(rhs, "dst")
         .select(
-            F.col("a.rec_id").alias("x"),
-            F.col("b.rec_id").alias("y"),
+            "src",
+            "dst",
             dist.cast("int").alias("name_dist"),
-            (F.col("a.segment") == F.col("b.segment")).alias("same_segment"),
+            (F.col("seg_a") == F.col("seg_b")).alias("same_segment"),
         )
         .filter(
             (F.col("name_dist") <= ER_NAME_DIST)
             | ((F.col("name_dist") <= ER_WEAK_DIST) & F.col("same_segment"))
         )
-        # normalize so a new-new pair (seen from both sides) dedups
-        .select(
-            F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst")
-        )
-        .distinct()
+        .select("src", "dst")
         .localCheckpoint(eager=True)
     )
     # collapse old endpoints to their entity label; new endpoints stay

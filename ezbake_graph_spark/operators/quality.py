@@ -1613,7 +1613,9 @@ def target_encode_loo(
     )
 
 
-@register("ml_target_encoding", oracle=_TARGET_ENC_SQL, tags=("ext", "ml"))
+@register(
+    "ml_target_encoding", oracle=_TARGET_ENC_SQL, tags=("ext", "ml", "bench2")
+)
 def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out smoothed target encoding of o_orderpriority
     against the order amount — ``target_encode_loo`` on orders."""
@@ -1665,7 +1667,7 @@ ORDER BY nation
 """
 
 
-@register("ml_woe_iv", oracle=_WOE_SQL, tags=("ext", "ml"))
+@register("ml_woe_iv", oracle=_WOE_SQL, tags=("ext", "ml", "bench2"))
 def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight of evidence + information value of the customer nation
     against order finality — the credit-scoring feature audit (WoE =

@@ -535,7 +535,11 @@ ORDER BY stratum
 """
 
 
-@register("sample_neyman_allocation", oracle=_NEYMAN_SQL, tags=("ext", "sampling"))
+@register(
+    "sample_neyman_allocation",
+    oracle=_NEYMAN_SQL,
+    tags=("ext", "sampling", "bench2"),
+)
 def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-optimal stratified sampling: allocate a 1000-row budget
     across the order-priority strata proportionally to N_h * S_h (the

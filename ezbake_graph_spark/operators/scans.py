@@ -768,7 +768,9 @@ GROUP BY part ORDER BY part
 """
 
 
-@register("scan_python_datasource", oracle=_PYDS_SQL, tags=("A2h", "M226"))
+@register(
+    "scan_python_datasource", oracle=_PYDS_SQL, tags=("A2h", "M226", "bench2")
+)
 def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom PYTHON data source (Spark 4 DataSource API): a
     partitioned deterministic generator source with FILTER PUSHDOWN —

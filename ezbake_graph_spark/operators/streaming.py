@@ -854,7 +854,11 @@ ORDER BY event_type, rank
 """
 
 
-@register("stream_topk_counters", oracle=_STREAM_TOPK_SQL, tags=("I-extra", "stream"))
+@register(
+    "stream_topk_counters",
+    oracle=_STREAM_TOPK_SQL,
+    tags=("I-extra", "stream", "bench2"),
+)
 def stream_topk_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming top-k serving: per event type, the 5 heaviest users
     by event count, maintained as an ADDITIVE counter table merged

@@ -986,3 +986,54 @@ def test_resolve_entities_append_bridge_and_empty_batch(spark):
         for r in resolve_entities(old.unionByName(bridge)).collect()
     }
     assert {k: tuple(v) for k, v in out.items()} == batch
+
+
+def test_deletion_signature_blocking_is_lossless(spark):
+    """The symmetric-delete candidate guarantee behind
+    ``_er_candidate_pairs``: ANY string pair with levenshtein <= 2
+    shares at least one <=2-deletion signature. Exhaustively checked
+    over every pair from a mixed pool (substitutions, insertions,
+    deletions, transposition-like double edits, short strings, and
+    far-apart controls): candidate pairs from the signature join must
+    be a SUPERSET of pairs with ed <= ER_WEAK_DIST (the fixture-level
+    equivalence with the old block-only join is pinned by the
+    registered keys' unchanged recursive-CTE oracle)."""
+    import itertools
+
+    from ezbake_graph_spark.operators.llm_dedup import (
+        ER_WEAK_DIST,
+        _er_candidate_pairs,
+    )
+
+    pool = [
+        "acme corp", "acme corq", "acme corp ", "acme co", "acme",
+        "acm corp", "aacme corp", "cme corpx", "zeta aaaa", "zeta abbb",
+        "Customer#000000001", "Customer#000000010", "Customer#000000100",
+        "Customer#000001000", "Customer#000000002", "Customer#00000001",
+        "a", "ab", "", "ba", "omega llc", "totally different",
+    ]
+    rows = [(i, s, 0, "AUTO", 0.0) for i, s in enumerate(pool)]
+    df = spark.createDataFrame(
+        rows, "rec_id long, name string, block long, segment string, val double"
+    )
+    cand = {
+        (int(r.src), int(r.dst)) for r in _er_candidate_pairs(df).collect()
+    }
+    for i, j in itertools.combinations(range(len(pool)), 2):
+        d = _py_levenshtein(pool[i], pool[j])
+        if d <= ER_WEAK_DIST:
+            assert (i, j) in cand, (
+                f"missed candidate: {pool[i]!r} ~ {pool[j]!r} (ed={d})"
+            )
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
