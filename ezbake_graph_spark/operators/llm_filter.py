@@ -19,12 +19,14 @@ and tokenization (the C4 / Gopher / Dolma cleaning stages):
   harness, stated here rather than hidden; ``api.pii_scan`` /
   ``api.pii_redact`` are the real user surface over arbitrary text.
 
-Scale shape: every per-document metric here is ONE narrow map-side
-projection over higher-order array/regexp expressions — no shuffle, no
-UDF, fully inside WholeStageCodegen, so the filters run at parquet-scan
-speed on any corpus. The only aggregations are the histogram's keyed
-agg (tiny key space: length buckets) and epoch-mix's per-source count
-(broadcast back, data never shuffles).
+Scale shape: per-document metrics are narrow map-side projections over
+array/regexp expressions — no UDF, inside WholeStageCodegen — except
+``filter_repetition``, whose gram counting is a keyed (doc, gram)
+hash aggregation with map-side combine (the interpreted-HOF map-side
+fold it replaced saturated CPU; see its docstring). The remaining
+aggregations are the histogram's keyed agg (tiny key space: length
+buckets) and epoch-mix's per-source count (broadcast back, data never
+shuffles).
 
 All ratios are exact int/int divisions (both engines produce the same
 IEEE double); data-dependent denominators are NULLIF/try_divide-guarded
@@ -83,51 +85,54 @@ def repetition_metrics(
 
     Per document: duplicate-word fraction (1 - distinct/total), the
     most frequent unigram's share, the most frequent bigram's share,
-    and an ``is_repetitive`` flag. All computed with higher-order
-    array expressions in one map-side projection — the per-row cost is
-    O(distinct x tokens) in-memory work, no shuffle anywhere. Single-
-    token documents have no bigrams: top_bigram_fraction is NULL (the
-    NULLIF guard matches the oracle; unguarded ANSI division would
-    raise)."""
+    and an ``is_repetitive`` flag. Single-token documents have no
+    bigrams: top_bigram_fraction is NULL (the NULLIF guard matches the
+    oracle; unguarded ANSI division would raise).
+
+    Kernel (round 10, VERDICT r9 #7): unigrams and bigrams explode
+    into ONE gram stream — bigrams are distinguishable by their
+    embedded space, since tokens are split ON space and can never
+    contain one — then two codegen'd hash aggregations: (doc, gram)
+    counts with map-side partial combine, then per-doc conditional
+    maxes. This replaced a map-side ``F.aggregate`` sorted-run fold:
+    zero-shuffle but INTERPRETED lambda evaluation per token (Catalyst
+    HOFs don't codegen), which saturated CPU linearly — measured 1.77s
+    -> 0.92s at sf0.1 and 5.62s -> 2.29s at 4x (x4/x1 curve 3.9x ->
+    2.5x; experiments/repetition_variants.py). The shuffle this buys
+    is keyed on (doc, gram) and combiner-reduced to distinct grams per
+    doc, so it scales like every other keyed agg in the engine.
+    ``explode_outer`` keeps NULL-text documents in the output with
+    NULL metrics, matching the old kernel's NULL propagation."""
     toks = F.split(F.col(text_col), " ")
     bgs = F.expr(
         f"transform(slice(split({text_col}, ' '), 1,"
         f" size(split({text_col}, ' ')) - 1),"
         f" (t, i) -> concat(t, ' ', element_at(split({text_col}, ' '), i + 2)))"
     )
-
-    def top_of(arr):
-        # max element multiplicity = longest run in the SORTED array:
-        # one O(n log n) sort + one linear run-length fold. The naive
-        # transform(distinct, w -> count matches) form is O(distinct x
-        # n) of INTERPRETED lambda evaluations (Catalyst HOFs don't
-        # codegen) — measured 4.8 s vs ~1 s at sf0.01 for this kernel.
-        # NULL initial prev: x == NULL is NULL, when() falls through to
-        # run=1, so no sentinel can collide with a real token.
-        run = lambda acc, x: F.when(  # noqa: E731
-            x == acc.getField("prev"), acc.getField("run") + 1
-        ).otherwise(F.lit(1))
-        return F.aggregate(
-            F.array_sort(arr),
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.lit(0).alias("run"),
-                F.lit(0).alias("best"),
-            ),
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                run(acc, x).alias("run"),
-                F.greatest(acc.getField("best"), run(acc, x)).alias("best"),
-            ),
-            lambda acc: acc.getField("best"),
-        )
-    m = docs.select(
-        F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        top_of(toks).alias("top_uni"),
-        top_of(bgs).alias("top_bg"),
-        F.size(bgs).alias("n_bigrams"),
+    grams = docs.select(
+        F.col(id_col), F.explode_outer(F.concat(toks, bgs)).alias("g")
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    is_bg = F.instr(F.col("g"), " ") > 0
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(~is_bg, F.col("c"))).alias("n_tokens"),
+        F.count(F.when(~is_bg, F.lit(1))).alias("n_distinct_raw"),
+        F.max(F.when(~is_bg, F.col("c"))).alias("top_uni"),
+        F.max(F.when(is_bg, F.col("c"))).alias("top_bg"),
+        F.sum(F.when(is_bg, F.col("c"))).alias("n_bigrams"),
+    )
+    m = agg.select(
+        id_col,
+        "n_tokens",
+        # NULL text: the old array kernel yielded NULL n_distinct;
+        # count() over the explode_outer NULL row yields 0 — restore
+        # the NULL so both kernels (and the oracle) agree on NULL docs
+        F.when(F.col("n_tokens").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.col("n_distinct_raw"))
+        .alias("n_distinct"),
+        "top_uni",
+        "top_bg",
+        "n_bigrams",
     )
     dup = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")
     top_uni_frac = F.col("top_uni").cast("double") / F.col("n_tokens")

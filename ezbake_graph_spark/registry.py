@@ -165,6 +165,12 @@ _RECENTLY_CHANGED = (
     "ts_max_concurrency",  # oracle's session-number window gained the
     #   event_id tiebreak (ADVICE r9 #3: duplicate (user_id, ts) rows
     #   could order differently across engines)
+    "dedup_resolve_entities",  # deletion-signature blocking replaced
+    #   the block-only candidate join (VERDICT r9 #4); oracle unchanged
+    "dedup_resolve_entities_append",  # same candidate path, append side
+    "filter_repetition",  # gram counting moved from the interpreted
+    #   HOF sorted-run fold to explode + two codegen'd hash aggs
+    #   (VERDICT r9 #7); oracle unchanged
 )
 
 
