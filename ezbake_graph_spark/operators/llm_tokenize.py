@@ -160,6 +160,91 @@ def bpe_train(
     return merges, wf
 
 
+BPE_EXACT_MERGES = 8
+
+
+def _bpe_exact_sql(n: int = BPE_EXACT_MERGES) -> str:
+    """Unrolled exact BPE oracle (VERDICT r9 #5 — the last rows-only
+    family without an exact twin): ``n`` merge rounds as chained CTEs,
+    the ``ts_downsample_lttb``/M77 unrolled-argmax regime applied to
+    the merge recursion. Per round: weighted adjacent-pair counts over
+    the word table, the (count DESC, left, right) argmax, then the
+    greedy leftmost-non-overlapping merge application. Overlapping
+    occurrences exist only when left == right (an occurrence at i and
+    i+1 forces syms[i+1] to equal both), so greedy acceptance is a
+    gaps-and-islands parity rule: within each maximal run of
+    consecutive occurrence positions, accept every other one starting
+    at the first — exactly what the Spark fold's "merged token can't
+    immediately re-match" property produces. Chain CTEs are
+    MATERIALIZED: w{{t}} is referenced twice per round, and DuckDB's
+    default inlining would expand the scan 2^n times. All counts are
+    BIGINT and the tie-break is total, so the trajectory is
+    integer-deterministic cross-engine."""
+    rounds = []
+    for t in range(n):
+        rounds.append(f"""
+e{t} AS MATERIALIZED (
+  SELECT word, freq, syms, unnest(range(1, len(syms))) AS i FROM w{t}),
+p{t} AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+         FROM e{t} GROUP BY 1, 2),
+m{t} AS (SELECT l, r FROM p{t} WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+occ{t} AS (SELECT e.word, e.i,
+                  row_number() OVER (PARTITION BY e.word ORDER BY e.i) AS rn
+           FROM e{t} e, m{t} m WHERE e.syms[e.i] = m.l AND e.syms[e.i+1] = m.r),
+acc{t} AS (SELECT word, i FROM (
+             SELECT word, i,
+                    (i - min(i) OVER (PARTITION BY word, i - rn)) % 2 AS par
+             FROM occ{t}) WHERE par = 0),
+f{t} AS (SELECT word, freq, syms, unnest(range(1, len(syms) + 1)) AS j FROM w{t}),
+w{t + 1} AS MATERIALIZED (
+  SELECT f.word, min(f.freq) AS freq,
+         list(CASE WHEN a.i IS NOT NULL THEN (SELECT l || r FROM m{t})
+                   ELSE f.syms[f.j] END ORDER BY f.j) AS syms
+  FROM f{t} f
+  LEFT JOIN acc{t} a ON a.word = f.word AND a.i = f.j
+  LEFT JOIN acc{t} b ON b.word = f.word AND b.i = f.j - 1
+  WHERE b.i IS NULL
+  GROUP BY f.word)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {t + 1} AS rank, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged FROM m{t}"
+        for t in range(n)
+    )
+    return (
+        """WITH w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         list_append(list_transform(range(1, length(word) + 1),
+                     x -> substring(word, x, 1)), '</w>') AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),"""
+        + ",".join(rounds)
+        + f"\nSELECT * FROM ({finals}) ORDER BY rank"
+    )
+
+
+@register("text_bpe_train_exact", oracle=_bpe_exact_sql(), tags=("ext", "iterative"))
+def text_bpe_train_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-oracled twin of ``text_bpe_train`` at a reduced merge
+    count: the first ``BPE_EXACT_MERGES`` (=8) classic sequential
+    merges (``batch_k=1``), value-hash-pinned against the unrolled
+    per-round argmax CTE in ``_bpe_exact_sql`` — the same
+    exact-twin pattern as ``graph_pagerank_exact`` /
+    ``dedup_minhash_signature``. The full 20-merge key stays
+    rows-only (its python golden covers the batched path); this key
+    certifies the merge ALGEBRA (pair counting, tie-break, greedy
+    non-overlapping application) cross-engine."""
+    d = tables.load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, "text", BPE_EXACT_MERGES, batch_k=1)
+    rows = [
+        (i + 1, left, right, left + right)
+        for i, (left, right) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, left STRING, right STRING, merged STRING"
+    ).orderBy("rank")
+
+
 @register("text_bpe_train", oracle=None, tags=("ext", "rows-only", "iterative"))
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table over the documents corpus: one row

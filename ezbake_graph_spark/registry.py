@@ -129,6 +129,7 @@ _SLOW: frozenset[str] = frozenset(
         "graph_louvain_hierarchy",  # 3 levels + per-level q, ~9s
         "dedup_resolve_entities",  # blocked pair build + WCC, ~15s
         "dedup_resolve_entities_append",  # batch resolve + append, ~19s
+        "text_bpe_train_exact",  # 8 sequential merge rounds, ~13s
     }
 )
 
