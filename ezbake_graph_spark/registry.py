@@ -265,9 +265,10 @@ def _ordered_specs() -> list[QuerySpec]:
     0. never-green, SQL-oracled, non-Pregel  — full value-hash, cheap
     1. never-green, rows-only, non-Pregel    — weaker check, but no
        DuckDB cost and these have no driver record at all yet
-    2. green Pregel                          — keep flagship iterative
-       algorithms with a current row, budget permitting
-    3. green, everything else                — cheap re-verification
+    2. green/checked, Pregel or not          — ONE staleness rotation,
+       oldest driver row first (round 10: the old green-Pregel-first
+       split burned window slots re-checking fresh fixpoints while
+       r2/r3 rows aged; VERDICT r9 #8)
     4. never-green Pregel fixpoints without an oracle — tens of
        seconds each for a rows-only check: strictly last
 
@@ -279,7 +280,7 @@ def _ordered_specs() -> list[QuerySpec]:
     displacing more than a handful of cheap first-time slots
     (VERDICT r3 item 4).
 
-    Within the green classes (2 and 3), keys sort by the ROUND of
+    Within the green class, keys sort by the ROUND of
     their latest green row, oldest first (VERDICT r6 #2): with every
     key checked at least once, the window's remaining slots become a
     rolling re-validation of the stalest records instead of
@@ -296,11 +297,19 @@ def _ordered_specs() -> list[QuerySpec]:
             # (VERDICT r7 #7), ahead of even first-time keys
             return (-1, 0, 1 if spec.name in _SLOW else 0)
         if spec.name in green:
-            cls = 2 if pregel else 3
+            # Round 10: green Pregel no longer outranks green non-Pregel
+            # (old classes 2 vs 3). With coverage complete, the r9 window
+            # burned 18 slots re-checking Pregel keys verified THE ROUND
+            # BEFORE while 63 keys sat at r2/r3 — all green keys now
+            # rotate in ONE staleness class, oldest driver row first
+            # (VERDICT r9 #8: drain staleness; post-r10 target <= 6
+            # rounds). Flagship fixpoints keep their safety net via the
+            # _ROTATE_PREGEL tail splice.
+            cls = 2
             staleness = last_round.get(spec.name, 0)
         elif spec.oracle is None and spec.name in checked:
             # rows-only key with a driver record: rotate, don't camp
-            cls = 2 if pregel else 3
+            cls = 2
             staleness = checked[spec.name]
         elif spec.name not in green and pregel:
             cls, staleness = 4, 0

@@ -31,10 +31,10 @@ def _classes() -> list[tuple[str, int]]:
             c = 0
         elif not g:
             c = 1
-        elif pregel:
-            c = 2
         else:
-            c = 3
+            # round 10: ONE green rotation class (Pregel no longer
+            # outranks non-Pregel; staleness alone orders re-checks)
+            c = 2
         out.append((k, c))
     return out
 
@@ -79,10 +79,12 @@ def test_pregel_promotion_lands_in_driver_window():
 
 
 def test_green_keys_emit_stalest_round_first():
-    """VERDICT r6 #2: within the green classes, keys re-emit ordered by
+    """VERDICT r6 #2: within the green class, keys re-emit ordered by
     the round of their latest green driver row (oldest first), so the
     window's spare slots continuously re-validate the stalest records
-    (22 join/graph keys were last checked in r2, 4 rounds stale)."""
+    (22 join/graph keys were last checked in r2, 4 rounds stale).
+    Round 10: Pregel keys rotate in the SAME class, so they are no
+    longer excluded here — only the tail-splice override is."""
     keys = list(registry.queries())
     green = registry._driver_green()
     rounds = registry._latest_green_round()
@@ -94,7 +96,6 @@ def test_green_keys_emit_stalest_round_first():
         if (k in green or (registry.REGISTRY[k].oracle is None and k in checked))
         and k not in override
         and k not in registry._RECENTLY_CHANGED
-        and "pregel" not in registry.REGISTRY[k].tags
     ]
     assert seen == sorted(seen), "green keys must emit oldest-green-round first"
     assert min(rounds.values()) < max(rounds.values())  # rotation is non-trivial
@@ -128,11 +129,13 @@ def test_window_head_is_the_stalest_cohort():
         and "pregel" not in spec.tags
         and k not in registry._RECENTLY_CHANGED
     }
-    assert not never, (
-        f"never-checked keys reappeared ({sorted(never)}): they must "
-        f"lead the window — restore the r8 sentinel ordering if this fires"
-    )
+    # Brand-new keys (no driver row yet) are expected between rounds;
+    # they must land inside the driver window, ahead of every
+    # re-verification slot (the never-checked classes sort first).
     override = _tail_override()
+    for k in never:
+        pos = keys.index(k)
+        assert pos < registry._WINDOW, f"new key {k} outside driver window"
     rounds = registry._latest_green_round()
 
     def staleness(k):
@@ -143,7 +146,6 @@ def test_window_head_is_the_stalest_cohort():
         for k in keys
         if k not in override
         and k not in registry._RECENTLY_CHANGED
-        and "pregel" not in registry.REGISTRY[k].tags
         and k in checked
     ]
     n_window = sum(1 for k in keys[: registry._WINDOW] if k in set(rotation))
