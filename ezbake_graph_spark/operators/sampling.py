@@ -504,8 +504,13 @@ mom AS (
   FROM base GROUP BY stratum
 ),
 sd AS (
+  -- 128-bit exact variance numerator: n_h * sxx and sx * sx pass
+  -- 2^63 at ~4x sf0.1 (measured 1.2e19 / 9.1e18 vs 9.2e18), so the
+  -- combination runs in HUGEINT; Spark mirrors with decimal(38,0)
+  -- and both engines round the SAME exact integer to double
   SELECT stratum, n_h,
-         sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)) / n_h AS sd_h
+         sqrt(CAST(CAST(n_h AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                   AS DOUBLE)) / n_h AS sd_h
   FROM mom
 ),
 w AS (
@@ -570,12 +575,14 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x10").alias("sx"),
         F.sum(F.col("x10") * F.col("x10")).alias("sxx"),
     )
+    # 128-bit exact combination (caught by the x4 scale curve, round
+    # 10: n_h*sxx read 1.2e19 > 2^63 and ANSI long multiply threw).
+    # decimal(38,0) keeps the numerator exact to ~1e38 — n ~ 1e12 rows
+    # per stratum at x10-dollar quanta — and DuckDB's HUGEINT computes
+    # the identical integer, so the double cast agrees bit-for-bit.
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     sd_h = (
-        F.sqrt(
-            (F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                "double"
-            )
-        )
+        F.sqrt((d("n_h") * d("sxx") - d("sx") * d("sx")).cast("double"))
         / F.col("n_h")
     )
     w = mom.select("stratum", "n_h", sd_h.alias("sd_h")).select(

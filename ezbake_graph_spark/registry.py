@@ -172,6 +172,9 @@ _RECENTLY_CHANGED = (
     "filter_repetition",  # gram counting moved from the interpreted
     #   HOF sorted-run fold to explode + two codegen'd hash aggs
     #   (VERDICT r9 #7); oracle unchanged
+    "sample_neyman_allocation",  # variance numerator went 128-bit
+    #   exact (decimal(38,0) / HUGEINT): n_h*sxx overflowed BIGINT at
+    #   4x sf0.1 — found by this round's scale curve pre-ship
 )
 
 
