@@ -124,10 +124,14 @@ def main() -> None:
         cells = " | ".join(f"{v:.3f}" for v in row)
         print(f"| {k} | {cells} | {ratio:.2f}x |")
     tot = [results[s]["value"] for s in scales]
+    # BENCH_KEYS=none runs (tier-2-only curves) have an empty headline
+    # set: total is 0.0 and the ratio is undefined — don't crash
+    # before the tier-2 table prints (lost 20 min of bench once)
+    ratio_txt = f"{tot[-1] / tot[0]:.2f}x" if tot[0] else "n/a"
     print(
         f"| **total** | "
         + " | ".join(f"{v:.3f}" for v in tot)
-        + f" | {tot[-1] / tot[0]:.2f}x |"
+        + f" | {ratio_txt} |"
     )
     t2base = results[scales[0]].get("tier2_queries") or {}
     if t2base:
