@@ -91,7 +91,9 @@ def run_bench(sf_dir: str, runs: int) -> dict:
         env=env,
         capture_output=True,
         text=True,
-        timeout=3600,
+        # x10 fixture runs of the output-quadratic dedup keys exceed
+        # an hour per scale (pair output grows with copies^2)
+        timeout=int(os.environ.get("EZGS_BENCH_TIMEOUT", "3600")),
     )
     lines = out.stdout.strip().splitlines()
     if not lines:
