@@ -905,7 +905,12 @@ WITH spend AS (
 )
 SELECT nation,
        CAST(n AS BIGINT) AS n_customers,
-       CAST((2 * sum(i * cents) - (n + 1) * total) AS DOUBLE)
+       -- 128-bit numerator: sum(i*cents) ~ n^2/2 * avg_cents passes
+       -- 2^63 near 1e9 customers/nation (the sample_neyman_allocation
+       -- overflow class, hardened here proactively); HUGEINT mirrors
+       -- Spark's decimal(38,0) and both round the same exact integer
+       CAST((2 * sum(CAST(i AS HUGEINT) * cents)
+             - (CAST(n AS HUGEINT) + 1) * total) AS DOUBLE)
            / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
 FROM ranked
 GROUP BY nation, n, total
@@ -946,14 +951,23 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wn).alias("n"),
         F.sum("cents").over(wn).alias("total"),
     )
+    # 128-bit numerator (see the oracle comment): decimal(38,0) keeps
+    # sum(i*cents) exact past the ~1e9-customers-per-nation point where
+    # long arithmetic would overflow
+    dec = "decimal(38,0)"
     return (
         ranked.groupBy("nation", "n", "total")
-        .agg(F.sum(F.col("i") * F.col("cents")).alias("s_ix"))
+        .agg(
+            F.sum(F.col("i").cast(dec) * F.col("cents").cast(dec)).alias("s_ix")
+        )
         .select(
             "nation",
             F.col("n").cast("long").alias("n_customers"),
             (
-                (2 * F.col("s_ix") - (F.col("n") + 1) * F.col("total")).cast("double")
+                (
+                    2 * F.col("s_ix")
+                    - (F.col("n").cast(dec) + 1) * F.col("total").cast(dec)
+                ).cast("double")
                 / (F.col("n").cast("double") * F.col("total").cast("double"))
             ).alias("gini"),
         )

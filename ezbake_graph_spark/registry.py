@@ -175,6 +175,9 @@ _RECENTLY_CHANGED = (
     "sample_neyman_allocation",  # variance numerator went 128-bit
     #   exact (decimal(38,0) / HUGEINT): n_h*sxx overflowed BIGINT at
     #   4x sf0.1 — found by this round's scale curve pre-ship
+    "agg_gini",  # same overflow class hardened proactively: the
+    #   sum(i*cents) Lorenz numerator is ~n^2/2 * avg_cents, past 2^63
+    #   near 1e9 customers/nation — now decimal(38,0)/HUGEINT
 )
 
 
