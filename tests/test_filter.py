@@ -217,7 +217,11 @@ def test_filter_tier_is_map_side_no_exchange(spark):
     """The tier's scale claim, pinned: per-document filters compile to
     plans with ZERO Exchange operators (pure map-side projections that
     fuse into the scan). The histogram is allowed exactly its one
-    aggregation exchange."""
+    aggregation exchange. Round 10: ``repetition_stats`` moved OFF the
+    map-side contract by design — its gram counting is now explode +
+    two keyed hash aggs (the interpreted-HOF fold saturated CPU;
+    SCALE.md §22) — so it is pinned to exactly its TWO aggregation
+    exchanges instead."""
     d = tables.load(spark, SF_SMOKE, "documents")
     from ezbake_graph_spark.operators import llm_filter, llm_url
 
@@ -227,7 +231,7 @@ def test_filter_tier_is_map_side_no_exchange(spark):
         # repartition exchange; the operator's plan is everything above
         return plan.split("InMemoryRelation")[0].count("Exchange")
 
-    assert n_exchanges(api.repetition_stats(d)) == 0
+    assert n_exchanges(api.repetition_stats(d)) == 2
     assert n_exchanges(api.gopher_quality(d)) == 0
     assert n_exchanges(api.pii_scan(llm_filter._fabricated_pii(d),
                                     "doc_id", "pii_text")) == 0
