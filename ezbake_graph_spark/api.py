@@ -1807,14 +1807,18 @@ def curate_corpus(
     """
     from ezbake_graph_spark.operators.llm_filter import (
         gopher_metrics,
-        repetition_metrics,
+        repetition_flag,
     )
     from ezbake_graph_spark.operators import llm_filter
 
     if dedup not in ("minhash", "exact"):
         raise ValueError(f"dedup must be 'minhash' or 'exact', got {dedup!r}")
     q = gopher_metrics(docs, id_col, text_col, **(quality_thresholds or {}))
-    r = repetition_metrics(docs, id_col, text_col, **(repetition_thresholds or {}))
+    # Map-side flag kernel, NOT repetition_metrics: the gated frame
+    # re-executes in three DAG branches below, and the hash-agg metric
+    # kernel's gram explode + exchanges per recompute cost the whole
+    # composite ~2x (round-10 regression; see repetition_flag).
+    r = repetition_flag(docs, id_col, text_col, **(repetition_thresholds or {}))
     flags = docs.select(id_col, text_col).join(
         q.select(id_col, "passes_gopher"), id_col
     ).join(r.select(id_col, "is_repetitive"), id_col)

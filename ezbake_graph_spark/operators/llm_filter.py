@@ -150,6 +150,76 @@ def repetition_metrics(
     )
 
 
+def repetition_flag(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_unigram: float = 0.2,
+    max_dup_fraction: float = 0.9,
+) -> DataFrame:
+    """Map-side ``is_repetitive`` flag only — the variant the
+    ``curate_corpus`` / ``prepare_training_data`` composites consume.
+
+    The flag is a pure UNIGRAM predicate (top-unigram share OR
+    duplicate-word fraction; bigram stats never enter it), so this
+    kernel computes exactly ``n_tokens`` / ``n_distinct`` / ``top_uni``
+    with zero shuffle: one ``array_sort`` + linear run-length fold per
+    row. Two reasons the composites need this instead of
+    ``repetition_metrics``'s exploded-gram hash aggregation:
+
+    1. The composite's provenance frame (``gated``) appears in THREE
+       branches of the DAG (top-level provenance join, the redaction
+       input, the dedup input), and Spark re-executes the subtree per
+       branch — with the hash-agg kernel each recompute pays the gram
+       explode + two exchanges, measured 4.3-4.9 s -> 8.8 s at sf0.1
+       for ``curate_corpus`` (the round-10 regression, VERDICT r10 #1).
+       A map-side projection re-executes for pennies.
+    2. The composite discards every metric column except the flag, so
+       the bigram half of the gram stream (and of the old fold kernel)
+       is pure waste there.
+
+    The standalone ``filter_repetition`` key keeps the hash-agg kernel:
+    when all five metric columns are demanded once, it is 1.9x faster
+    (0.92 s vs 1.77 s at sf0.1) and its shuffle is combiner-reduced.
+    Flag semantics and NULL propagation are identical (NULL text ->
+    NULL flag), pinned by test_curate_flag_kernel_matches_metrics."""
+    toks = F.split(F.col(text_col), " ")
+    # max multiplicity = longest run in the sorted array: O(n log n)
+    # sort + linear fold, all map-side. NULL initial prev: x == NULL is
+    # NULL, when() falls through to run=1 — no sentinel collision.
+    run = lambda acc, x: F.when(  # noqa: E731
+        x == acc.getField("prev"), acc.getField("run") + 1
+    ).otherwise(F.lit(1))
+    top_uni = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc.getField("best"), run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+    m = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        top_uni.alias("top_uni"),
+    )
+    dup = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_uni_frac = F.col("top_uni").cast("double") / F.col("n_tokens")
+    return m.select(
+        id_col,
+        ((top_uni_frac > max_top_unigram) | (dup > max_dup_fraction)).alias(
+            "is_repetitive"
+        ),
+    )
+
+
 @register(
     "filter_repetition", oracle=_REPETITION_SQL, tags=("ext", "filter", "bench2")
 )

@@ -32,6 +32,36 @@ def test_repetition_single_token_doc_yields_null_bigram_fraction(spark):
     assert bool(r["is_repetitive"]) is True  # single repeated unigram = 100%
 
 
+def test_curate_flag_kernel_matches_metrics(spark):
+    """The map-side unigram-only flag kernel the curate composites use
+    (round-11 fix for the round-10 composite regression) must agree
+    with the hash-agg metric kernel's ``is_repetitive`` on every
+    fixture document AND the NULL/single-token edges, at both the
+    default and the curate-composite thresholds."""
+    from ezbake_graph_spark.operators.llm_filter import (
+        repetition_flag,
+        repetition_metrics,
+    )
+
+    d = tables.load(spark, SF_SMOKE, "documents")
+    edge = spark.createDataFrame(
+        [(9001, "word"), (9002, None), (9003, "a a a a b")],
+        "doc_id long, text string",
+    )
+    both = d.select("doc_id", "text").unionByName(edge)
+    for kw in ({}, {"max_top_unigram": 0.1}):
+        got = {(r["doc_id"], r["is_repetitive"])
+               for r in repetition_flag(both, **kw).collect()}
+        want = {(r["doc_id"], r["is_repetitive"])
+                for r in repetition_metrics(both, **kw)
+                .select("doc_id", "is_repetitive").collect()}
+        assert got == want and got
+    # and it is genuinely map-side: zero exchanges
+    plan = (repetition_flag(d)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert plan.split("InMemoryRelation")[0].count("Exchange") == 0
+
+
 def test_gopher_quality_matches_registry_kernel(spark):
     got = {tuple(r) for r in api.gopher_quality(
         tables.load(spark, SF_SMOKE, "documents")).collect()}
