@@ -106,12 +106,59 @@ def _key_filter(keys: list[str], env: str) -> list[str]:
     """Optional comma-list subset (scale-curve runs time a handful of
     tier-2 keys at 4-10x data; running the full suite there wastes an
     hour per scale). Unset -> full set: the driver's per-round
-    artifact is unaffected."""
+    artifact is unaffected. The literal ``none`` empties the set (the
+    tier-2-only curve convention); any OTHER entry that is not a key
+    in this tier raises — a typo'd list used to yield an empty timing
+    sweep and a near-empty artifact instead of an error (ADVICE r10)."""
     sel = os.environ.get(env, "").strip()
     if not sel:
         return keys
+    if sel.lower() == "none":
+        return []
     want = {s.strip() for s in sel.split(",") if s.strip()}
+    unknown = sorted(want - set(keys))
+    if unknown:
+        raise SystemExit(
+            f"{env}: unknown key(s) {unknown}; valid in this tier: {keys}"
+        )
     return [k for k in keys if k in want]
+
+
+def _sink_keys() -> set[str]:
+    """Keys timed via a noop-sink write instead of ``toPandas`` —
+    the x10+ scale runs where the OUTPUT (a corpus-scale pair table)
+    exceeds driver size by design and the production contract is
+    sink-or-downstream, never a driver fetch (SCALE.md §22.1's
+    `dedup_minhash` finding). Committed sf0.1 artifacts keep the
+    fetch contract (results there are driver-sized and all prior
+    rounds' numbers include the fetch); this is opt-in via
+    BENCH_SINK_KEYS so BENCH_X10-style artifacts are machine-made."""
+    sel = os.environ.get("BENCH_SINK_KEYS", "").strip()
+    return {s.strip() for s in sel.split(",") if s.strip()}
+
+
+def _wait_quiet(label: str) -> dict:
+    """Block until 1-min loadavg < LOAD_MAX (or LOAD_WAIT_SEC expires)
+    and return the gate verdict to stamp into the artifact. Called
+    before EACH timed block — the r10 artifact passed the gate at
+    invocation start but ran tier-2 minutes later under loadavg ~5,
+    misrepresenting tier-2 by 3-6x (VERDICT r10 #3)."""
+    waited = 0.0
+    while os.getloadavg()[0] > LOAD_MAX and waited < LOAD_WAIT_SEC:
+        print(
+            f"# load gate[{label}]: loadavg {os.getloadavg()[0]:.2f} > "
+            f"{LOAD_MAX}, waiting ({waited:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        waited += 10
+    load = os.getloadavg()
+    return {
+        "max_1min": LOAD_MAX,
+        "waited_sec": waited,
+        "loadavg": [round(x, 2) for x in load],
+        "contended": load[0] > LOAD_MAX,
+    }
 
 
 def _timed_pass(qs, keys: list[str], sf_dir: str, runs: int) -> dict[str, float]:
@@ -125,13 +172,20 @@ def _timed_pass(qs, keys: list[str], sf_dir: str, runs: int) -> dict[str, float]
     back-to-back, the switch cost lands on run 1 only and min-of-N
     discards it.
     """
+    sink = _sink_keys()
     out: dict[str, float] = {}
     for key in keys:
         fn = qs[key]
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark_ref[0], sf_dir).toPandas()  # Arrow fetch; materialized
+            df = fn(spark_ref[0], sf_dir)
+            if key in sink:
+                # full materialization, zero driver transfer — the
+                # production shape for pair-table-sized outputs
+                df.write.mode("overwrite").format("noop").save()
+            else:
+                df.toPandas()  # Arrow fetch; materialized
             best = min(best, time.perf_counter() - t0)
         out[key] = best
     return out
@@ -143,17 +197,8 @@ spark_ref = [None]  # set in main; avoids threading spark through helpers
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    gate_waited = 0.0
-    while os.getloadavg()[0] > LOAD_MAX and gate_waited < LOAD_WAIT_SEC:
-        print(
-            f"# load gate: loadavg {os.getloadavg()[0]:.2f} > {LOAD_MAX}, "
-            f"waiting ({gate_waited:.0f}s)",
-            file=sys.stderr,
-        )
-        time.sleep(10)
-        gate_waited += 10
-    load_before = os.getloadavg()
-    contended = load_before[0] > LOAD_MAX
+    gate = _wait_quiet("headline")
+    load_before = gate["loadavg"]
     spark = get_session("ezbake-graph-spark-bench")
     spark_ref[0] = spark
     qs = registry.queries()
@@ -165,12 +210,17 @@ def main() -> None:
     # suite, so queries timed early would pay compilation cost that says
     # nothing about the plan (measured: Q1 0.95s when timed second in the
     # suite vs 0.31s after a full pass).
+    sink = _sink_keys()
     for i in range(WARMUP):
         for key in keys:
             qs[key](spark, sf_dir).toPandas()
         if i == 0:  # tier-2 is slow; one warm pass suffices for its min-of-2
             for key in t2keys:
-                qs[key](spark, sf_dir).toPandas()
+                df = qs[key](spark, sf_dir)
+                if key in sink:
+                    df.write.mode("overwrite").format("noop").save()
+                else:
+                    df.toPandas()
     # Two separated timing passes; report the per-query min across both.
     passes = []
     for p in range(PASSES):
@@ -185,6 +235,10 @@ def main() -> None:
     times = {k: round(min(ps[k] for ps in passes), 4) for k in keys}
     for key in keys:
         print(f"# {key}: {times[key]:.3f}s", file=sys.stderr)
+    # re-gate: tier-2 runs minutes after the headline gate passed, and
+    # the r10 driver artifact's tier-2 block ran 3-6x slow under load
+    # that arrived in between (VERDICT r10 #3)
+    gate_t2 = _wait_quiet("tier2")
     t2 = {k: round(v, 4) for k, v in _timed_pass(qs, t2keys, sf_dir, RUNS2).items()}
     for key in t2keys:
         print(f"# tier2 {key}: {t2[key]:.3f}s", file=sys.stderr)
@@ -213,16 +267,15 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # machine-state + protocol context (VERDICT r5 items 3 & 8):
         "floor_sec": round(min(times.values()), 4) if times else None,
-        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in load_after],
-        # VERDICT r9 #3: machine-contention verdict stamped into the
-        # artifact (gate threshold, time spent waiting for quiet, and
-        # whether timing still started contended)
-        "load_gate": {
-            "max_1min": LOAD_MAX,
-            "waited_sec": gate_waited,
-            "contended": contended,
-        },
+        # VERDICT r9 #3 / r10 #3: per-tier machine-contention verdicts
+        # stamped into the artifact (gate threshold, time waited for
+        # quiet, loadavg at gate exit, whether timing still started
+        # contended)
+        "load_gate": gate,
+        "load_gate_tier2": gate_t2,
+        "sink_keys": sorted(sink),
         "passes": PASSES,
         "runs_per_pass": RUNS,
         "pass_totals": [round(sum(p.values()), 4) for p in passes],
