@@ -116,12 +116,15 @@ def _key_filter(keys: list[str], env: str) -> list[str]:
     if sel.lower() == "none":
         return []
     want = {s.strip() for s in sel.split(",") if s.strip()}
-    unknown = sorted(want - set(keys))
+    unknown = sorted(want - set(registry.REGISTRY))
     if unknown:
         raise SystemExit(
-            f"{env}: unknown key(s) {unknown}; valid in this tier: {keys}"
+            f"{env}: unknown key(s) {unknown} — not in the registry"
         )
-    return [k for k in keys if k in want]
+    # an explicit selection may reach outside the tier's default tag
+    # set (scale-curve runs time non-bench2 dedup keys); it is a
+    # custom-run artifact by construction
+    return sorted(want)
 
 
 def _sink_keys() -> set[str]:

@@ -1240,6 +1240,17 @@ def text_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ER_NAME_DIST = 1  # direct match: edit distance <= 1 alone suffices
 ER_WEAK_DIST = 2  # weak match: distance 2 needs a corroborating signal
+# Signature-domain bound (ADVICE r10): signatures are generated from
+# the first ER_SIG_PREFIX characters only. Without it a single
+# adversarially long name (resolve_entities is a public API) inflates
+# the explode quadratically — 256 chars -> ~33k signatures per record;
+# with it the per-record signature count is capped at 1 + P + P(P-1)/2
+# = 529. SymSpell-style recall note: for names where BOTH sides are
+# <= ER_SIG_PREFIX chars the scheme stays provably lossless (prefix ==
+# full name); when a side exceeds the prefix, a distance-2 match whose
+# edits straddle the prefix boundary can be missed. Every fixture/
+# oracle name is < 32 chars, so the committed keys are unaffected.
+ER_SIG_PREFIX = 32
 
 
 def _deletion_sigs(name: str = "name", k: int = ER_WEAK_DIST):
@@ -1259,9 +1270,12 @@ def _deletion_sigs(name: str = "name", k: int = ER_WEAK_DIST):
     so the shuffle carries 8-byte keys instead of strings; a hash
     collision can only ADD a candidate (removed by the verify stage),
     never lose one. Assumes ``k == 2`` (the d1/d2 expansions below are
-    written for exactly two deletion levels)."""
+    written for exactly two deletion levels). The variant source is
+    the ER_SIG_PREFIX-char prefix, bounding the signature count for
+    adversarially long names (see ER_SIG_PREFIX note); the levenshtein
+    verify always runs on the FULL name, so precision is unaffected."""
     assert k == 2, "deletion-signature expansion is written for k=2"
-    s = name
+    s = f"substring({name}, 1, {ER_SIG_PREFIX})"
     d1 = (
         f"transform(sequence(1, length({s})), i -> "
         f"concat(substring({s}, 1, i-1), substring({s}, i+1, length({s}))))"
@@ -1296,7 +1310,13 @@ def _er_candidate_pairs(records: DataFrame, new_only: bool = False) -> DataFrame
     asymmetric batch self-join (src < dst). Output is distinct: a pair
     sharing several signatures (or seen from both sides) emits once.
     """
-    sigs = records.select(
+    # NULL names can never satisfy the match rule (levenshtein with a
+    # NULL side is NULL on both engines), yet they all hash to the one
+    # xxhash64(NULL) signature — |nulls|^2 candidates per block that
+    # the verify stage would only discard later (ADVICE r10). Drop
+    # them before the explode; they surface as singletons via the
+    # provenance left-join like any other matchless record.
+    sigs = records.filter(F.col("name").isNotNull()).select(
         "rec_id",
         "block",
         *(["is_new"] if new_only else []),

@@ -134,6 +134,26 @@ def test_temporal_reachability_python_twin(spark):
     assert all(a in ts_set for u, a in arr.items() if u != seed)
 
 
+def test_temporal_reachability_empty_events_emits_nothing(spark, tmp_path):
+    """Empty-events edge (ADVICE r10): the vertex set unions in the
+    min-user-id aggregate row, which is NULL on an empty table — the
+    kernel must filter it, emitting ZERO rows rather than pushing a
+    NULL vertex through the Pregel joins. (The SQL oracle's
+    unconditional d0 emits one (NULL, 0) row on this edge — a declared
+    divergence on empty input only; every fixture has events.)"""
+    from ezbake_graph_spark import registry, tables
+
+    empty_dir = tmp_path / "sf_empty"
+    tables.load(spark, SF_SMOKE, "events").limit(0).write.parquet(
+        str(empty_dir / "events.parquet")
+    )
+    out = registry.queries()["graph_temporal_reachability"](
+        spark, str(empty_dir)
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["user_id", "arrival_us"]
+
+
 def test_curriculum_order_python_twin(spark):
     out = _rows(spark, "sample_curriculum_order")
     rows = duckdb.sql(

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 from ezbake_graph_spark import registry
-from tests.conftest import assert_query_matches_oracle
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
 
 ALL_SQL_KEYS = sorted(registry.oracle_sql().keys())
 
@@ -33,7 +33,7 @@ def test_rows_only_key_schema_is_driver_safe(spark, key):
     same class for the 24 rows-only keys so no future key reopens it.
     Schema-only: the DataFrame is built (which may run plan-build
     jobs for iterative keys) but never collected."""
-    df = registry.queries()[key](spark, "/root/testdata/sf0.001")
+    df = registry.queries()[key](spark, SF_SMOKE)
     nested = [
         f"{f.name}:{f.dataType.simpleString()}"
         for f in df.schema.fields

@@ -22,6 +22,27 @@ Key-offset scheme per copy i (stride 10^7 > any sf0.1 key):
 
 Usage: python tools/scale_curve.py [--scales 1,2,4] [--runs 5]
 Writes /tmp/ezgs_scale/x{N}/ and prints a markdown table.
+
+--perturb (VERDICT r10 missing #2 / ask #4): key-offset copies clone
+``documents.text`` and ``customer.c_name`` VERBATIM, so every record
+has an exact twin in every other copy and the dedup/ER curves are
+dominated by a copies^2 TRUE-pair artifact (18.2x output at x4, ~100x
+at x10) — they measure fixture replication as much as plan cost. The
+perturbed mode applies a per-copy content transform chosen so that
+WITHIN-copy similarity structure is preserved exactly (the transform
+is a bijection on the token space, identical for all rows of a copy)
+while CROSS-copy similarity drops below every dedup threshold:
+
+  documents.text, copy i>0:  every token prefixed with ``p<i>`` —
+      cross-copy token/shingle overlap is zero, so Jaccard-family
+      keys see the same pair structure per copy, ~linear total.
+  customer.c_name, copy i>0: suffixed with `` <ddd>`` (copy digit
+      repeated 3x) — pairwise Levenshtein between different copies'
+      suffixes is 3 > the ER match bound of 2. Copy digits repeat
+      mod 10, so perturbed scales are capped at 10 copies.
+
+Copy 0 is untouched: x1 perturbed == x1 plain == sf0.1.
+Perturbed fixtures land in /tmp/ezgs_scale_perturbed/x{N}/.
 """
 
 from __future__ import annotations
@@ -53,8 +74,27 @@ OFFSETS: dict[str, list[str]] = {
 }
 
 
-def materialize(scale: int) -> str:
-    out_dir = os.path.join(OUT_BASE, f"x{scale}")
+# perturbed-mode content transforms: table -> column -> expr builder
+# taking the copy index (applied only for i > 0; see module docstring)
+PERTURB: dict[str, dict[str, callable]] = {
+    "documents": {
+        "text": lambda i: (
+            rf"regexp_replace(text, '([^ ]+)', 'p{i}\1', 'g')"
+        ),
+    },
+    "customer": {
+        "c_name": lambda i: (
+            f"c_name || ' ' || repeat(CAST({i % 10} AS VARCHAR), 3)"
+        ),
+    },
+}
+
+
+def materialize(scale: int, perturb: bool = False) -> str:
+    base = OUT_BASE + ("_perturbed" if perturb else "")
+    if perturb and scale > 10:
+        raise SystemExit("perturbed mode caps at 10 copies (digit suffixes)")
+    out_dir = os.path.join(base, f"x{scale}")
     done = os.path.join(out_dir, "_EZGS_SCALE_READY")
     if os.path.exists(done):
         return out_dir
@@ -69,10 +109,17 @@ def materialize(scale: int) -> str:
             if off_cols and scale > 1:
                 raise AssertionError  # unreachable; keeps logic obvious
         else:
+            content = PERTURB.get(table, {}) if perturb else {}
             selects = []
             for i in range(scale):
                 exprs = ", ".join(
-                    f"{c} + {i * STRIDE} AS {c}" if c in off_cols else c
+                    f"{c} + {i * STRIDE} AS {c}"
+                    if c in off_cols
+                    else (
+                        f"{content[c](i)} AS {c}"
+                        if i > 0 and c in content
+                        else c
+                    )
                     for c in cols
                 )
                 selects.append(f"SELECT {exprs} FROM '{src}'")
@@ -108,11 +155,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,2,4")
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--perturb", action="store_true")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     results: dict[int, dict] = {}
     for s in scales:
-        sf_dir = SRC if s == 1 else materialize(s)
+        sf_dir = SRC if s == 1 else materialize(s, args.perturb)
         print(f"# benching x{s} at {sf_dir} ...", file=sys.stderr)
         results[s] = run_bench(sf_dir, args.runs)
     base = results[scales[0]]["queries"]
