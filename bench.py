@@ -69,6 +69,10 @@ PASS_GAP_SEC = float(os.environ.get("BENCH_PASS_GAP_SEC", "10"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "8"))
 # tier-2 queries run seconds each; min-of-2, one warm pass, single pass
 RUNS2 = int(os.environ.get("BENCH_RUNS2", "2"))
+# x10-scale artifact runs: keys take minutes each, so the JIT-warm
+# pass is noise-level — let it be disabled rather than doubling a
+# 20-minute sweep (BENCH_WARMUP_T2=0)
+WARMUP_T2 = os.environ.get("BENCH_WARMUP_T2", "1") != "0"
 # cached-table sweep (VERDICT r6 #3): re-time the headline queries with
 # every base table .cache()d and materialized, so the committed JSON
 # separates parquet-scan cost from operator+scheduling cost. Min-of-3,
@@ -217,7 +221,8 @@ def main() -> None:
     for i in range(WARMUP):
         for key in keys:
             qs[key](spark, sf_dir).toPandas()
-        if i == 0:  # tier-2 is slow; one warm pass suffices for its min-of-2
+        if i == 0 and WARMUP_T2:
+            # tier-2 is slow; one warm pass suffices for its min-of-2
             for key in t2keys:
                 df = qs[key](spark, sf_dir)
                 if key in sink:

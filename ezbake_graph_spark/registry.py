@@ -153,31 +153,19 @@ _ROTATE_PREGEL = ("graph_wcc", "graph_bfs")
 # this list next round once the driver re-verifies them. Brand-new
 # keys need no entry (never-green keys already sort first).
 _RECENTLY_CHANGED = (
-    # round 10 edits over checked rows (all 6 round-9 entries got
-    # fresh green r9 driver rows and left this list):
-    "embed_pca",  # proj array<double> flattened to scalar pc1..pc8 —
-    #   the r9 driver-harness crash (pandas canonicalizer can't hash
-    #   list cells); re-emit for a CLEAN rows-only record
-    "sql_scripting_block",  # integer division on both sides (ADVICE
-    #   r9 #1: Spark SET truncated count(*)/3 while the DuckDB oracle
-    #   compared against the fractional quotient)
-    "graph_temporal_reachability",  # seed unioned into verts (ADVICE
-    #   r9 #2: contact-isolated seed emitted by the oracle's d0 only)
-    "ts_max_concurrency",  # oracle's session-number window gained the
-    #   event_id tiebreak (ADVICE r9 #3: duplicate (user_id, ts) rows
-    #   could order differently across engines)
-    "dedup_resolve_entities",  # deletion-signature blocking replaced
-    #   the block-only candidate join (VERDICT r9 #4); oracle unchanged
-    "dedup_resolve_entities_append",  # same candidate path, append side
-    "filter_repetition",  # gram counting moved from the interpreted
-    #   HOF sorted-run fold to explode + two codegen'd hash aggs
-    #   (VERDICT r9 #7); oracle unchanged
-    "sample_neyman_allocation",  # variance numerator went 128-bit
-    #   exact (decimal(38,0) / HUGEINT): n_h*sxx overflowed BIGINT at
-    #   4x sf0.1 — found by this round's scale curve pre-ship
-    "agg_gini",  # same overflow class hardened proactively: the
-    #   sum(i*cents) Lorenz numerator is ~n^2/2 * avg_cents, past 2^63
-    #   near 1e9 customers/nation — now decimal(38,0)/HUGEINT
+    # round 11 edits over checked rows (all 9 round-10 entries got
+    # fresh green r10 driver rows and left this list):
+    "curate_corpus",  # repetition gate moved to the map-side
+    #   unigram-only flag kernel (r10 composite regression fix);
+    #   oracle unchanged — the flag predicate is identical
+    "prepare_training_data",  # same gate path via curate_corpus
+    "dedup_resolve_entities",  # deletion signatures now generated
+    #   from the 32-char name prefix (ADVICE r10 bound) and NULL
+    #   names filtered before the explode; oracle unchanged
+    "dedup_resolve_entities_append",  # same candidate path
+    "graph_temporal_reachability",  # NULL vertex id from the
+    #   min-agg union filtered (ADVICE r10 empty-events edge);
+    #   oracle unchanged
 )
 
 
@@ -291,6 +279,15 @@ def _ordered_specs() -> list[QuerySpec]:
     key checked at least once, the window's remaining slots become a
     rolling re-validation of the stalest records instead of
     re-checking whatever happens to sit first in insertion order.
+
+    Structural staleness floor: with the registry frozen at 322 keys
+    and ~50 driver slots per round, a full rotation takes
+    ceil(322/50) = 7 rounds — so in steady state the OLDEST driver
+    row is unavoidably ~6-7 rounds old however the window is ordered.
+    The per-round hedge against that floor is the full-registry local
+    sweep (CORRECTNESS_LOCAL_rN.json, all 322 keys at HEAD every
+    round); the driver rows are the independent audit trail that
+    rotates through at the 7-round cadence.
     """
     green = _driver_green()
     last_round = _latest_green_round()
