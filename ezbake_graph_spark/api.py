@@ -1540,10 +1540,13 @@ def repetition_stats(
     flag (the boilerplate / degenerate-text detector every LM cleaning
     recipe runs).
 
-    The ``filter_repetition`` kernel: one map-side projection of
-    higher-order array expressions — no shuffle, no UDF; a 100 TB
-    repetition audit is exactly one pass over the text column.
-    Single-token documents have no bigrams → top_bigram_fraction NULL.
+    The ``filter_repetition`` kernel: unigrams and bigrams explode
+    into one gram stream, then two codegen'd hash aggregations with
+    map-side combine — no UDF; the shuffle is keyed on (doc, gram)
+    and combiner-reduced to distinct grams per doc (see
+    ``repetition_metrics``; the zero-shuffle flag-only variant the
+    curate composites use is ``repetition_flag``). Single-token
+    documents have no bigrams → top_bigram_fraction NULL.
 
     >>> d = spark.createDataFrame(
     ...     [(1, "spam spam spam spam"), (2, "all words are unique here")],
@@ -1765,7 +1768,8 @@ def curate_corpus(
     first, the one shuffle-bearing stage last):
 
     1. Gopher quality gate (``gopher_quality``) — map-side.
-    2. Repetition gate (``repetition_stats``) — map-side.
+    2. Repetition gate (``repetition_flag``, the zero-shuffle
+       unigram-only variant of ``repetition_stats``) — map-side.
     3. PII redaction (``pii_redact``) — map-side, rewrites the text.
     4. Near-dup clustering over the SURVIVORS — the only stage that
        shuffles, run on the reduced corpus because gate-then-dedup is

@@ -75,13 +75,31 @@ OFFSETS: dict[str, list[str]] = {
 
 
 # perturbed-mode content transforms: table -> column -> expr builder
-# taking the copy index (applied only for i > 0; see module docstring)
+# taking the copy index (applied only for i > 0; see module docstring).
+# The text transform must be GATE-NEUTRAL as well as similarity-
+# breaking: a digit-bearing prefix (first attempt: 'p1word') fails the
+# Gopher alpha-word regex ^[a-z]+$ for every perturbed token, and any
+# whole-token rewrite erases the required stopwords — either way
+# copies 1..N-1 die at the quality gates and the curate curve reads
+# gate pruning, not dedup cost. So: letter-only per-copy prefix,
+# stopwords left verbatim. Cross-copy token overlap collapses to the
+# five stopwords (Jaccard ~ 5/(2n-5), far below every threshold)
+# while within-copy similarity structure is preserved exactly (the
+# map is a bijection on the token space, identical per copy).
+_GATE_STOPWORDS = "('the', 'a', 'and', 'to', 'of')"
+
+
+def _perturb_text(i: int) -> str:
+    letter = chr(ord("a") + i % 26)
+    return (
+        "array_to_string(list_transform(string_split(text, ' '), "
+        f"t -> CASE WHEN t IN {_GATE_STOPWORDS} THEN t "
+        f"ELSE 'q{letter}' || t END), ' ')"
+    )
+
+
 PERTURB: dict[str, dict[str, callable]] = {
-    "documents": {
-        "text": lambda i: (
-            rf"regexp_replace(text, '([^ ]+)', 'p{i}\1', 'g')"
-        ),
-    },
+    "documents": {"text": _perturb_text},
     "customer": {
         "c_name": lambda i: (
             f"c_name || ' ' || repeat(CAST({i % 10} AS VARCHAR), 3)"
