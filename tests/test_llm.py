@@ -970,6 +970,62 @@ def test_resolve_entities_planted_clusters(spark):
     assert out[8].golden_name == "acme corp" and out[8].golden_value == 50.0
 
 
+def test_er_sig_prefix_fixture_precondition():
+    """ADVICE r11: ER_SIG_PREFIX=32 signature truncation is provably
+    lossless only while every name fits the prefix — the claim "every
+    fixture name is < 32 chars" (llm_dedup.py ER_SIG_PREFIX note) was
+    enforced only implicitly. Assert it EXPLICITLY across all three
+    testdata scales, with 4 chars of headroom for the perturbed-scale
+    fixture suffix (tools/scale_curve.py appends ``' ' + digit*3`` to
+    c_name) so the perturbed ER curve inherits the losslessness too."""
+    import duckdb
+
+    from ezbake_graph_spark.operators.llm_dedup import ER_SIG_PREFIX
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/customer.parquet"
+        mx = con.sql(f"SELECT max(len(c_name)) FROM '{path}'").fetchone()[0]
+        assert mx + 4 <= ER_SIG_PREFIX, (
+            f"{sf}: max c_name length {mx} (+4 perturbed suffix) exceeds "
+            f"ER_SIG_PREFIX={ER_SIG_PREFIX} — the deletion-signature "
+            "blocking is no longer provably lossless on this fixture"
+        )
+
+
+def test_er_sig_prefix_long_name_behavior(spark):
+    """Pin the documented long-name behavior past the prefix bound:
+    (a) the per-record signature count stays at the 529 cap however
+    long the name is (the quadratic-explode guard, ADVICE r10), and
+    (b) a distance-1 pair whose edit lies ENTIRELY beyond the prefix
+    is still matched — equal prefixes share a signature and the
+    levenshtein verify runs on the FULL name, so truncation costs
+    recall only when edits straddle the boundary (documented), never
+    precision."""
+    from pyspark.sql import functions as F
+
+    from ezbake_graph_spark.operators.llm_dedup import (
+        ER_SIG_PREFIX,
+        _deletion_sigs,
+        resolve_entities,
+    )
+
+    long_a = "x" * ER_SIG_PREFIX + " alpha tail"
+    long_b = "x" * ER_SIG_PREFIX + " alpha taik"  # 1 edit, beyond prefix
+    df = spark.createDataFrame(
+        [(1, long_a, 0, "AUTO", 1.0), (2, long_b, 0, "AUTO", 2.0)],
+        "rec_id long, name string, block long, segment string, val double",
+    )
+    cap = 1 + ER_SIG_PREFIX + ER_SIG_PREFIX * (ER_SIG_PREFIX - 1) // 2
+    n_sigs = df.select(
+        F.size(_deletion_sigs("name")).alias("n")
+    ).agg(F.max("n")).collect()[0][0]
+    assert n_sigs == cap == 529
+    out = {int(r.rec_id): r for r in resolve_entities(df).collect()}
+    assert out[1].entity_id == out[2].entity_id == 1
+    assert out[1].cluster_size == 2
+
+
 def test_resolve_entities_append_bridge_and_empty_batch(spark):
     """The incremental path merges two EXISTING entities when a new
     record bridges them (the case incremental ER gets wrong if it only

@@ -144,12 +144,71 @@ def materialize(scale: int, perturb: bool = False) -> str:
         # constant dims are NOT replicated — only fact/entity tables grow
         q = " UNION ALL ".join(selects if off_cols else selects[:1])
         con.sql(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
+        if perturb and table == "documents" and scale > 1:
+            _check_gate_neutral(con, dst, scale)
     open(done, "w").close()
     return out_dir
 
 
+def _check_gate_neutral(con, docs_path: str, scale: int) -> None:
+    """ADVICE r11: the perturbed text transform adds 2 chars to every
+    non-stopword token, shifting mean word length toward the Gopher
+    upper bound (3-10). The 'gate-neutral' claim holds only while the
+    shifted mean stays inside the band — a future fixture with longer
+    words would silently turn gate pruning into what reads as dedup
+    cost. So: recompute the exact Gopher gate (same predicate as
+    llm_filter._GOPHER_SQL) per copy and HARD-FAIL unless every
+    perturbed copy's survivor count equals copy 0's."""
+    counts = con.sql(
+        f"""
+        WITH m AS (
+          SELECT doc_id // {STRIDE} AS copy,
+                 string_split(text, ' ') AS toks, text
+          FROM '{docs_path}'
+        )
+        SELECT copy, count(*) FILTER (
+          len(toks) BETWEEN 50 AND 100000
+          AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+              / len(toks) BETWEEN 3 AND 10
+          AND CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+              / len(text) < 0.1
+          AND CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+                   AS DOUBLE) / len(toks) > 0.8
+          AND list_has_any(toks, ['a', 'the', 'and', 'to', 'of'])
+        ) AS survivors
+        FROM m GROUP BY copy ORDER BY copy
+        """
+    ).fetchall()
+    by_copy = dict(counts)
+    print(
+        "# perturbed gate check: gopher survivors per copy = "
+        + ", ".join(f"x{c}:{n}" for c, n in sorted(by_copy.items())),
+        file=sys.stderr,
+    )
+    base = by_copy.get(0, 0)
+    drifted = {c: n for c, n in by_copy.items() if n != base}
+    if drifted:
+        raise SystemExit(
+            f"perturbed fixture is NOT gate-neutral at x{scale}: copy-0 "
+            f"gopher survivors={base} but {drifted} — the perturbed curve "
+            "would read gate drift as dedup cost (ADVICE r11)"
+        )
+
+
 def run_bench(sf_dir: str, runs: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, BENCH_RUNS=str(runs))
+    # unique sidecar per scale run: bench.py now emits a compact final
+    # line (driver-tail-sized, VERDICT r11 #1) plus the full payload in
+    # a file named by the compact line's "full" field — follow it so
+    # the tier-2 table survives the compact-line diet
+    sidecar = os.path.join(
+        "/tmp", f"ezgs_bench_full_{os.path.basename(sf_dir.rstrip('/'))}.json"
+    )
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        BENCH_RUNS=str(runs),
+        BENCH_FULL_OUT=sidecar,
+    )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
@@ -166,7 +225,11 @@ def run_bench(sf_dir: str, runs: int) -> dict:
             f"bench produced no stdout at {sf_dir} (rc={out.returncode}); "
             "stderr tail:\n" + "\n".join(out.stderr.splitlines()[-15:])
         )
-    return json.loads(lines[-1])
+    summary = json.loads(lines[-1])
+    if "full" in summary and os.path.exists(summary["full"]):
+        with open(summary["full"]) as fh:
+            return json.load(fh)
+    return summary
 
 
 def main() -> None:
