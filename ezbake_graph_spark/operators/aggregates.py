@@ -1054,17 +1054,34 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, off-by-one vs exact floor — measured). Plan: one keyed
     agg (map-side combined), a 10-bucket ntile over the CUSTOMER
     table (dimension-sized, not fact-sized — the single-partition
-    window holds n_customers rows, never order rows; at true data
-    scale swap in the range-partitioned rank from the shard-manifest
-    pattern), one broadcast 1-row total, one 10-group agg."""
+    window holds n_customers rows, never order rows), one broadcast
+    1-row total, one 10-group agg. Past the size gate
+    (``distorder.WINDOW_GATE_ROWS``) the ntile switches to the
+    distributed global-order kernel — quantile-bucketed local windows
+    + triangular offsets, no single-partition exchange, bit-identical
+    decile assignment (equivalence + plan pinned by
+    tests/test_plans.py::test_distributed_global_order_plans)."""
     from pyspark.sql import Window
+
+    from ezbake_graph_spark.operators import distorder
 
     o = tables.load(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
-    ranked = spend.select("o_custkey", "cents", F.ntile(10).over(w).alias("decile"))
+    if distorder.use_distributed_window(spark, sf_dir, "customer"):
+        ranked = distorder.attach_global_order(
+            spend,
+            "cents",
+            [F.col("cents").desc(), F.col("o_custkey")],
+            desc=True,
+            ntile=("decile", 10),
+        ).select("o_custkey", "cents", "decile")
+    else:
+        w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+        ranked = spend.select(
+            "o_custkey", "cents", F.ntile(10).over(w).alias("decile")
+        )
     tot = spend.agg(F.sum("cents").cast("long").alias("total"))
     return (
         ranked.crossJoin(F.broadcast(tot))

@@ -444,11 +444,17 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (difficulty_micro, doc_id) order is total, so rank and epoch
     assignment are engine-exact. Scale shape: one token explode + one
     df agg + one broadcast-df join back + one per-doc agg; the global
-    rank/ntile is a single total-order window — at 100 TB that
-    becomes rank-within-shard + shard offsets (a distributed prefix
-    sum, the same shape as ``text_pack_sequences``'s manifest), which
-    preserves the curriculum because shards are difficulty-bucketed
-    first."""
+    rank/ntile is a single total-order window at committed scales,
+    and past ``distorder.WINDOW_GATE_ROWS`` it switches to
+    rank-within-difficulty-bucket + bucket offsets (the distributed
+    global-order kernel — quantile-bucketed local windows, triangular
+    offsets, no single-partition exchange), which preserves the
+    curriculum exactly because bucketing is monotone in the score
+    (equivalence + plan pinned by tests/test_plans.py).
+
+    Width note: the committed schema keeps Spark's IntegerType rank
+    for engine parity; at true 100 TB cardinality the kernel's native
+    LongType rank is the right width (drop the final cast)."""
     d = tables.load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -474,6 +480,27 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr("n_rare * 1000000 div n_tok")
         ).alias("difficulty_micro"),
     )
+    from ezbake_graph_spark.operators import distorder
+
+    if distorder.use_distributed_window(spark, sf_dir, "documents"):
+        return (
+            distorder.attach_global_order(
+                scored,
+                "difficulty_micro",
+                [F.col("difficulty_micro"), F.col("doc_id")],
+                rank_col="_rank",
+                ntile=("epoch_bucket", _CURRICULUM_EPOCHS),
+            )
+            .select(
+                "doc_id",
+                "n_tok",
+                "n_rare",
+                "difficulty_micro",
+                F.col("_rank").cast("int").alias("curriculum_rank"),
+                "epoch_bucket",
+            )
+            .orderBy("curriculum_rank")
+        )
     w = Window.orderBy("difficulty_micro", "doc_id")
     return scored.select(
         "doc_id",

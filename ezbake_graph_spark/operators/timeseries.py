@@ -1101,10 +1101,13 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: timestamps are exact BIGINT µs, deltas are ±1, and
     the sweep order is total, so every prefix — hence every peak —
     is integer-exact. Scale shape: sessionize = one keyed window;
-    the sweep's global running sum becomes per-shard sums + shard
-    offsets at 100 TB (the distributed-prefix-sum shape shared with
-    ``text_pack_sequences``); the per-day peak then maxes within
-    repartitioned day ranges."""
+    the sweep's global running sum is a single total-order window at
+    committed scales, and past ``distorder.WINDOW_GATE_ROWS`` it
+    switches to per-time-bucket sums + bucket offsets (the
+    distributed global-order kernel — quantile-bucketed local
+    windows, triangular offsets, no single-partition exchange); the
+    prefix sum is exact because bucketing is monotone in t_us
+    (equivalence + plan pinned by tests/test_plans.py)."""
     ev = tables.load(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1139,12 +1142,22 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_id",
         )
     )
-    sw = Window.orderBy("t_us", "delta", "user_id", "session_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    running = sweep.select(
-        "t_us", "delta", F.sum("delta").over(sw).alias("active")
-    )
+    from ezbake_graph_spark.operators import distorder
+
+    if distorder.use_distributed_window(spark, sf_dir, "events"):
+        running = distorder.attach_global_order(
+            sweep,
+            "t_us",
+            [F.col("t_us"), F.col("delta"), F.col("user_id"), F.col("session_id")],
+            running={"active": "delta"},
+        ).select("t_us", "delta", "active")
+    else:
+        sw = Window.orderBy(
+            "t_us", "delta", "user_id", "session_id"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        running = sweep.select(
+            "t_us", "delta", F.sum("delta").over(sw).alias("active")
+        )
     return (
         running.groupBy(
             F.timestamp_micros(F.col("t_us")).cast("date").alias("day")

@@ -57,6 +57,26 @@ class LintReport:
         return "\n".join(lines) if self.findings else lines[0] + "\nclean"
 
 
+def exchange_parent(plan: str, pos: int) -> str | None:
+    """The nearest real operator line ABOVE the node starting at text
+    offset ``pos`` — skipping the node's own line and AQE bookkeeping
+    wrappers (ShuffleQueryStage / AQEShuffleRead / reuse markers) that
+    print between an Exchange and its logical parent."""
+    lines = [
+        ln
+        for ln in plan[:pos].rsplit("\n", 1)[0].splitlines()
+        if ln.strip()
+    ]
+    skip = re.compile(
+        r"(ShuffleQueryStage|BroadcastQueryStage|TableCacheQueryStage|"
+        r"AQEShuffleRead|ReusedExchange|ReusedSubquery)"
+    )
+    for ln in reversed(lines):
+        if not skip.search(ln):
+            return ln
+    return None
+
+
 def _plan_text(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -114,10 +134,22 @@ def scale_lint(df: DataFrame) -> LintReport:
                 "than built-in expressions or Arrow-batched pandas UDFs",
             )
         )
-    # a serial stage: single-partition exchange with real operators above
-    m = re.search(
+    # a serial stage: single-partition exchange with real operators
+    # above. Exception (r12): an exchange whose DIRECT PARENT is a
+    # grouping-free final HashAggregate is the 1-row broadcast-total
+    # closing (each upstream partition contributes one partial row, so
+    # the serial stage sees partition-count rows, never data) — the
+    # shape every scalar-total crossJoin key plans; flagging it buried
+    # the real data-proportional findings in false positives.
+    m = None
+    for cand in re.finditer(
         r"Exchange (?:SinglePartition|rangepartitioning\([^,]+, 1\))", plan
-    )
+    ):
+        parent = exchange_parent(plan, cand.start())
+        if parent is not None and re.search(r"HashAggregate\(keys=\[\]", parent):
+            continue
+        m = cand
+        break
     if m:
         above = plan[: m.start()]
         # count plan operators above the serial exchange, ignoring the

@@ -6,6 +6,7 @@ cache disabled so scans stay file scans)."""
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 
@@ -270,6 +271,51 @@ def test_shard_manifest_has_no_global_sort(spark, no_cache):
     assert set(global_sorts) <= {"shard_id", "pid"}, f"global sort on data: {global_sorts}"
     assert "FlatMapGroupsInPandas" in plan, "per-bucket cumsum kernel missing"
     assert "hashpartitioning(pid" in plan, "keyed bucket shuffle missing"
+
+
+def test_distributed_global_order_plans(spark, no_cache, monkeypatch):
+    """VERDICT r11 ask #3: past the size gate, the three global-window
+    keys (agg_revenue_concentration, sample_curriculum_order,
+    ts_max_concurrency) must plan the distorder kernel — per-bucket
+    keyed windows plus a broadcast triangular offset join — with ZERO
+    single-partition exchanges: no Window over a data-proportional
+    input runs on SinglePartition, and the scale linter's single-part
+    rule stays silent."""
+    from ezbake_graph_spark.plan_lint import scale_lint
+
+    monkeypatch.setenv("EZGS_FORCE_DIST_WINDOWS", "1")
+    for key in (
+        "agg_revenue_concentration",
+        "sample_curriculum_order",
+        "ts_max_concurrency",
+    ):
+        df = registry.queries()[key](spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every Window node is PARTITIONED (by the quantile bucket or a
+        # real key like user_id) — a partitioned Window prints three
+        # bracket groups ([exprs], [partition], [order]); a global one
+        # prints two and would require SinglePartition over the data
+        for ln in plan.splitlines():
+            if re.search(r"\bWindow \[", ln):
+                assert ln.count("], [") == 2, (key, ln)
+        assert "hashpartitioning(_bkt" in plan, f"{key}: bucket window missing"
+        # the only permitted SinglePartition is the 1-row scalar-total
+        # closing (direct parent = grouping-free final HashAggregate,
+        # partition-count input rows)
+        from ezbake_graph_spark.plan_lint import exchange_parent
+
+        for m in re.finditer(r"Exchange SinglePartition", plan):
+            parent = exchange_parent(plan, m.start())
+            assert parent and re.search(r"HashAggregate\(keys=\[\]", parent), (
+                key,
+                parent,
+            )
+        lint = scale_lint(df)
+        assert not [f for f in lint.findings if f[1] == "single-part"], (
+            key,
+            lint.findings,
+        )
 
 
 def test_rolling_active_users_plans_keyed_join(spark, no_cache):
