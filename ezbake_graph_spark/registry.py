@@ -153,19 +153,14 @@ _ROTATE_PREGEL = ("graph_wcc", "graph_bfs")
 # this list next round once the driver re-verifies them. Brand-new
 # keys need no entry (never-green keys already sort first).
 _RECENTLY_CHANGED = (
-    # round 11 edits over checked rows (all 9 round-10 entries got
-    # fresh green r10 driver rows and left this list):
-    "curate_corpus",  # repetition gate moved to the map-side
-    #   unigram-only flag kernel (r10 composite regression fix);
-    #   oracle unchanged — the flag predicate is identical
-    "prepare_training_data",  # same gate path via curate_corpus
-    "dedup_resolve_entities",  # deletion signatures now generated
-    #   from the 32-char name prefix (ADVICE r10 bound) and NULL
-    #   names filtered before the explode; oracle unchanged
-    "dedup_resolve_entities_append",  # same candidate path
-    "graph_temporal_reachability",  # NULL vertex id from the
-    #   min-agg union filtered (ADVICE r10 empty-events edge);
-    #   oracle unchanged
+    # round 12 edits over checked rows (all 5 round-11 entries got
+    # fresh green r11 driver rows and left this list). The three
+    # global-window keys gained the distorder size-gated distributed
+    # path; at the driver's sf0.01 the gate keeps the EXACT plan, but
+    # the gate call itself is new code in the query path — re-verify:
+    "agg_revenue_concentration",
+    "sample_curriculum_order",
+    "ts_max_concurrency",
 )
 
 
