@@ -1055,6 +1055,17 @@ def ivf_search(
         load_ivf_index,
     )
 
+    # explicit parameter gates (r12 hardening): k=0 / nprobe=0 used to
+    # return silently-empty results and n_cells=0 pushed a pmod-by-zero
+    # into the hash-seeded cell assignment — all three are caller bugs
+    # that should fail loudly at the API boundary, not mid-job
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+
     def norm(df: DataFrame, out_id: str, keep_cell: bool = False) -> DataFrame:
         dvec = F.transform(vec_col, lambda x: x.cast("double"))
         sq = F.aggregate(
@@ -1817,6 +1828,14 @@ def curate_corpus(
 
     if dedup not in ("minhash", "exact"):
         raise ValueError(f"dedup must be 'minhash' or 'exact', got {dedup!r}")
+    # r12 hardening: a threshold <= 0 makes EVERY candidate pair a
+    # near-dup (the pair graph degenerates toward all-pairs — the
+    # exact failure mode the banded kernels exist to avoid); > 1 can
+    # never match and silently keeps every document
+    if not 0.0 < dedup_threshold <= 1.0:
+        raise ValueError(
+            f"dedup_threshold must be in (0, 1], got {dedup_threshold}"
+        )
     q = gopher_metrics(docs, id_col, text_col, **(quality_thresholds or {}))
     # Map-side flag kernel, NOT repetition_metrics: the gated frame
     # re-executes in three DAG branches below, and the hash-agg metric
@@ -1914,6 +1933,11 @@ def prepare_training_data(
     """
     if bins_per_shard < 1:
         raise ValueError(f"bins_per_shard must be >= 1, got {bins_per_shard}")
+    if context < 1:
+        # r12 hardening: pack_sequences drops every document longer
+        # than the context, so context=0 silently returns an empty
+        # corpus — fail loudly instead
+        raise ValueError(f"context must be >= 1, got {context}")
     curated = curate_corpus(
         docs,
         id_col,

@@ -1252,6 +1252,12 @@ ER_WEAK_DIST = 2  # weak match: distance 2 needs a corroborating signal
 # oracle name is < 32 chars, so the committed keys are unaffected.
 ER_SIG_PREFIX = 32
 
+# public-API input contract for resolve_entities / _append (r12
+# hardening: checked at the boundary so a missing column raises a
+# ValueError naming the contract, not an AnalysisException from the
+# middle of the signature explode)
+_ER_COLUMNS = frozenset({"rec_id", "name", "block", "segment", "val"})
+
 
 def _deletion_sigs(name: str = "name", k: int = ER_WEAK_DIST):
     """``array<bigint>`` of xxhash64 signatures of every variant of
@@ -1373,6 +1379,15 @@ def resolve_entities(records: DataFrame) -> DataFrame:
     """
     from ezbake_graph_spark.graph.pregel import connected_components
 
+    missing = _ER_COLUMNS - set(records.columns)
+    if missing:
+        # r12 hardening: surface the contract at the API boundary —
+        # without this the first missing column dies as an
+        # AnalysisException deep inside the signature explode
+        raise ValueError(
+            f"resolve_entities needs columns {sorted(_ER_COLUMNS)}; "
+            f"missing {sorted(missing)}"
+        )
     r = records.select("rec_id", "name", "block", "segment", "val")
     # Candidate generation: signature-bucketed join (deletion
     # neighborhoods), shuffled on the 8-byte (block, sig) key across
@@ -1554,6 +1569,19 @@ def resolve_entities_append(
     """
     from ezbake_graph_spark.graph.pregel import connected_components
 
+    for label, frame in (("old_records", old_records), ("new_records", new_records)):
+        missing = _ER_COLUMNS - set(frame.columns)
+        if missing:
+            raise ValueError(
+                f"resolve_entities_append: {label} needs columns "
+                f"{sorted(_ER_COLUMNS)}; missing {sorted(missing)}"
+            )
+    missing_res = {"rec_id", "entity_id", "n_matches"} - set(old_resolution.columns)
+    if missing_res:
+        raise ValueError(
+            "resolve_entities_append: old_resolution needs columns "
+            f"['entity_id', 'n_matches', 'rec_id']; missing {sorted(missing_res)}"
+        )
     cols = ["rec_id", "name", "block", "segment", "val"]
     old_r = old_records.select(*cols)
     new_r = new_records.select(*cols)

@@ -604,6 +604,71 @@ def test_curate_corpus_rejects_unknown_dedup(spark):
         api.curate_corpus(d, dedup="bogus")
 
 
+def test_api_parameter_gates_raise_loudly(spark):
+    """r12 hardening sweep of the newest public surfaces: bad scalars
+    fail at the API boundary with a named ValueError, never as a
+    silently-empty result or a mid-job arithmetic error."""
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="dedup_threshold"):
+            api.curate_corpus(d, dedup_threshold=bad)
+    with pytest.raises(ValueError, match="context"):
+        api.prepare_training_data(d, context=0)
+    with pytest.raises(ValueError, match="k must"):
+        api.ivf_search(emb, emb, k=0)
+    with pytest.raises(ValueError, match="n_cells"):
+        api.ivf_search(emb, emb, n_cells=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        api.ivf_search(emb, emb, nprobe=0)
+
+
+def test_resolve_entities_names_missing_columns(spark):
+    from ezbake_graph_spark.operators.llm_dedup import (
+        resolve_entities,
+        resolve_entities_append,
+    )
+
+    bad = spark.createDataFrame([(1, "acme")], "rec_id long, name string")
+    with pytest.raises(ValueError, match="missing \\['block', 'segment', 'val'\\]"):
+        resolve_entities(bad)
+    ok = spark.createDataFrame(
+        [(1, "acme", 0, "AUTO", 1.0)],
+        "rec_id long, name string, block long, segment string, val double",
+    )
+    with pytest.raises(ValueError, match="new_records"):
+        resolve_entities_append(ok, resolve_entities(ok), bad)
+    with pytest.raises(ValueError, match="old_resolution"):
+        resolve_entities_append(ok, bad.select("rec_id"), ok)
+
+
+def test_empty_inputs_yield_empty_not_crash(spark):
+    """Empty corpora flow through the curation / ER / ANN surfaces and
+    come out as empty frames with the full output schema — the
+    incremental-pipeline edge (an empty daily batch) must be a no-op,
+    not a crash."""
+    from ezbake_graph_spark.operators.llm_dedup import resolve_entities
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    out = api.curate_corpus(empty_docs)
+    assert out.count() == 0
+    assert set(out.columns) >= {"doc_id", "keep", "is_canonical", "clean_text"}
+    empty_recs = spark.createDataFrame(
+        [],
+        "rec_id long, name string, block long, segment string, val double",
+    )
+    er = resolve_entities(empty_recs)
+    assert er.count() == 0 and "entity_id" in er.columns
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert api.ivf_search(empty_emb, emb, n_cells=2).count() == 0
+    assert api.ivf_search(emb, empty_emb, n_cells=2).count() == 0
+
+
 def test_quality_score_matches_registry_kernel(spark):
     got = {tuple(r) for r in api.quality_score(
         tables.load(spark, SF_SMOKE, "documents")).collect()}
