@@ -995,16 +995,27 @@ def agg_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     so bin membership at boundary ties is deterministic cross-engine;
     lo/hi are raw column values (no float arithmetic).
 
-    Scale note: a single-partition global ntile is the declared-exact
-    form; at 100 TB the same result comes from approx_percentile edges
-    + a map-side bucket assignment, or a range-partitioned rank (the
-    distributed prefix-sum pattern in multimodal_shard_manifest) —
-    this key pins the semantics those approximations target."""
+    Scale note: a single-partition global ntile is the exact form at
+    committed scales; past ``distorder.WINDOW_GATE_ROWS`` the decile
+    comes from the distributed global-order kernel (quantile-bucketed
+    local windows + triangular offsets, SCALE.md §24) — bit-identical
+    bucket assignment, no single-partition exchange. This key pins
+    the semantics both forms target."""
     from pyspark.sql import Window
 
+    from ezbake_graph_spark.operators import distorder
+
     o = tables.load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    t = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    if distorder.use_distributed_window(spark, sf_dir, "orders"):
+        t = distorder.attach_global_order(
+            o.select("o_totalprice", "o_orderkey"),
+            "o_totalprice",
+            [F.col("o_totalprice"), F.col("o_orderkey")],
+            ntile=("decile", 10),
+        ).select("o_totalprice", "decile")
+    else:
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        t = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
     return (
         t.groupBy("decile")
         .agg(

@@ -599,12 +599,12 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each ntile orders by an exact integer metric with a
     user_id tie-break, and ntile's bucket arithmetic (floor
     distribution of n rows into 5) is identical in both engines.
-    Scale note: ntile over the full user set is a single-partition sort
-    here (fine for the aggregated per-user table, which is ~1e8 rows
-    even at 100 TB of events — it's the EVENTS that are big, not the
-    users); if the user table itself outgrows one partition, swap
-    ntile for a percent_rank threshold on a range-partitioned sort,
-    which distributes."""
+    Scale note: ntile over the full user set is a single-partition
+    sort at committed scales (the aggregated per-user table, not the
+    events); past ``distorder.WINDOW_GATE_ROWS`` each score switches
+    to the distributed global-order kernel (SCALE.md §24) —
+    bit-identical quintiles, one keyed shuffle per score, no
+    single-partition exchange."""
     ev = tables.load(spark, sf_dir, "events")
     u = (
         ev.filter(F.col("event_type") == "purchase")
@@ -617,6 +617,36 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from ezbake_graph_spark.operators import distorder
+
+    if distorder.use_distributed_window(spark, sf_dir, "events"):
+        # three independent total orders -> three kernel passes (one
+        # keyed shuffle each; still no single-partition exchange) —
+        # the documented percent-rank swap, made exact (SCALE.md §24).
+        # Cache the per-user aggregate: each kernel's quantile-bounds
+        # sampling job would otherwise recompute the events rollup
+        # (and every earlier kernel) from scratch.
+        scored = u.cache()
+        for col, out in (
+            ("last_us", "r_score"),
+            ("freq", "f_score"),
+            ("monetary_micro", "m_score"),
+        ):
+            scored = distorder.attach_global_order(
+                scored,
+                col,
+                [F.col(col).desc(), F.col("user_id")],
+                desc=True,
+                ntile=(out, 5),
+            )
+        return scored.select(
+            "user_id",
+            "r_score",
+            "f_score",
+            "m_score",
+            "freq",
+            (F.col("monetary_micro").cast("double") / 1_000_000).alias("monetary"),
+        ).orderBy("user_id")
     wr = Window.orderBy(F.col("last_us").desc(), "user_id")
     wf = Window.orderBy(F.col("freq").desc(), "user_id")
     wm = Window.orderBy(F.col("monetary_micro").desc(), "user_id")

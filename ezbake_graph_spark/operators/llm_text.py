@@ -1867,17 +1867,34 @@ def ml_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole scorecard is value-hash-exact; the discount ln(rank+1)/ln 2
     is the only transcendental, over ranks 1..25.
 
-    Scale shape: rel is one filtered explode + keyed agg; the eval
-    itself reduces a k-row ranking against broadcast 1-row totals —
-    evaluation cost is O(k + |relevant|) regardless of corpus size."""
+    Scale shape: rel is one filtered explode + keyed agg; the DCG and
+    MRR terms need each relevant document's FULL-corpus rank (a hit
+    can sit past k), so the corpus ranking carries a global
+    row_number — a single total-order window at committed scales;
+    past ``distorder.WINDOW_GATE_ROWS`` both rankings switch to the
+    distributed global-order kernel (SCALE.md §24), bit-identical
+    ranks, no single-partition exchange."""
+    from ezbake_graph_spark.operators import distorder
+
     d = tables.load(spark, sf_dir, "documents")
     n_q = len(BM25_QUERY)
-    ranking = bm25_scores(d, BM25_QUERY).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
-        .alias("rank"),
-    )
+    dist = distorder.use_distributed_window(spark, sf_dir, "documents")
+    scores = bm25_scores(d, BM25_QUERY)
+    if dist:
+        ranking = distorder.attach_global_order(
+            scores,
+            "bm25",
+            [F.col("bm25").desc(), F.col("doc_id")],
+            desc=True,
+            rank_col="_rank",
+        ).select("doc_id", F.col("_rank").cast("int").alias("rank"))
+    else:
+        ranking = scores.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .alias("rank"),
+        )
     rel = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term").isin(*BM25_QUERY))
@@ -1891,12 +1908,27 @@ def ml_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("rank") + 1.0) / F.log(F.lit(2.0))
     )
     dcg = ranked_rel.agg(F.sum(gain).alias("dcg"))
-    ideal = rel.select(
-        "rel",
-        F.row_number()
-        .over(Window.orderBy(F.col("rel").desc(), "doc_id"))
-        .alias("rank"),
-    ).filter(F.col("rank") <= BM25_TOPN)
+    if dist:
+        # rel has <= n_q distinct values, so quantile bucketing here
+        # degenerates to value-buckets — still correct, still keyed
+        ideal = (
+            distorder.attach_global_order(
+                rel,
+                "rel",
+                [F.col("rel").desc(), F.col("doc_id")],
+                desc=True,
+                rank_col="_rank",
+            )
+            .select("rel", F.col("_rank").cast("int").alias("rank"))
+            .filter(F.col("rank") <= BM25_TOPN)
+        )
+    else:
+        ideal = rel.select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+            .alias("rank"),
+        ).filter(F.col("rank") <= BM25_TOPN)
     idcg = ideal.agg(F.sum(gain).alias("idcg"))
     bins = rel.filter(F.col("rel") == n_q).agg(
         F.count(F.lit(1)).alias("n_rel_total")

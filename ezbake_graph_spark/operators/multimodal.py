@@ -585,9 +585,10 @@ def curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: decode/gate are one linear Arrow pass; the pair stage
     shuffles band keys, never all-pairs; WCC runs on the pair graph
     (vastly smaller than the corpus); the shard prefix sum is over
-    canonical survivors ordered by id — swap in the distributed
-    bucket prefix sum of ``multimodal_shard_manifest`` when the
-    survivor set outgrows one window partition."""
+    canonical survivors ordered by id — past
+    ``distorder.WINDOW_GATE_ROWS`` it runs on the distributed
+    global-order kernel (SCALE.md §24): same byte offsets, no
+    single-partition exchange."""
     from pyspark.sql import Window
 
     from ezbake_graph_spark.graph.pregel import connected_components
@@ -642,16 +643,32 @@ def curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = clus.filter("is_canonical").join(
         gated.select("doc_id", "n_pixels"), "doc_id"
     )
-    w_off = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    shards = canon.select(
-        "doc_id",
-        (
-            F.coalesce(F.sum("n_pixels").over(w_off), F.lit(0))
-            / F.lit(_IMG_SHARD_BYTES)
+    from ezbake_graph_spark.operators import distorder
+
+    if distorder.use_distributed_window(spark, sf_dir, "documents"):
+        # exclusive prefix sum = inclusive (kernel running sum) - self
+        shards = distorder.attach_global_order(
+            canon,
+            "doc_id",
+            [F.col("doc_id")],
+            running={"_incl": "n_pixels"},
+        ).select(
+            "doc_id",
+            ((F.col("_incl") - F.col("n_pixels")) / F.lit(_IMG_SHARD_BYTES))
+            .cast("long")
+            .alias("shard_id"),
         )
-        .cast("long")
-        .alias("shard_id"),
-    )
+    else:
+        w_off = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        shards = canon.select(
+            "doc_id",
+            (
+                F.coalesce(F.sum("n_pixels").over(w_off), F.lit(0))
+                / F.lit(_IMG_SHARD_BYTES)
+            )
+            .cast("long")
+            .alias("shard_id"),
+        )
     return (
         gated.join(clus, "doc_id", "left")
         .join(shards, "doc_id", "left")

@@ -161,6 +161,12 @@ _RECENTLY_CHANGED = (
     "agg_revenue_concentration",
     "sample_curriculum_order",
     "ts_max_concurrency",
+    # r12 second sweep: the remaining data-proportional global windows
+    # gained the same gate (sf0.01 stays on the exact plan)
+    "agg_quantile_bins",
+    "events_rfm_scores",
+    "curate_images",
+    "ml_eval_ranking",
 )
 
 

@@ -16,9 +16,15 @@ from ezbake_graph_spark.operators import distorder
 from tests.conftest import SF_SMOKE
 
 GATED_KEYS = [
+    # VERDICT r11 ask #3 trio
     "agg_revenue_concentration",
     "sample_curriculum_order",
     "ts_max_concurrency",
+    # r12 sweep of the remaining data-proportional global windows
+    "agg_quantile_bins",
+    "events_rfm_scores",
+    "curate_images",
+    "ml_eval_ranking",
 ]
 
 

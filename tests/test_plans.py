@@ -288,21 +288,23 @@ def test_distributed_global_order_plans(spark, no_cache, monkeypatch):
         "agg_revenue_concentration",
         "sample_curriculum_order",
         "ts_max_concurrency",
+        "agg_quantile_bins",
+        "events_rfm_scores",
+        "curate_images",
+        "ml_eval_ranking",
     ):
         df = registry.queries()[key](spark, SF_SMOKE)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # every Window node is PARTITIONED (by the quantile bucket or a
-        # real key like user_id) — a partitioned Window prints three
-        # bracket groups ([exprs], [partition], [order]); a global one
-        # prints two and would require SinglePartition over the data
-        for ln in plan.splitlines():
-            if re.search(r"\bWindow \[", ln):
-                assert ln.count("], [") == 2, (key, ln)
         assert "hashpartitioning(_bkt" in plan, f"{key}: bucket window missing"
-        # the only permitted SinglePartition is the 1-row scalar-total
-        # closing (direct parent = grouping-free final HashAggregate,
-        # partition-count input rows)
+        # No Window runs on SinglePartition: a GLOBAL window requires
+        # an Exchange SinglePartition directly below it, so asserting
+        # every SinglePartition's parent is the grouping-free scalar-
+        # total HashAggregate (the 1-row broadcast closing,
+        # partition-count input rows) covers both "no serial window"
+        # and "no other serial stage". (A bracket-count heuristic on
+        # Window lines was tried first and false-positived on
+        # partitioned-but-unordered windows like count-over-cluster.)
         from ezbake_graph_spark.plan_lint import exchange_parent
 
         for m in re.finditer(r"Exchange SinglePartition", plan):
