@@ -142,9 +142,23 @@ def connected_components(
     """
     state = vertices.select("id", F.col("id").alias("component"))
     with _superstep_env(edges) as sym:
+        # Delta/frontier messaging (r12 optimization, guide §1.2 "remove
+        # unnecessary shuffles and passes"): only vertices whose
+        # component CHANGED last superstep need to re-broadcast it —
+        # min-combined messages are idempotent, and an unchanged
+        # vertex's value was already sent (and folded in) the superstep
+        # after it last changed, so dropping the re-sends reaches the
+        # identical fixpoint in the identical number of supersteps
+        # (equivalence pinned by tests/test_graph.py). The message join
+        # shrinks geometrically as components settle instead of staying
+        # |V|-sized. The change flag rides INSIDE the checkpointed
+        # state, so the convergence probe is a scan of the materialized
+        # RDD — the old probe joined new-vs-old state, a whole extra
+        # shuffle job per superstep on data the update had already seen.
+        frontier = state
         for step in range(max_iter):
             msgs = (
-                sym.join(state, sym.src == state.id)
+                sym.join(frontier, sym.src == frontier.id)
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("component").alias("msg"))
             )
@@ -155,16 +169,14 @@ def connected_components(
                     F.least(
                         F.col("component"), F.coalesce(F.col("msg"), F.col("component"))
                     ).alias("component"),
+                    (F.coalesce(F.col("msg"), F.col("component")) < F.col("component")
+                     ).alias("_chg"),
                 )
             )
             new_state = _truncate(new_state, step)
-            changed = (
-                new_state.alias("n")
-                .join(state.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-            )
-            state = new_state
-            if changed.isEmpty():
+            frontier = new_state.filter("_chg").select("id", "component")
+            state = new_state.select("id", "component")
+            if frontier.isEmpty():
                 break
     return state
 

@@ -254,13 +254,25 @@ def minhash_pairs(
         t1, t2 = t1.hint("shuffle_hash"), t2.hint("shuffle_hash")
     common = F.size(F.array_intersect("toks1", "toks2")).cast("double")
     union = (F.size("toks1") + F.size("toks2")).cast("double") - common
-    return (
+    verified = (
         candidates.join(t1, "doc1")
         .join(t2, "doc2")
         .withColumn("jaccard_raw", common / union)
         .filter(F.col("jaccard_raw") >= threshold)
         .select("doc1", "doc2", F.col("jaccard_raw").alias("jaccard"))
-        .orderBy("doc1", "doc2")
+    )
+    # Materialize the verified pairs in a shuffle BEFORE the global
+    # sort (r12 optimization, guide §1.4/§2.4): the closing orderBy's
+    # range exchange SAMPLES its child to pick partition bounds, and
+    # when that child is an unmaterialized map stage the whole
+    # candidate verify (array_intersect over every candidate pair)
+    # executes TWICE — once for the sample, once for the real
+    # exchange (measured sf0.1: 5.4 s verify -> 11.0 s with the sort
+    # on top). One round-robin repartition of the verified output
+    # (~16 bytes + jaccard per TRUE pair) turns the sample into a
+    # shuffle-read; the sort itself is unchanged, rows identical.
+    return verified.repartition(spark.sparkContext.defaultParallelism).orderBy(
+        "doc1", "doc2"
     )
 
 
@@ -1300,6 +1312,68 @@ def _deletion_sigs(name: str = "name", k: int = ER_WEAK_DIST):
     )
 
 
+def _deletion_sig_rows(records: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """Exploded ``(rec_id, block, *extra_cols, sig)`` deletion-signature
+    rows — the join-ready form of ``_deletion_sigs`` (r12 optimization).
+
+    Same variant algebra — identity, every 1-deletion, every
+    2-deletion of the ER_SIG_PREFIX-char prefix — but built as two
+    chained ``explode(sequence(...))`` GENERATORS plus one flat
+    ``substring``/``concat``/``xxhash64`` projection, which all run
+    inside WholeStageCodegen. The nested ``transform`` lambdas in
+    ``_deletion_sigs`` are INTERPRETED per element (Catalyst
+    higher-order functions do not codegen — the same hazard the r10
+    ``filter_repetition`` rewrite measured), and building the ~529-slot
+    variant array dominated the whole candidate stage (measured sf0.1:
+    signature pass 4.2 s -> 1.2 s, candidate stage 4.7 s -> 2.1 s).
+
+    Unlike the array form this emits duplicate (rec, sig) rows when
+    deleting different positions of a repeated character yields the
+    same variant (~1.8x at sf0.1). Duplicates add join multiplicity
+    only — the candidate set after the pair ``distinct`` is IDENTICAL
+    (pinned by test_deletion_signature_blocking_is_lossless, which
+    exhaustively checks the lev<=2 superset guarantee on edge cases
+    including empty and length-1 names, and by the unchanged
+    recursive-CTE oracle of both registered ER keys).
+
+    Deletion-position enumeration: i = 0 is the identity variant;
+    (i, 0) for 1 <= i <= L deletes position i; (i, j) for
+    1 <= i < j <= L deletes both — exactly the d1/d2 expansion above.
+    """
+    s_expr = f"substring(name, 1, {ER_SIG_PREFIX})"
+    return (
+        records.select("rec_id", "block", *extra_cols, F.expr(s_expr).alias("_s"))
+        .select(
+            "rec_id", "block", *extra_cols, "_s",
+            F.explode(F.expr("sequence(0, length(_s))")).alias("_i"),
+        )
+        .select(
+            "rec_id", "block", *extra_cols, "_s", "_i",
+            F.explode(
+                F.expr(
+                    "CASE WHEN _i = 0 OR _i >= length(_s) THEN array(0) "
+                    "ELSE concat(array(0), sequence(_i + 1, length(_s))) END"
+                )
+            ).alias("_j"),
+        )
+        .select(
+            "rec_id",
+            "block",
+            *extra_cols,
+            F.xxhash64(
+                F.expr(
+                    "CASE WHEN _i = 0 THEN _s "
+                    "WHEN _j = 0 THEN concat(substring(_s, 1, _i - 1), "
+                    "substring(_s, _i + 1, length(_s))) "
+                    "ELSE concat(substring(_s, 1, _i - 1), "
+                    "substring(_s, _i + 1, _j - _i - 1), "
+                    "substring(_s, _j + 1, length(_s))) END"
+                )
+            ).alias("sig"),
+        )
+    )
+
+
 def _er_candidate_pairs(records: DataFrame, new_only: bool = False) -> DataFrame:
     """Candidate (src, dst) id pairs for the ER match rule: pairs of
     records sharing (block, deletion-signature). Replaces the original
@@ -1322,14 +1396,21 @@ def _er_candidate_pairs(records: DataFrame, new_only: bool = False) -> DataFrame
     # the verify stage would only discard later (ADVICE r10). Drop
     # them before the explode; they surface as singletons via the
     # provenance left-join like any other matchless record.
-    sigs = records.filter(F.col("name").isNotNull()).select(
-        "rec_id",
-        "block",
-        *(["is_new"] if new_only else []),
-        F.explode(_deletion_sigs("name")).alias("sig"),
+    sigs = _deletion_sig_rows(
+        records.filter(F.col("name").isNotNull()),
+        ["is_new"] if new_only else [],
     )
-    a = (sigs.filter("is_new") if new_only else sigs).alias("a")
-    b = sigs.alias("b")
+    # shuffle_hash (r12 optimization, guide §3.1): the planner's size
+    # estimate for the exploded sig table is far under its real ~2.6M
+    # rows at sf0.1, so it picked a BroadcastHashJoin that built a
+    # multi-million-row hash relation on the driver AND evaluated the
+    # deletion-sig explode once per side. As a shuffled hash join on
+    # the 12-byte (block, sig) key, the two sides are identical
+    # exchanges — ReusedExchange computes the explode ONCE — and no
+    # corpus-sized broadcast exists (measured sf0.1: candidate stage
+    # 12.4 -> 4.8 s, identical candidate set).
+    a = (sigs.filter("is_new") if new_only else sigs).hint("shuffle_hash").alias("a")
+    b = sigs.hint("shuffle_hash").alias("b")
     ids = (F.col("a.rec_id") != F.col("b.rec_id")) if new_only else (
         F.col("a.rec_id") < F.col("b.rec_id")
     )
