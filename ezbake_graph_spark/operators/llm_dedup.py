@@ -224,15 +224,18 @@ def minhash_pairs(
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2")
-        # ONE shuffle: hash-repartition the collision stream by pair
-        # FIRST (pinned to the session parallelism — AQE's two-longs-
-        # per-row size estimate would under-partition the compute-heavy
-        # array_intersect verify below), then dedup in place — the
-        # distinct's aggregate is satisfied by that distribution, so it
-        # adds no second exchange (a distinct-then-repartition order
-        # shuffles the multi-million-pair stream twice; measured
-        # another ~4x of the whole kernel on the sf0.1 fixture).
-        .repartition(spark.sparkContext.defaultParallelism, "doc1", "doc2")
+        # Plain distinct (r12 optimization, guide §2.3 "aggregate
+        # before you shuffle"): the group-by behind distinct PARTIAL-
+        # aggregates map-side, so the ~5x band-collision multiplicity
+        # (measured sf0.1: 47.9M collision rows -> 9.5M distinct
+        # pairs) is partly collapsed before the exchange instead of
+        # shuffling every collision row. The earlier repartition-
+        # then-distinct order (which this replaces) forced ALL
+        # collision rows through the shuffle to defend against AQE
+        # under-partitioning the verify stage; measured today AQE's
+        # parallelismFirst coalescing keeps the post-distinct stage at
+        # session parallelism, and the full kernel reads 9.45 s ->
+        # 7.90 s with byte-identical output (pairs and order).
         .distinct()
     )
     # Verify ONLY the candidate pairs: pull each side's token set, then
