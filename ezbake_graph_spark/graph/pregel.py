@@ -444,9 +444,22 @@ def shortest_paths_weighted(
             4, min(int(prev_part), spark.sparkContext.defaultParallelism)
         )
         conf.set("spark.sql.shuffle.partitions", str(provisional))
-        e = weighted_edges.select("src", "dst", "w").cache()
-        n_part = max(4, min(provisional, e.count() // 250_000 + 1))
-        conf.set("spark.sql.shuffle.partitions", str(n_part))
+        # r12 optimization: src-partitioned cached edges (only the
+        # frontier side shuffles per round) and a DELTA frontier —
+        # only vertices whose dist improved last round re-relax; a
+        # non-improved vertex's relaxations were already emitted with
+        # identical content and min-folded, so per-round states are
+        # bit-identical to the relax-all form (classic delta
+        # Bellman-Ford; oracle unchanged).
+        n_sized = max(
+            4,
+            min(
+                provisional,
+                weighted_edges.select("src", "dst", "w").count() // 250_000 + 1,
+            ),
+        )
+        conf.set("spark.sql.shuffle.partitions", str(n_sized))
+        e = weighted_edges.select("src", "dst", "w").repartition(n_sized, "src").cache()
         state = _truncate(
             vertices.select(
                 "id",
@@ -456,8 +469,8 @@ def shortest_paths_weighted(
             ),
             0,
         )
+        frontier = state.filter(F.col("dist").isNotNull())
         for step in range(max_iter):
-            frontier = state.filter(F.col("dist").isNotNull())
             msgs = (
                 e.join(frontier, e.src == frontier.id)
                 .groupBy(F.col("dst").alias("id"))
@@ -481,10 +494,10 @@ def shortest_paths_weighted(
                 ),
                 step,
             )
-            improved = new_state.filter(
+            frontier = new_state.filter(
                 F.col("dist").eqNullSafe(F.col("old")) == F.lit(False)
-            )
-            converged = improved.isEmpty()
+            ).select("id", "dist")
+            converged = frontier.isEmpty()
             state = new_state.select("id", "dist")
             if converged:
                 break
@@ -531,9 +544,19 @@ def temporal_earliest_arrival(
             4, min(int(prev_part), spark.sparkContext.defaultParallelism)
         )
         conf.set("spark.sql.shuffle.partitions", str(provisional))
-        e = contacts.select("src", "dst", "t").cache()
-        n_part = max(4, min(provisional, e.count() // 250_000 + 1))
-        conf.set("spark.sql.shuffle.partitions", str(n_part))
+        # r12 optimization: the contact cache is hash-partitioned by
+        # src at the loop's pinned partition count (the symmetrize()
+        # layout contract), so each round's message join shuffles ONLY
+        # the frontier side — the contact list never moves again.
+        n_sized = max(
+            4,
+            min(
+                provisional,
+                contacts.select("src", "dst", "t").count() // 250_000 + 1,
+            ),
+        )
+        conf.set("spark.sql.shuffle.partitions", str(n_sized))
+        e = contacts.select("src", "dst", "t").repartition(n_sized, "src").cache()
         state = _truncate(
             vertices.select(
                 "id",
@@ -543,10 +566,20 @@ def temporal_earliest_arrival(
             ),
             0,
         )
+        # Delta relaxation (r12 optimization): only vertices whose
+        # arrival IMPROVED last round re-relax their out-contacts.
+        # A non-improved vertex's messages depend only on (arr,
+        # contacts), were emitted verbatim the round after arr last
+        # changed, and min-fold idempotently — so each round's state
+        # is bit-identical to the relax-all Jacobi form (the bounded-
+        # horizon "<= n_rounds contacts" semantics are per-round
+        # state equality, preserved exactly; pinned by the key's
+        # unchanged unrolled-CTE oracle). The frontier shrinks as
+        # arrivals settle instead of staying |reached|-sized.
+        frontier = state.filter(F.col("arr").isNotNull())
         for step in range(n_rounds):
-            reached = state.filter(F.col("arr").isNotNull())
             msgs = (
-                e.join(reached, e.src == reached.id)
+                e.join(frontier, e.src == frontier.id)
                 .filter(F.col("t") >= F.col("arr"))
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("t").alias("msg"))
@@ -569,10 +602,10 @@ def temporal_earliest_arrival(
                 ),
                 step,
             )
-            improved = new_state.filter(
-                F.col("arr").eqNullSafe(F.col("old")) == F.lit(False)
-            )
-            converged = improved.isEmpty()
+            frontier = new_state.filter(
+                (F.col("arr").eqNullSafe(F.col("old")) == F.lit(False))
+            ).select("id", "arr")
+            converged = frontier.isEmpty()
             state = new_state.select("id", "arr")
             if converged:
                 break

@@ -570,14 +570,49 @@ def exact_jaccard_pairs(
         tok.join(F.broadcast(dfreq), "token")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= F.col("sz") - F.ceil(threshold * F.col("sz")) + 1)
-        .select("__id", "token")
+        .select("__id", "sz", "rnk", "token")
     )
+    # PPJoin length + positional filters (r12 optimization; Xiao et
+    # al.'s classic pruning rules, applied INSIDE the candidate join):
+    # J(a,b) >= t forces |b| within [t|a|, |a|/t] (length filter), and
+    # a prefix collision at positions (p_a, p_b) caps the achievable
+    # overlap at 1 + min(|a|-p_a, |b|-p_b), which must reach the
+    # required overlap t(|a|+|b|)/(1+t) (positional filter). Both are
+    # PROVABLY candidate-safe for the threshold — and the exact verify
+    # below re-checks every survivor anyway, so pruning can only drop
+    # pairs that would fail verification; the EPS slack keeps float
+    # boundary cases on the candidate side (extra candidates are
+    # harmless, lost ones are not). Measured on the sf0.1 curate
+    # survivors (template-heavy, t=0.95): raw candidates 2.60M ->
+    # 533k, pairs stage 2.97 s -> 1.35 s, output identical.
+    eps = 1e-9
+    a, b = prefix.alias("a"), prefix.alias("b")
+    len_ok = (
+        F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+        >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double") - eps
+    )
+    required_overlap = (
+        threshold * (F.col("a.sz") + F.col("b.sz")).cast("double") / (1.0 + threshold)
+        - eps
+    )
+    overlap_ub = (
+        1 + F.least(F.col("a.sz") - F.col("a.rnk"), F.col("b.sz") - F.col("b.rnk"))
+    ).cast("double")
     cands = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "token")
-        .filter(F.col("a.__id") < F.col("b.__id"))
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & len_ok
+            & (overlap_ub >= required_overlap),
+        )
         .select(F.col("a.__id").alias("doc1"), F.col("b.__id").alias("doc2"))
         .distinct()
+        # the explicit repartition after the distinct is LOAD-BEARING:
+        # the candidate table is ~16 bytes/row, so AQE's post-shuffle
+        # coalescing can drop below session parallelism and serialize
+        # the array_intersect verify (measured 22 s vs ~1.5 s on the
+        # sf0.1 curate survivors when left to coalesce)
         .repartition(spark.sparkContext.defaultParallelism, "doc1", "doc2")
     )
     t1 = d.select(F.col("__id").alias("doc1"), F.col("toks").alias("toks1"))
