@@ -280,11 +280,28 @@ def main() -> None:
     for df in cached:
         df.unpersist()
     load_after = os.getloadavg()
+    # VERDICT r12 #2: the driver's core-count scaling probe compares
+    # per-query times across its 32- and 8-core invocations, but it
+    # only reads the ``queries`` map — which held just the 13 headline
+    # keys, every one of which is driver-round-trip floor at sf0.1, so
+    # all ratios ≈ 1 and the probe false-flagged
+    # ``suspect_cpus_ignored`` despite CPUS being honored
+    # (session.py:22/71). Publish the compute-bound tier-2 trio in
+    # ``queries`` as well (ADDITIVE: no existing key removed or
+    # renamed; ``value``/``floor_sec`` stay computed from the headline
+    # 13 exactly as before) so the probe sees keys whose runtime
+    # actually tracks core count (r12 measured dedup_minhash 8.5 s at
+    # 32 cores vs 21.9 s at 8).
+    scaling_probe = ("dedup_minhash", "dedup_resolve_entities", "stats_bootstrap_ci")
+    queries_out = dict(times)
+    for k in scaling_probe:
+        if k in t2 and k not in queries_out:
+            queries_out[k] = t2[k]
     full = {
         "metric": "headline_queries_total_warm",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
-        "queries": times,
+        "queries": queries_out,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # machine-state + protocol context (VERDICT r5 items 3 & 8):
         "floor_sec": round(min(times.values()), 4) if times else None,
@@ -329,7 +346,7 @@ def main() -> None:
         "value": full["value"],
         "unit": "sec",
         "sf": full["sf"],
-        "queries": times,
+        "queries": queries_out,
         "floor_sec": full["floor_sec"],
         "tier2_total_sec": full["tier2_total_sec"],
         "tier2_n": len(t2),

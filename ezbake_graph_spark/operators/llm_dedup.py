@@ -171,6 +171,62 @@ def _minhash_pairs(
     return minhash_pairs(_doc_tokens(spark, sf_dir), broadcast_ok=broadcast_ok)
 
 
+def _verified_jaccard(
+    candidates: DataFrame, t1: DataFrame, t2: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc1, doc2) pairs
+    against token-set lookups t1=(doc1, toks1) / t2=(doc2, toks2):
+    returns (doc1, doc2, jaccard) with jaccard >= threshold.
+
+    r13 optimization (guide §1.4/§4.4 "stop the optimizer duplicating
+    expensive expressions"; VERDICT r12 #4): the threshold filter on
+    the DERIVED jaccard column used to be pushed back into the join
+    condition, so ``array_intersect`` — the dominant verify cost —
+    evaluated TWICE per candidate (once in the join's post-condition,
+    once again in the surviving projection; ~12.5M evaluations for
+    9.5M candidates at sf0.1). Two changes, both output-identical
+    (pinned by test_r13_opt.py against the old verify form):
+
+    1. A LENGTH prefilter before the intersect: J >= t forces
+       min(|a|,|b|) >= t*max(|a|,|b|) (common <= min and union >= max)
+       — two size() calls prune pairs that could never verify, with
+       EPS slack keeping float-boundary pairs on the candidate side
+       (the exact_jaccard_pairs convention; extra candidates are
+       harmless, lost ones are not). Deterministic, so Catalyst pushes
+       it into the join — the cheap check is what the join SHOULD run.
+    2. An optimizer barrier on the intersect itself: ``+ rand()*0.0``
+       adds exactly +0.0 (rand ∈ [0,1), never null/NaN, so the product
+       is always 0.0 and x + 0.0 is bit-identical for the non-negative
+       sizes here) but marks the projection NONDETERMINISTIC, which
+       PushDownPredicates and CollapseProject must not duplicate or
+       push through — the threshold filter now reads the materialized
+       ``common`` attribute: ONE intersect per candidate row
+       (plan-asserted: exactly one array_intersect in the final plan).
+    """
+    eps = 1e-9
+    sz1, sz2 = F.size("toks1"), F.size("toks2")
+    len_ok = (
+        F.least(sz1, sz2).cast("double")
+        >= threshold * F.greatest(sz1, sz2).cast("double") - eps
+    )
+    common_once = (
+        F.size(F.array_intersect("toks1", "toks2")).cast("double")
+        + F.rand() * F.lit(0.0)
+    )
+    return (
+        candidates.join(t1, "doc1")
+        .join(t2, "doc2")
+        .filter(len_ok)
+        .withColumn("common", common_once)
+        .withColumn(
+            "jaccard_raw",
+            F.col("common") / ((sz1 + sz2).cast("double") - F.col("common")),
+        )
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("doc1", "doc2", F.col("jaccard_raw").alias("jaccard"))
+    )
+
+
 def minhash_pairs(
     tok: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -236,6 +292,18 @@ def minhash_pairs(
         # parallelismFirst coalescing keeps the post-distinct stage at
         # session parallelism, and the full kernel reads 9.45 s ->
         # 7.90 s with byte-identical output (pairs and order).
+        #
+        # CONFIG ASSUMPTION (ADVICE r12): this relies on the session
+        # defaults spark.sql.adaptive.enabled=true AND
+        # spark.sql.adaptive.coalescePartitions.parallelismFirst=true
+        # (both Spark defaults, asserted by session.py's posture). A
+        # session with AQE off — or parallelismFirst=false with a large
+        # advisory size — can coalesce these ~16-byte candidate rows
+        # below cluster parallelism and SERIALIZE the array_intersect
+        # verify (the hazard exact_jaccard_pairs' explicit repartition
+        # still defends against; prior measurement there: 22 s vs
+        # ~1.5 s). If the session posture ever changes, restore an
+        # explicit repartition(defaultParallelism, "doc1", "doc2") here.
         .distinct()
     )
     # Verify ONLY the candidate pairs: pull each side's token set, then
@@ -255,15 +323,7 @@ def minhash_pairs(
         t1, t2 = F.broadcast(t1), F.broadcast(t2)
     else:
         t1, t2 = t1.hint("shuffle_hash"), t2.hint("shuffle_hash")
-    common = F.size(F.array_intersect("toks1", "toks2")).cast("double")
-    union = (F.size("toks1") + F.size("toks2")).cast("double") - common
-    verified = (
-        candidates.join(t1, "doc1")
-        .join(t2, "doc2")
-        .withColumn("jaccard_raw", common / union)
-        .filter(F.col("jaccard_raw") >= threshold)
-        .select("doc1", "doc2", F.col("jaccard_raw").alias("jaccard"))
-    )
+    verified = _verified_jaccard(candidates, t1, t2, threshold)
     # Materialize the verified pairs in a shuffle BEFORE the global
     # sort (r12 optimization, guide §1.4/§2.4): the closing orderBy's
     # range exchange SAMPLES its child to pick partition bounds, and
@@ -617,12 +677,25 @@ def exact_jaccard_pairs(
     )
     t1 = d.select(F.col("__id").alias("doc1"), F.col("toks").alias("toks1"))
     t2 = d.select(F.col("__id").alias("doc2"), F.col("toks").alias("toks2"))
-    common = F.size(F.array_intersect("toks1", "toks2")).cast("double")
-    union = (F.size("toks1") + F.size("toks2")).cast("double") - common
+    # Same single-evaluation barrier as minhash_pairs (r13, guide §4.4
+    # posture for JVM expressions): without it the threshold filter is
+    # pushed into the join and ``array_intersect`` runs twice per
+    # candidate. ``+ rand()*0.0`` is exactly +0.0 on these non-negative
+    # sizes (bit-identical jaccard) but marks the projection
+    # nondeterministic so the optimizer cannot duplicate it.
+    common_once = (
+        F.size(F.array_intersect("toks1", "toks2")).cast("double")
+        + F.rand() * F.lit(0.0)
+    )
     return (
         cands.join(F.broadcast(t1), "doc1")
         .join(F.broadcast(t2), "doc2")
-        .withColumn("jaccard", common / union)
+        .withColumn("common", common_once)
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / ((F.size("toks1") + F.size("toks2")).cast("double") - F.col("common")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
@@ -1350,7 +1423,9 @@ def _deletion_sigs(name: str = "name", k: int = ER_WEAK_DIST):
     )
 
 
-def _deletion_sig_rows(records: DataFrame, extra_cols: list[str]) -> DataFrame:
+def _deletion_sig_rows(
+    records: DataFrame, extra_cols: list[str], name: str = "name"
+) -> DataFrame:
     """Exploded ``(rec_id, block, *extra_cols, sig)`` deletion-signature
     rows — the join-ready form of ``_deletion_sigs`` (r12 optimization).
 
@@ -1377,8 +1452,13 @@ def _deletion_sig_rows(records: DataFrame, extra_cols: list[str]) -> DataFrame:
     Deletion-position enumeration: i = 0 is the identity variant;
     (i, 0) for 1 <= i <= L deletes position i; (i, j) for
     1 <= i < j <= L deletes both — exactly the d1/d2 expansion above.
+
+    ``name`` parameterizes the signature source column (ADVICE r12:
+    the array form it replaced was parameterized); the ``rec_id`` and
+    ``block`` key columns ARE a fixed schema contract of the ER kernel
+    (callers rename at the boundary, as both registered keys do).
     """
-    s_expr = f"substring(name, 1, {ER_SIG_PREFIX})"
+    s_expr = f"substring({name}, 1, {ER_SIG_PREFIX})"
     return (
         records.select("rec_id", "block", *extra_cols, F.expr(s_expr).alias("_s"))
         .select(
@@ -1701,6 +1781,22 @@ def resolve_entities_append(
             "resolve_entities_append: old_resolution needs columns "
             f"['entity_id', 'n_matches', 'rec_id']; missing {sorted(missing_res)}"
         )
+    # Materialize the prior resolution ONCE (r13 optimization, guide
+    # §1.2 "don't compute things twice" / §5 localCheckpoint to cut a
+    # reused subplan): this function reads ``old_resolution`` four
+    # times (edge collapse src/dst, the old-record entity join, the
+    # degree fold), and Spark shares no subplans across DataFrame
+    # references — when the caller passes a LAZY resolve_entities()
+    # plan (as the registered key does), each reference re-ran the
+    # whole batch resolution: candidate join + levenshtein + WCC
+    # executed ~2x per call (VERDICT r12 #5, measured 11.96 s quiet at
+    # sf0.1 vs ~7 s for the batch key alone). Projecting to the three
+    # consumed columns first keeps the checkpoint rows narrow; the
+    # copy is 3 longs/row even when the caller passes a materialized
+    # table.
+    old_resolution = old_resolution.select(
+        "rec_id", "entity_id", "n_matches"
+    ).localCheckpoint(eager=True)
     cols = ["rec_id", "name", "block", "segment", "val"]
     old_r = old_records.select(*cols)
     new_r = new_records.select(*cols)

@@ -153,20 +153,35 @@ _ROTATE_PREGEL = ("graph_wcc", "graph_bfs")
 # this list next round once the driver re-verifies them. Brand-new
 # keys need no entry (never-green keys already sort first).
 _RECENTLY_CHANGED = (
-    # round 12 edits over checked rows (all 5 round-11 entries got
-    # fresh green r11 driver rows and left this list). The three
-    # global-window keys gained the distorder size-gated distributed
-    # path; at the driver's sf0.01 the gate keeps the EXACT plan, but
-    # the gate call itself is new code in the query path — re-verify:
-    "agg_revenue_concentration",
-    "sample_curriculum_order",
-    "ts_max_concurrency",
-    # r12 second sweep: the remaining data-proportional global windows
-    # gained the same gate (sf0.01 stays on the exact plan)
-    "agg_quantile_bins",
-    "events_rfm_scores",
-    "curate_images",
-    "ml_eval_ranking",
+    # Round rule (VERDICT r12 #10): the same commit that rewrites a
+    # kernel must queue every registry key consuming it here, so the
+    # NEXT driver window re-oracles exactly what the optimizer touched.
+    # All 7 round-12 entries got fresh green r12 driver rows and left
+    # this list.
+    #
+    # r12 optimization commits (6540e20/5fc4d1d/1c2eb40) rewrote six
+    # kernels AFTER the r12 window was rotated, so their keys never got
+    # a fresh driver row (VERDICT r12 #1) — queue them now:
+    "graph_wcc",
+    "dedup_minhash",
+    "dedup_resolve_entities",
+    "dedup_resolve_entities_append",
+    "graph_pagerank_exact",
+    "graph_ppr_exact",
+    "graph_temporal_reachability",
+    "graph_sssp",
+    "curate_corpus",
+    "prepare_training_data",
+    "dedup_prefix_filter",
+    # r13 optimization targets (queued by the commits that touch their
+    # kernels this round — HITS half-step checkpoints, Louvain round
+    # loop, ER-append shared subplan, minhash verify barrier):
+    "graph_hits",
+    "graph_hits_exact",
+    "graph_louvain",
+    "graph_louvain_weighted",
+    "graph_louvain_two_level",
+    "graph_louvain_hierarchy",
 )
 
 
@@ -326,8 +341,14 @@ def _ordered_specs() -> list[QuerySpec]:
     specs = sorted(REGISTRY.values(), key=key)  # stable within class
 
     fresh = _latest_green()
-    tail = _promoted_pregel() + [
-        k for k in _ROTATE_PREGEL if k in REGISTRY and k not in fresh
+    tail = [
+        k
+        for k in _promoted_pregel()
+        + [k for k in _ROTATE_PREGEL if k in REGISTRY and k not in fresh]
+        # a key queued for re-verification already owns a slot at the
+        # WINDOW FRONT (class -1); splicing it to the tail would demote
+        # it out of the front the re-verify contract promises
+        if k not in _RECENTLY_CHANGED
     ]
     if not tail:
         return specs

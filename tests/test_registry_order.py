@@ -156,6 +156,23 @@ def test_window_head_is_the_stalest_cohort():
     ), "window head must be drawn from the stalest checked cohort"
 
 
+def test_recently_changed_keys_are_registered():
+    """Round rule (VERDICT r12 #10): the commit that rewrites a kernel
+    must queue its registry keys in ``_RECENTLY_CHANGED``. A typo'd key
+    would silently fail to re-verify — every entry must resolve to a
+    registered key (the companion emission test below tolerates missing
+    keys by design, so this is the strict guard)."""
+    registry.queries()
+    unknown = [k for k in registry._RECENTLY_CHANGED if k not in registry.REGISTRY]
+    assert not unknown, f"_RECENTLY_CHANGED contains unregistered keys: {unknown}"
+
+
+def test_recently_changed_fit_in_driver_window():
+    """The re-verify front must leave room for rotation: if the list
+    outgrows half the ~50-slot window, staleness draining stalls."""
+    assert len(registry._RECENTLY_CHANGED) <= registry._WINDOW // 2
+
+
 def test_recently_changed_keys_emit_at_window_front():
     """VERDICT r7 #7: a key whose implementation changed since its
     last driver row must be re-verified in the NEXT round — such keys
