@@ -1912,7 +1912,9 @@ def resolve_entities_append(
 
 
 @register(
-    "dedup_resolve_entities_append", oracle=_RESOLVE_SQL, tags=("ext", "er")
+    "dedup_resolve_entities_append",
+    oracle=_RESOLVE_SQL,
+    tags=("ext", "er", "bench2"),
 )
 def dedup_resolve_entities_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental entity resolution over the customer master: resolve

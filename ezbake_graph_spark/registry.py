@@ -175,13 +175,24 @@ _RECENTLY_CHANGED = (
     "dedup_prefix_filter",
     # r13 optimization targets (queued by the commits that touch their
     # kernels this round — HITS half-step checkpoints, Louvain round
-    # loop, ER-append shared subplan, minhash verify barrier):
+    # loop, ER-append shared subplan, minhash verify barrier, ktruss
+    # converged-support reuse, sym_d window build):
     "graph_hits",
     "graph_hits_exact",
     "graph_louvain",
     "graph_louvain_weighted",
     "graph_louvain_two_level",
     "graph_louvain_hierarchy",
+    "graph_ktruss",
+    # consumers of graph/pregel.py symmetrize()/sizing-count hygiene
+    # fixes (cache → GC-managed localCheckpoint; values unchanged by
+    # construction, still re-oracled per the round rule):
+    "graph_bfs",
+    "dedup_cluster_canonical",
+    "dedup_semdedup",
+    "curate_images",
+    "multimodal_phash_near_dup",
+    "sample_split_leakage_safe",
 )
 
 
